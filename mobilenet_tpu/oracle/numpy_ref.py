@@ -1,0 +1,117 @@
+"""Pure-NumPy float32 golden reference for every layer.
+
+Reference analog: C8 "Golden CPU reference model" (SURVEY.md SS2) — the pure-C
+float32 implementation whose per-layer outputs the FPGA path is checked against
+(BASELINE.json:5 "bit-matching the reference C host code's float outputs per
+layer"). This module is the NumPy twin of the C++ `cpu_ref` library
+(mobilenet_tpu/cpu_ref/); both implement identical fixed accumulation order
+(taps in (dy, dx, cin) order, float32 accumulators).
+
+Padding matches TF/XLA 'SAME': pad_total = max((ceil(in/s)-1)*s + k - in, 0),
+lo = pad_total // 2, hi = rest. For k=3: s=1 -> (1,1); s=2, even in -> (0,1).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+from ..config import ModelConfig
+
+
+def same_pad(in_size: int, stride: int, k: int = 3):
+    out = -(-in_size // stride)
+    total = max((out - 1) * stride + k - in_size, 0)
+    return total // 2, total - total // 2
+
+
+def _pad_nhwc(x: np.ndarray, stride: int, k: int = 3) -> np.ndarray:
+    lo_h, hi_h = same_pad(x.shape[1], stride, k)
+    lo_w, hi_w = same_pad(x.shape[2], stride, k)
+    return np.pad(x, ((0, 0), (lo_h, hi_h), (lo_w, hi_w), (0, 0)))
+
+
+def _act(y: np.ndarray, relu6: bool) -> np.ndarray:
+    y = np.maximum(y, np.float32(0))
+    if relu6:
+        y = np.minimum(y, np.float32(6))
+    return y
+
+
+def conv2d_ref(x, w, stride, bias=None, relu6=None):
+    """Standard 3x3 conv; x (N,H,W,Cin) f32, w (3,3,Cin,Cout) HWIO.
+
+    Accumulation: float32, tap-major (dy, dx, cin) — the documented fixed order
+    shared with cpu_ref.cpp (SURVEY.md SS7 'Bit-matching float32 per layer').
+    """
+    x = np.asarray(x, np.float32)
+    xp = _pad_nhwc(x, stride)
+    n, _, _, cin = x.shape
+    h_out = -(-x.shape[1] // stride)
+    w_out = -(-x.shape[2] // stride)
+    cout = w.shape[3]
+    acc = np.zeros((n, h_out, w_out, cout), np.float32)
+    for dy in range(3):
+        for dx in range(3):
+            patch = xp[:, dy : dy + h_out * stride : stride, dx : dx + w_out * stride : stride, :]
+            for ci in range(cin):
+                acc += patch[..., ci : ci + 1] * w[dy, dx, ci]
+    if bias is not None:
+        acc += np.asarray(bias, np.float32)
+    if relu6 is not None:
+        acc = _act(acc, relu6)
+    return acc
+
+
+def depthwise_ref(x, w, stride, bias=None, relu6=None):
+    """Depthwise 3x3; w (3,3,1,C). Tap-major float32 accumulation."""
+    x = np.asarray(x, np.float32)
+    xp = _pad_nhwc(x, stride)
+    h_out = -(-x.shape[1] // stride)
+    w_out = -(-x.shape[2] // stride)
+    acc = np.zeros((x.shape[0], h_out, w_out, x.shape[3]), np.float32)
+    for dy in range(3):
+        for dx in range(3):
+            patch = xp[:, dy : dy + h_out * stride : stride, dx : dx + w_out * stride : stride, :]
+            acc += patch * w[dy, dx, 0]
+    if bias is not None:
+        acc += np.asarray(bias, np.float32)
+    if relu6 is not None:
+        acc = _act(acc, relu6)
+    return acc
+
+
+def pointwise_ref(x, w, bias=None, relu6=None):
+    """Pointwise 1x1; x (N,H,W,Cin), w (Cin,Cout); float32 dot."""
+    y = np.asarray(x, np.float32) @ np.asarray(w, np.float32)
+    if bias is not None:
+        y = y + np.asarray(bias, np.float32)
+    if relu6 is not None:
+        y = _act(y, relu6)
+    return y.astype(np.float32)
+
+
+def forward_all(params: Dict[str, Any], x: np.ndarray, config: ModelConfig):
+    """Golden per-layer forward. Returns (logits, {layer_name: activation}),
+    matching models.mobilenet_v1.forward(collect=True) layer names exactly
+    (SURVEY.md SS3.6)."""
+    relu6 = config.relu6
+    acts: Dict[str, np.ndarray] = {}
+    y = conv2d_ref(x, params["conv1"]["w"], 2, params["conv1"]["b"], relu6)
+    acts["conv1"] = y
+    for i, (blk, stride) in enumerate(zip(params["blocks"], config.block_strides)):
+        y = depthwise_ref(y, blk["dw"]["w"], stride, blk["dw"]["b"], relu6)
+        acts[f"block{i:02d}_dw"] = y
+        y = pointwise_ref(y, blk["pw"]["w"], blk["pw"]["b"], relu6)
+        acts[f"block{i:02d}_pw"] = y
+    pooled = y.astype(np.float32).mean(axis=(1, 2))
+    acts["pool"] = pooled
+    logits = pooled @ params["fc"]["w"] + params["fc"]["b"]
+    acts["logits"] = logits
+    return logits, acts
+
+
+def preprocess_ref(img_u8: np.ndarray) -> np.ndarray:
+    """uint8 HWC -> float32 in [-1, 1] (TF mode; mobilenet.py:418-422)."""
+    return (img_u8.astype(np.float32) / np.float32(127.5)) + np.float32(-1.0)
