@@ -1,0 +1,197 @@
+"""Inference runtime: the TPU-native replacement for the OpenCL host runtime.
+
+Reference analog (SURVEY.md SS1 L3, SS2 C1/C2/C12):
+  - clCreateContext/Queue/Buffer + weight DMA  -> jax.device_put(params) once
+  - per-layer clSetKernelArg + clEnqueueNDRangeKernel loop -> ONE jitted program
+  - ping-pong cl_mem double buffering + events -> JAX async dispatch: device_put
+    of batch n+1 overlaps compute of batch n; block_until_ready only on the
+    final output (SURVEY.md SS3.5)
+
+Each (config, batch shape, dtype) pair is one jit cache entry — the TPU analog
+of one compiled FPGA bitstream.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..checkpoints import fold_bn, init_params, to_device
+from ..models import mobilenet_v1
+from ..ops import preprocess as prep
+
+
+class InferencePipeline:
+    """Owns HBM-resident weights + compiled entry points for one model variant."""
+
+    def __init__(
+        self,
+        config: ModelConfig,
+        params: Optional[Dict[str, Any]] = None,
+        *,
+        seed: int = 0,
+        use_pallas_dw: Optional[bool] = None,
+        dtype: Any = None,
+    ):
+        self.config = config
+        if dtype is None:
+            dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+        self.dtype = dtype
+        if use_pallas_dw is None:
+            # Pallas path is TPU-compiled; on CPU it would run interpreted
+            # (sw_emu tier) which is correct but slow — default by backend.
+            use_pallas_dw = jax.default_backend() == "tpu"
+        self.use_pallas_dw = use_pallas_dw
+        host_params = params if params is not None else fold_bn(
+            init_params(config, seed=seed), eps=config.bn_eps
+        )
+        # Weights -> HBM once (the clCreateBuffer+WriteBuffer(weights) analog).
+        self.params = to_device(host_params, dtype=self.dtype)
+        self._entries: Dict[Any, Any] = {}
+
+    # -- compiled entries ---------------------------------------------------
+
+    def _entry(self, kind: str):
+        key = kind
+        if key in self._entries:
+            return self._entries[key]
+        cfg = self.config
+
+        if kind == "probs_u8":
+            # uint8 NHWC at model resolution -> probs; preprocessing fused
+            # into the same XLA program (BASELINE.json:5).
+            def fn(params, images_u8):
+                x = prep.preprocess(images_u8, cfg.resolution, self.dtype)
+                return mobilenet_v1.predict_probs(
+                    params, x, cfg, use_pallas_dw=self.use_pallas_dw
+                )
+        elif kind == "probs_f":
+            def fn(params, x):
+                return mobilenet_v1.predict_probs(
+                    params, x.astype(self.dtype), cfg, use_pallas_dw=self.use_pallas_dw
+                )
+        elif kind == "collect":
+            def fn(params, x):
+                return mobilenet_v1.forward(
+                    params, x.astype(self.dtype), cfg,
+                    use_pallas_dw=self.use_pallas_dw, collect=True,
+                )
+        else:
+            raise KeyError(kind)
+        jitted = jax.jit(fn)
+        self._entries[key] = jitted
+        return jitted
+
+    # -- user-facing paths ----------------------------------------------------
+
+    def classify(self, image_u8: np.ndarray, top_k: int = 5):
+        """Single-image path (SURVEY.md SS3.4). image_u8: (H, W, 3) uint8.
+        Exactly 2 host<->device crossings: input in, probs out."""
+        batch = jnp.asarray(image_u8[None])
+        probs = np.asarray(self._entry("probs_u8")(self.params, batch)[0])
+        idx = np.argsort(-probs)[:top_k]
+        return [(int(i), float(probs[i])) for i in idx]
+
+    def run_batch(self, images_u8) -> np.ndarray:
+        return np.asarray(self._entry("probs_u8")(self.params, jnp.asarray(images_u8)))
+
+    def run_preprocessed(self, x) -> jax.Array:
+        return self._entry("probs_f")(self.params, x)
+
+    def activations(self, x):
+        """Per-layer tap for the verify harness (SURVEY.md SS3.6)."""
+        logits, acts = self._entry("collect")(self.params, jnp.asarray(x))
+        return np.asarray(logits), {k: np.asarray(v) for k, v in acts.items()}
+
+    # -- throughput mode ------------------------------------------------------
+
+    def benchmark(
+        self,
+        batch_size: int = 256,
+        steps: int = 40,
+        warmup: int = 5,
+        from_uint8: bool = True,
+    ) -> Dict[str, float]:
+        """Batch-N throughput with double buffering (SURVEY.md SS3.5).
+
+        Host->HBM transfer of batch n+1 overlaps compute of batch n via JAX
+        async dispatch; only the last output is synced — the TPU equivalent of
+        the reference's ping-pong WriteBuffer/NDRange/ReadBuffer event chain
+        (BASELINE.json:11).
+        """
+        cfg = self.config
+        res = cfg.resolution
+        rng = np.random.default_rng(0)
+        if from_uint8:
+            host_batches = [
+                rng.integers(0, 256, (batch_size, res, res, 3), dtype=np.uint8)
+                for _ in range(2)
+            ]
+            entry = self._entry("probs_u8")
+        else:
+            host_batches = [
+                rng.uniform(-1, 1, (batch_size, res, res, 3)).astype(np.float32)
+                for _ in range(2)
+            ]
+            entry = self._entry("probs_f")
+
+        device = jax.devices()[0]
+
+        def sync(out):
+            # On the tunneled TPU platform block_until_ready returns before
+            # execution finishes; fetching output bytes is the reliable fence.
+            return np.asarray(out[0, :4])
+
+        # --- chip compute throughput: device-resident input (the img/s/chip
+        # contract metric, BASELINE.json:2). Transfers measured separately.
+        dev_batch = jax.device_put(host_batches[0], device)
+        sync(entry(self.params, dev_batch))  # compile + warm
+        for _ in range(warmup):
+            out = entry(self.params, dev_batch)
+        sync(out)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = entry(self.params, dev_batch)
+        sync(out)
+        dt = time.perf_counter() - t0
+        imgs = steps * batch_size
+
+        # --- end-to-end including host->HBM transfer, double-buffered:
+        # device_put(n+1) overlaps compute(n) via async dispatch (the OpenCL
+        # ping-pong analog, BASELINE.json:11). NOTE: on this environment the
+        # host->device link is a network tunnel (~0.2 GB/s), so this number is
+        # transfer-bound; on machine-local v5e DMA it converges to the compute
+        # number.
+        e2e_steps = max(4, steps // 8)
+        batch_d = jax.device_put(host_batches[0], device)
+        out = entry(self.params, batch_d)
+        t0 = time.perf_counter()
+        for i in range(e2e_steps):
+            nxt = jax.device_put(host_batches[(i + 1) % 2], device)
+            out = entry(self.params, nxt)
+        sync(out)
+        e2e_dt = time.perf_counter() - t0
+
+        # --- p50/p99 single-image latency: batch-1 entry, fetch-synced
+        # (includes one host<->device round trip through the tunnel).
+        lat_batch = jax.device_put(host_batches[0][:1], device)
+        sync(entry(self.params, lat_batch))
+        lats = []
+        for _ in range(30):
+            t = time.perf_counter()
+            sync(entry(self.params, lat_batch))
+            lats.append(time.perf_counter() - t)
+        return {
+            "images_per_sec": imgs / dt,
+            "e2e_images_per_sec": e2e_steps * batch_size / e2e_dt,
+            "batch_size": batch_size,
+            "steps": steps,
+            "wall_s": dt,
+            "p50_latency_ms": float(np.percentile(lats, 50) * 1e3),
+            "p99_latency_ms": float(np.percentile(lats, 99) * 1e3),
+        }
