@@ -1,0 +1,194 @@
+"""Command-line interface: classify / verify / bench / sweep / serve.
+
+Reference analog: L5, the host main() taking image path + weight dir +
+.awsxclbin path (SURVEY.md SS1). Here the "bitstream" is a jit cache entry, the
+"weight dir" is an .npz checkpoint (or the seeded reference weight set), and
+verify/bench/serve expose the reference's golden, throughput, and multi-stream
+modes (SURVEY.md SS3.2/3.3).
+
+Usage:
+  python -m mobilenet_tpu.cli classify IMAGE [--alpha A --res R --ckpt F]
+  python -m mobilenet_tpu.cli verify  [--alpha A --res R --int8]
+  python -m mobilenet_tpu.cli bench   [--alpha A --res R --batch N --dtype D]
+  python -m mobilenet_tpu.cli sweep   [--batch N]
+  python -m mobilenet_tpu.cli serve   [--streams 64 --port 8000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _build_pipeline(args, dtype=None):
+    from .config import ModelConfig
+    from .checkpoints import load_npz
+    from .runtime.pipeline import InferencePipeline
+
+    cfg = ModelConfig(
+        alpha=args.alpha,
+        resolution=args.res,
+        compute_dtype=args.dtype if dtype is None else dtype,
+    )
+    params = load_npz(args.ckpt) if getattr(args, "ckpt", None) else None
+    return InferencePipeline(cfg, params=params, seed=args.seed)
+
+
+def cmd_classify(args):
+    from .ops.preprocess import decode_image_host
+
+    pipe = _build_pipeline(args)
+    img = decode_image_host(args.image)
+    # Host decode only; resize + normalize run on device in the jitted graph.
+    import jax.image, jax.numpy as jnp
+
+    img_r = np.asarray(
+        jax.image.resize(
+            jnp.asarray(img, jnp.float32),
+            (pipe.config.resolution, pipe.config.resolution, 3),
+            "bilinear",
+        )
+    ).astype(np.uint8)
+    top = pipe.classify(img_r, top_k=args.top_k)
+    for rank, (cls, prob) in enumerate(top, 1):
+        print(f"top-{rank}: class {cls}  p={prob:.4f}")
+
+
+def cmd_verify(args):
+    """Per-layer golden verification (SURVEY.md SS3.6). Exit 1 on divergence."""
+    from . import cpu_ref
+    from .checkpoints import fold_bn, init_params
+    from .config import ModelConfig
+    from .oracle import numpy_ref
+    from .utils import golden
+
+    cfg = ModelConfig(alpha=args.alpha, resolution=args.res)
+    folded = fold_bn(init_params(cfg, seed=args.seed), eps=cfg.bn_eps)
+    rng = np.random.default_rng(args.seed + 1)
+    x = rng.uniform(-1, 1, (args.batch, cfg.resolution, cfg.resolution, 3)).astype(
+        np.float32
+    )
+
+    if args.int8:
+        from .quant import verify as qverify
+
+        ok = qverify.verify_int8(cfg, folded, x, oracle=args.oracle)
+        sys.exit(0 if ok else 1)
+
+    from .runtime.pipeline import InferencePipeline
+
+    pipe = InferencePipeline(cfg, params=folded, dtype=np.float32)
+    _, acts = pipe.activations(x)
+    if args.oracle == "cpp":
+        _, acts_ref = cpu_ref.forward_all(folded, x, cfg)
+    else:
+        _, acts_ref = numpy_ref.forward_all(folded, x, cfg)
+    reports = golden.compare_activations(acts, acts_ref)
+    for r in reports:
+        print(r)
+    bad = golden.first_divergence(reports)
+    if bad is None:
+        print(f"VERIFY OK: all {len(reports)} layers match ({args.oracle} oracle)")
+        sys.exit(0)
+    print(f"VERIFY FAILED at {bad.name}")
+    sys.exit(1)
+
+
+def cmd_bench(args):
+    pipe = _build_pipeline(args)
+    stats = pipe.benchmark(batch_size=args.batch, steps=args.steps)
+    stats.update(
+        variant=pipe.config.variant_name(),
+        dtype=str(np.dtype(pipe.dtype).name),
+        use_pallas_dw=pipe.use_pallas_dw,
+    )
+    print(json.dumps(stats))
+
+
+def cmd_sweep(args):
+    """The alpha x resolution grid of BASELINE.json:8."""
+    from .config import ALPHAS, RESOLUTIONS, ModelConfig
+    from .runtime.pipeline import InferencePipeline
+
+    results = []
+    for alpha in ALPHAS:
+        for res in RESOLUTIONS:
+            cfg = ModelConfig(alpha=alpha, resolution=res, compute_dtype=args.dtype)
+            pipe = InferencePipeline(cfg, seed=args.seed)
+            stats = pipe.benchmark(batch_size=args.batch, steps=args.steps)
+            row = {
+                "variant": cfg.variant_name(),
+                "images_per_sec": round(stats["images_per_sec"], 1),
+                "p50_latency_ms": round(stats["p50_latency_ms"], 3),
+            }
+            results.append(row)
+            print(json.dumps(row), flush=True)
+    return results
+
+
+def cmd_serve(args):
+    from .runtime.serving import serve_main
+
+    serve_main(
+        alpha=args.alpha, res=args.res, dtype=args.dtype,
+        streams=args.streams, port=args.port, seed=args.seed,
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="mobilenet_tpu")
+    p.add_argument(
+        "--backend", default=None, choices=["cpu", "tpu"],
+        help="force JAX backend (cpu = sw_emu tier; default: platform default)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, batch_default=256):
+        sp.add_argument("--alpha", type=float, default=1.0)
+        sp.add_argument("--res", type=int, default=224)
+        sp.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--ckpt", default=None, help=".npz checkpoint path")
+        sp.add_argument("--batch", type=int, default=batch_default)
+
+    sp = sub.add_parser("classify")
+    sp.add_argument("image")
+    sp.add_argument("--top-k", type=int, default=5)
+    common(sp, 1)
+    sp.set_defaults(fn=cmd_classify)
+
+    sp = sub.add_parser("verify")
+    sp.add_argument("--int8", action="store_true")
+    sp.add_argument("--oracle", default="cpp", choices=["cpp", "numpy"])
+    common(sp, 2)
+    sp.set_defaults(fn=cmd_verify)
+
+    sp = sub.add_parser("bench")
+    sp.add_argument("--steps", type=int, default=40)
+    common(sp)
+    sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser("sweep")
+    sp.add_argument("--steps", type=int, default=20)
+    common(sp, 256)
+    sp.set_defaults(fn=cmd_sweep)
+
+    sp = sub.add_parser("serve")
+    sp.add_argument("--streams", type=int, default=64)
+    sp.add_argument("--port", type=int, default=8000)
+    common(sp, 32)
+    sp.set_defaults(fn=cmd_serve)
+
+    args = p.parse_args(argv)
+    if args.backend:
+        import jax
+
+        jax.config.update("jax_platforms", args.backend if args.backend != "tpu" else None)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Device mesh + sharding layouts for multi-chip scaling.
+
+The reference is a single-FPGA stack with no distributed backend (SURVEY.md SS2
+"Parallelism strategies" table); its only transport is PCIe DMA. The TPU-native
+scaling story is jax.sharding over a Mesh with XLA collectives riding ICI:
+
+  - data parallelism: batch dimension sharded over the "data" axis (the analog
+    of the reference's batch-256 throughput mode, scaled across chips)
+  - tensor parallelism: pointwise/FC weight output channels sharded over
+    "model" — the natural TP axis for a CNN (SURVEY.md SS2: "channel-sharded
+    pointwise matmul"); depthwise is per-channel so it shards along with them
+    for free, with XLA inserting all-gathers where a pw layer needs full Cin.
+
+Single-chip remains the contract configuration (BASELINE.json:2 is per-chip);
+this module exists so the same program scales when a mesh is available, and is
+exercised on the 8-device virtual CPU mesh in tests (SURVEY.md SS4).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, model_parallel: int = 1
+) -> Mesh:
+    """Create a (data, model) mesh over the first n devices."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    grid = np.asarray(devices[:n]).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """NamedSharding pytree for a folded params pytree.
+
+    Channel-TP layout: every per-channel tensor shards its channel axis over
+    MODEL_AXIS; pw weights shard Cout (their Cin arrives sharded from the
+    previous layer — XLA inserts the all-gather); fc shards Cin.
+    """
+
+    def ns(spec):
+        return NamedSharding(mesh, spec)
+
+    out: Dict[str, Any] = {
+        "conv1": {"w": ns(P(None, None, None, MODEL_AXIS)), "b": ns(P(MODEL_AXIS))},
+        "blocks": [],
+        "fc": {"w": ns(P(MODEL_AXIS, None)), "b": ns(P(None))},
+    }
+    for _ in params["blocks"]:
+        out["blocks"].append(
+            {
+                "dw": {"w": ns(P(None, None, None, MODEL_AXIS)), "b": ns(P(MODEL_AXIS))},
+                "pw": {"w": ns(P(None, MODEL_AXIS)), "b": ns(P(MODEL_AXIS))},
+            }
+        )
+    return out
+
+
+def batch_sharding(mesh: Mesh, rank: int = 4) -> NamedSharding:
+    """Shard the leading batch axis over DATA_AXIS (DP)."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (rank - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place a host params pytree onto the mesh with the TP layout."""
+    shardings = param_shardings(params, mesh)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(jax.numpy.asarray(x), s), params, shardings
+    )

@@ -1,0 +1,68 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md SS4 'Distributed' tier)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mobilenet_tpu import ModelConfig
+from mobilenet_tpu.checkpoints import fold_bn, init_params
+from mobilenet_tpu.models import mobilenet_v1
+from mobilenet_tpu.models.train import sgd_train_step
+from mobilenet_tpu.parallel import mesh as pmesh
+
+
+def _setup(tp):
+    mesh = pmesh.make_mesh(8, model_parallel=tp)
+    cfg = ModelConfig(alpha=0.25, resolution=64)
+    host = fold_bn(init_params(cfg, seed=0), eps=cfg.bn_eps)
+    shardings = pmesh.param_shardings(host, mesh)
+    params = jax.tree.map(lambda x, s: jax.device_put(jnp.asarray(x), s), host, shardings)
+    return mesh, cfg, host, params, shardings
+
+
+def test_dp_tp_forward_matches_single_device():
+    mesh, cfg, host, params, _ = _setup(tp=2)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (16, 64, 64, 3)).astype(np.float32)
+    xs = jax.device_put(jnp.asarray(x), pmesh.batch_sharding(mesh))
+
+    sharded = jax.jit(lambda p, x: mobilenet_v1.forward(p, x, cfg))(params, xs)
+    single = jax.jit(lambda p, x: mobilenet_v1.forward(p, x, cfg))(
+        jax.tree.map(jnp.asarray, host), jnp.asarray(x)
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), atol=1e-4, rtol=1e-3
+    )
+
+
+def test_train_step_dp_tp_runs_and_descends():
+    mesh, cfg, host, params, shardings = _setup(tp=2)
+    rng = np.random.default_rng(1)
+    x = jax.device_put(
+        jnp.asarray(rng.uniform(-1, 1, (16, 64, 64, 3)), jnp.float32),
+        pmesh.batch_sharding(mesh),
+    )
+    y = jax.device_put(
+        jnp.asarray(rng.integers(0, 1000, (16,)), jnp.int32),
+        NamedSharding(mesh, P(pmesh.DATA_AXIS)),
+    )
+    step = jax.jit(
+        lambda p, x, y: sgd_train_step(p, x, y, cfg, lr=1e-2),
+        in_shardings=(shardings, pmesh.batch_sharding(mesh),
+                      NamedSharding(mesh, P(pmesh.DATA_AXIS))),
+        out_shardings=(shardings, NamedSharding(mesh, P())),
+    )
+    p1, l1 = step(params, x, y)
+    p2, l2 = step(p1, x, y)
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+    assert float(l2) < float(l1)  # same batch twice: loss must drop
+
+
+def test_pure_dp_mesh():
+    mesh, cfg, host, params, _ = _setup(tp=1)
+    assert mesh.devices.shape == (8, 1)
+    x = jax.device_put(jnp.zeros((8, 64, 64, 3)), pmesh.batch_sharding(mesh))
+    out = jax.jit(lambda p, x: mobilenet_v1.forward(p, x, cfg))(params, x)
+    assert out.shape == (8, 1000)
