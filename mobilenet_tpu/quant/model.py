@@ -1,0 +1,104 @@
+"""INT8 MobileNet-V1 forward: the quantized twin of models/mobilenet_v1.py.
+
+One jitted program, int8 activations end-to-end, per-layer requantization
+(BASELINE.json:10). Layer names in collect mode match the fp32 pipeline and
+the oracles.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from . import ops as qops
+from .quantize import QuantizedParams
+
+
+def _as_device_tree(q: QuantizedParams) -> Dict[str, Any]:
+    """Move quantized constants into jnp arrays (HBM once)."""
+
+    def layer(l):
+        return {
+            "w": jnp.asarray(l.w_i8),
+            "b": jnp.asarray(l.bias_i32),
+            "m": jnp.asarray(l.m),
+            "six_q": float(l.six_q),
+        }
+
+    return {
+        "conv1": layer(q.conv1),
+        "blocks": [{"dw": layer(b["dw"]), "pw": layer(b["pw"])} for b in q.blocks],
+        "fc": {
+            "w": jnp.asarray(q.fc_w_i8),
+            "s_w": jnp.asarray(q.fc_s_w),
+            "b": jnp.asarray(q.fc_b_f32),
+        },
+    }
+
+
+def forward_i8(
+    dev: Dict[str, Any],
+    x_i8: jax.Array,
+    config: ModelConfig,
+    *,
+    use_pallas_dw: bool = False,
+    collect: bool = False,
+):
+    """x_i8: (N, H, W, 3) int8 at s_in = 1/127. Returns float32 logits."""
+    from .quantize import ACT_IN_SCALE  # noqa: PLC0415
+
+    acts: Dict[str, jax.Array] = {}
+    relu6 = config.relu6
+
+    c1 = dev["conv1"]
+    y = qops.conv1_i8(x_i8, c1["w"], c1["b"], c1["m"], c1["six_q"], relu6)
+    if collect:
+        acts["conv1"] = y
+
+    for i, (blk, stride) in enumerate(zip(dev["blocks"], config.block_strides)):
+        d = blk["dw"]
+        if use_pallas_dw:
+            from .pallas_dw_i8 import depthwise_i8_pallas  # noqa: PLC0415
+
+            y = depthwise_i8_pallas(y, d["w"], d["b"], d["m"], stride, d["six_q"], relu6)
+        else:
+            y = qops.depthwise_i8_xla(y, d["w"], d["b"], d["m"], d["six_q"], stride, relu6)
+        if collect:
+            acts[f"block{i:02d}_dw"] = y
+        p = blk["pw"]
+        y = qops.pointwise_i8(y, p["w"], p["b"], p["m"], p["six_q"], relu6)
+        if collect:
+            acts[f"block{i:02d}_pw"] = y
+
+    pooled = qops.avgpool_i8(y)
+    if collect:
+        acts["pool"] = pooled
+    from .quantize import ACT_HIDDEN_SCALE  # noqa: PLC0415
+
+    logits = qops.fc_i8_logits(pooled, dev["fc"]["w"], ACT_HIDDEN_SCALE,
+                               dev["fc"]["s_w"], dev["fc"]["b"])
+    if collect:
+        acts["logits"] = logits
+        return logits, acts
+    return logits
+
+
+def make_int8_infer(q: QuantizedParams, config: ModelConfig, *,
+                    use_pallas_dw: bool = False):
+    """Compiled int8 entry: uint8 images -> float32 logits, preprocessing and
+    input quantization fused into the same program."""
+    from ..ops import preprocess as prep
+    from .quantize import ACT_IN_SCALE
+
+    dev = _as_device_tree(q)
+
+    def infer(images_u8):
+        x = prep.preprocess(images_u8, config.resolution, jnp.float32)
+        x_i8 = qops.quantize_input_dev(x, ACT_IN_SCALE)
+        return forward_i8(dev, x_i8, config, use_pallas_dw=use_pallas_dw)
+
+    return jax.jit(infer), dev

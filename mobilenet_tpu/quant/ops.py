@@ -1,0 +1,124 @@
+"""Device-side INT8 ops with per-layer requantization (BASELINE.json:10).
+
+Semantics contract (shared bit-for-bit with cpu_ref.cpp and quant/oracle.py):
+  acc: exact int32 accumulation (pw/fc ride the MXU's native s8xs8->s32;
+       dw/conv1 accumulate on the VPU / via exact-integer paths)
+  requant: v = float32(acc) * m[oc]; ReLU in-domain (v<0 -> 0, v>six_q -> six_q);
+           round-half-to-even; clamp to [-128, 127]; cast int8.
+
+jnp.round == np.rint == C nearbyintf(FE_TONEAREST): all round-half-to-even, so
+the device path is EXACTLY equal to the oracles — the int8 analog of the
+reference's "bit-matching ... per layer" gate (SURVEY.md SS7 hard parts).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.conv import _DIMS
+
+
+def requantize(acc_i32: jax.Array, m: jax.Array, six_q, relu6: bool = True) -> jax.Array:
+    """int32 accumulator -> int8 output in the next layer's scale."""
+    v = acc_i32.astype(jnp.float32) * m.astype(jnp.float32)
+    v = jnp.maximum(v, 0.0)
+    if relu6:
+        v = jnp.minimum(v, jnp.float32(six_q))
+    r = jnp.round(v)  # round-half-to-even, matches nearbyintf
+    return jnp.clip(r, -128, 127).astype(jnp.int8)
+
+
+def pointwise_i8(x_i8: jax.Array, w_i8: jax.Array, bias_i32: jax.Array,
+                 m: jax.Array, six_q, relu6: bool = True) -> jax.Array:
+    """Pointwise int8 matmul on the MXU: (N*H*W, Cin)s8 @ (Cin, Cout)s8 -> s32."""
+    n, h, w, cin = x_i8.shape
+    cout = w_i8.shape[1]
+    acc = lax.dot_general(
+        x_i8.reshape(n * h * w, cin),
+        w_i8,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    acc = acc + bias_i32[None, :]
+    return requantize(acc, m, six_q, relu6).reshape(n, h, w, cout)
+
+
+def depthwise_i8_xla(x_i8: jax.Array, w_i8: jax.Array, bias_i32: jax.Array,
+                     m: jax.Array, six_q, stride: int, relu6: bool = True) -> jax.Array:
+    """Depthwise int8 fallback: exact integer accumulation in float32.
+
+    Products are <= 127*127 and the 9-tap sum + bias stays far below 2^24, so
+    float32 tap accumulation is exact integer arithmetic. Used on CPU and as
+    the non-Pallas reference path; Precision.HIGHEST keeps true-fp32 math.
+    """
+    c = x_i8.shape[-1]
+    y = lax.conv_general_dilated(
+        x_i8.astype(jnp.float32),
+        w_i8.astype(jnp.float32),
+        window_strides=(stride, stride),
+        padding="SAME",
+        dimension_numbers=_DIMS,
+        feature_group_count=c,
+        precision=lax.Precision.HIGHEST,
+    )
+    acc = y.astype(jnp.int32) + bias_i32
+    return requantize(acc, m, six_q, relu6)
+
+
+def conv1_i8(x_i8: jax.Array, w_i8: jax.Array, bias_i32: jax.Array,
+             m: jax.Array, six_q, relu6: bool = True) -> jax.Array:
+    """Stem 3x3 s2 conv via im2col + int8 MXU matmul.
+
+    SAME padding for stride 2 / even input is (0,1) (TF semantics); the 9
+    shifted strided slices concat into (N, H/2, W/2, 27)s8, then one s8 matmul.
+    """
+    n, h, w, cin = x_i8.shape
+    cout = w_i8.shape[3]
+    h_out, w_out = h // 2, w // 2
+    xp = jnp.pad(x_i8, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    patches = []
+    for dy in range(3):
+        for dx in range(3):
+            patches.append(xp[:, dy : dy + 2 * h_out : 2, dx : dx + 2 * w_out : 2, :])
+    col = jnp.concatenate(patches, axis=-1)  # (N, H/2, W/2, 9*Cin)
+    wmat = w_i8.reshape(9 * cin, cout)
+    acc = lax.dot_general(
+        col.reshape(n * h_out * w_out, 9 * cin),
+        wmat,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    acc = acc + bias_i32[None, :]
+    return requantize(acc, m, six_q, relu6).reshape(n, h_out, w_out, cout)
+
+
+def avgpool_i8(x_i8: jax.Array) -> jax.Array:
+    """Global average pool in the quantized domain: int32 sum, exact float32
+    mean, round-half-even back to int8 (same scale)."""
+    n, h, w, c = x_i8.shape
+    acc = jnp.sum(x_i8.astype(jnp.int32), axis=(1, 2))
+    v = acc.astype(jnp.float32) * jnp.float32(1.0 / (h * w))
+    return jnp.clip(jnp.round(v), -128, 127).astype(jnp.int8)
+
+
+def fc_i8_logits(x_i8: jax.Array, w_i8: jax.Array, s_in, s_w: jax.Array,
+                 b_f32: jax.Array) -> jax.Array:
+    """Classifier: int8 matmul -> int32 -> float32 logits (logits stay float)."""
+    acc = lax.dot_general(
+        x_i8, w_i8,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scale = jnp.float32(s_in) * s_w.astype(jnp.float32)
+    return acc.astype(jnp.float32) * scale[None, :] + b_f32[None, :]
+
+
+def quantize_input_dev(x_f: jax.Array, s_in) -> jax.Array:
+    """Preprocessed [-1,1] activations -> int8 (device twin of
+    quantize.quantize_input)."""
+    v = x_f.astype(jnp.float32) / jnp.float32(s_in)
+    return jnp.clip(jnp.round(v), -127, 127).astype(jnp.int8)
