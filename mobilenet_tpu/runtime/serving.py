@@ -1,0 +1,222 @@
+"""Multi-stream serving: 64 concurrent image streams -> micro-batcher -> TPU.
+
+Reference analog: SURVEY.md SS3.3 / C12 — 64 in-flight OpenCL streams with
+double-buffered host->HBM DMA (BASELINE.json:11). TPU-native shape:
+  - each stream is an asyncio producer; requests land in one queue
+  - the micro-batcher drains up to `max_batch` requests (or waits at most
+    `max_delay_ms`), pads to a fixed batch so there is exactly ONE jit entry,
+    and dispatches on a dedicated executor thread (JAX async dispatch overlaps
+    the next batch's host->HBM transfer with current compute)
+  - per-stream error isolation + request timeouts (SURVEY.md SS5 "failure
+    detection": a bad request fails its own future, never the server)
+
+Also exposes a newline-delimited-JSON TCP front end (`serve_tcp`) and an
+in-process 64-stream load test (`selftest`) that reports img/s and p50/p99.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+import dataclasses
+import json
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..config import ModelConfig
+
+
+@dataclasses.dataclass
+class ServerStats:
+    requests: int = 0
+    batches: int = 0
+    errors: int = 0
+    batch_fill: float = 0.0
+
+
+class MicroBatchServer:
+    """Micro-batching inference server over an InferencePipeline."""
+
+    def __init__(
+        self,
+        pipeline,
+        max_batch: int = 64,
+        max_delay_ms: float = 3.0,
+        request_timeout_s: float = 30.0,
+    ):
+        self.pipeline = pipeline
+        self.max_batch = max_batch
+        self.max_delay_ms = max_delay_ms
+        self.request_timeout_s = request_timeout_s
+        self.queue: asyncio.Queue = asyncio.Queue()
+        self.stats = ServerStats()
+        self._executor = ThreadPoolExecutor(max_workers=1)  # one device stream
+        self._task: Optional[asyncio.Task] = None
+        self._closed = False
+        res = pipeline.config.resolution
+        self._pad_template = np.zeros((max_batch, res, res, 3), np.uint8)
+        # Pre-compile the fixed-batch entry so first requests aren't hit by it.
+        self.pipeline.run_batch(self._pad_template)
+
+    async def start(self):
+        self._task = asyncio.create_task(self._batcher_loop())
+
+    async def close(self):
+        self._closed = True
+        if self._task:
+            self._task.cancel()
+            try:
+                await self._task
+            except asyncio.CancelledError:
+                pass
+        self._executor.shutdown(wait=False)
+
+    async def submit(self, image_u8: np.ndarray, top_k: int = 5):
+        """One request from one stream. Returns top-k [(class, prob)]."""
+        if image_u8.ndim != 3 or image_u8.shape[-1] != 3:
+            raise ValueError(f"expected HWC RGB image, got {image_u8.shape}")
+        fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        await self.queue.put((image_u8, top_k, fut))
+        return await asyncio.wait_for(fut, timeout=self.request_timeout_s)
+
+    async def _batcher_loop(self):
+        loop = asyncio.get_running_loop()
+        while not self._closed:
+            first = await self.queue.get()
+            batch = [first]
+            deadline = loop.time() + self.max_delay_ms / 1e3
+            while len(batch) < self.max_batch:
+                timeout = deadline - loop.time()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(await asyncio.wait_for(self.queue.get(), timeout))
+                except asyncio.TimeoutError:
+                    break
+            await self._run_batch(loop, batch)
+
+    async def _run_batch(self, loop, batch: List[Any]):
+        res = self.pipeline.config.resolution
+        images = self._pad_template.copy()
+        valid: List[int] = []
+        for i, (img, _, fut) in enumerate(batch):
+            try:
+                if img.shape[:2] != (res, res):
+                    raise ValueError(
+                        f"image must be pre-sized to {res}x{res} (host decode path)"
+                    )
+                images[i] = img
+                valid.append(i)
+            except Exception as e:  # per-stream error isolation
+                self.stats.errors += 1
+                if not fut.done():
+                    fut.set_exception(e)
+
+        def run():
+            return self.pipeline.run_batch(images)
+
+        try:
+            probs = await loop.run_in_executor(self._executor, run)
+        except Exception as e:
+            for i in valid:
+                fut = batch[i][2]
+                if not fut.done():
+                    fut.set_exception(e)
+            self.stats.errors += len(valid)
+            return
+        self.stats.batches += 1
+        self.stats.requests += len(valid)
+        self.stats.batch_fill += len(batch) / self.max_batch
+        for i in valid:
+            _, top_k, fut = batch[i]
+            p = probs[i]
+            idx = np.argsort(-p)[:top_k]
+            if not fut.done():
+                fut.set_result([(int(j), float(p[j])) for j in idx])
+
+
+# ---------------------------------------------------------------------------
+# TCP front end: newline-delimited JSON requests
+#   {"id": any, "shape": [H,W,3], "image_b64": <raw uint8 bytes>}
+# response: {"id": any, "top": [[class, prob], ...]} or {"id":..., "error":...}
+# ---------------------------------------------------------------------------
+
+
+async def serve_tcp(server: MicroBatchServer, host: str, port: int):
+    async def handle(reader, writer):
+        while True:
+            line = await reader.readline()
+            if not line:
+                break
+            try:
+                req = json.loads(line)
+                img = np.frombuffer(
+                    base64.b64decode(req["image_b64"]), np.uint8
+                ).reshape(req["shape"])
+                top = await server.submit(img)
+                resp = {"id": req.get("id"), "top": top}
+            except Exception as e:
+                resp = {"id": None, "error": str(e)}
+            writer.write((json.dumps(resp) + "\n").encode())
+            await writer.drain()
+        writer.close()
+
+    srv = await asyncio.start_server(handle, host, port)
+    async with srv:
+        await srv.serve_forever()
+
+
+# ---------------------------------------------------------------------------
+# 64-stream in-process load test (SURVEY.md SS3.5 serve mode metrics)
+# ---------------------------------------------------------------------------
+
+
+async def selftest(server: MicroBatchServer, streams: int = 64,
+                   requests_per_stream: int = 8) -> Dict[str, float]:
+    res = server.pipeline.config.resolution
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (8, res, res, 3), dtype=np.uint8)
+    latencies: List[float] = []
+
+    async def one_stream(sid: int):
+        for k in range(requests_per_stream):
+            t0 = time.perf_counter()
+            await server.submit(frames[(sid + k) % len(frames)])
+            latencies.append(time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    await asyncio.gather(*(one_stream(s) for s in range(streams)))
+    wall = time.perf_counter() - t0
+    n = streams * requests_per_stream
+    return {
+        "streams": streams,
+        "requests": n,
+        "images_per_sec": n / wall,
+        "p50_latency_ms": float(np.percentile(latencies, 50) * 1e3),
+        "p99_latency_ms": float(np.percentile(latencies, 99) * 1e3),
+        "mean_batch_fill": server.stats.batch_fill / max(server.stats.batches, 1),
+        "errors": server.stats.errors,
+    }
+
+
+def serve_main(alpha: float, res: int, dtype: str, streams: int, port: int,
+               seed: int = 0, selftest_only: bool = True):
+    from .pipeline import InferencePipeline
+
+    cfg = ModelConfig(alpha=alpha, resolution=res, compute_dtype=dtype)
+    pipe = InferencePipeline(cfg, seed=seed)
+
+    async def run():
+        server = MicroBatchServer(pipe, max_batch=streams)
+        await server.start()
+        stats = await selftest(server, streams=streams)
+        print(json.dumps(stats))
+        if not selftest_only:
+            print(f"serving on tcp://0.0.0.0:{port}")
+            await serve_tcp(server, "0.0.0.0", port)
+        await server.close()
+
+    asyncio.run(run())

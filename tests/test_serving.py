@@ -1,0 +1,69 @@
+"""Micro-batching server tests (64-stream serve mode, SURVEY.md SS3.3/3.5)."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from mobilenet_tpu import ModelConfig
+from mobilenet_tpu.runtime.pipeline import InferencePipeline
+from mobilenet_tpu.runtime.serving import MicroBatchServer, selftest
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return InferencePipeline(ModelConfig(alpha=0.25, resolution=128), seed=0)
+
+
+def test_selftest_64_streams(pipe):
+    async def run():
+        server = MicroBatchServer(pipe, max_batch=16, max_delay_ms=5.0)
+        await server.start()
+        stats = await selftest(server, streams=64, requests_per_stream=2)
+        await server.close()
+        return stats
+
+    stats = asyncio.run(run())
+    assert stats["requests"] == 128
+    assert stats["errors"] == 0
+    assert stats["images_per_sec"] > 0
+    # micro-batching must actually batch: with 64 concurrent streams and
+    # max_batch 16, mean fill should be well above a single request per batch.
+    assert stats["mean_batch_fill"] > 0.3
+
+
+def test_per_stream_error_isolation(pipe):
+    async def run():
+        server = MicroBatchServer(pipe, max_batch=8, max_delay_ms=2.0)
+        await server.start()
+        good = np.zeros((128, 128, 3), np.uint8)
+        bad = np.zeros((64, 64, 3), np.uint8)  # wrong size -> per-request error
+
+        results = await asyncio.gather(
+            server.submit(good), server.submit(bad), server.submit(good),
+            return_exceptions=True,
+        )
+        await server.close()
+        return results
+
+    r = asyncio.run(run())
+    assert not isinstance(r[0], Exception)
+    assert isinstance(r[1], Exception)
+    assert not isinstance(r[2], Exception)
+    assert len(r[0]) == 5  # top-5
+
+
+def test_results_match_direct_batch(pipe):
+    async def run():
+        server = MicroBatchServer(pipe, max_batch=4, max_delay_ms=2.0)
+        await server.start()
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (128, 128, 3), dtype=np.uint8)
+        out = await server.submit(img, top_k=3)
+        await server.close()
+        return img, out
+
+    img, out = asyncio.run(run())
+    probs = pipe.run_batch(img[None])[0]
+    idx = np.argsort(-probs)[:3]
+    assert [c for c, _ in out] == [int(i) for i in idx]
