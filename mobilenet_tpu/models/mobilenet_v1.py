@@ -19,13 +19,22 @@ import jax.numpy as jnp
 from ..config import ModelConfig
 from ..ops import conv as ops
 
+# Per-block depthwise/pointwise execution backends:
+#   "xla"    — XLA grouped conv + XLA matmul (always available, differentiable)
+#   "pallas" — Pallas channel-tiled dw kernel + XLA matmul (SURVEY.md SS7 st.3)
+#   "fused"  — fused dw+pw Pallas block (dw result never leaves VMEM)
+DW_BACKENDS = ("xla", "pallas", "fused")
 
-def _dw(x, w, stride, bias, relu6, use_pallas: bool):
-    if use_pallas:
-        from ..ops.pallas_dw import depthwise_conv_pallas  # noqa: PLC0415
 
-        return depthwise_conv_pallas(x, w, stride, bias=bias, relu6=relu6)
-    return ops.depthwise_conv_xla(x, w, stride, bias=bias, relu6=relu6)
+def _routing(config: ModelConfig, use_pallas_dw, dw_backend):
+    """Resolve the per-block backend list (len == 13)."""
+    n = len(config.block_strides)
+    if dw_backend is None:
+        dw_backend = "pallas" if use_pallas_dw else "xla"
+    if isinstance(dw_backend, str):
+        return (dw_backend,) * n
+    assert len(dw_backend) == n, dw_backend
+    return tuple(dw_backend)
 
 
 def forward(
@@ -34,6 +43,7 @@ def forward(
     config: ModelConfig,
     *,
     use_pallas_dw: bool = False,
+    dw_backend=None,
     collect: bool = False,
 ) -> Any:
     """Run the 28-layer network on a folded-BN params pytree.
@@ -42,8 +52,10 @@ def forward(
       params: folded pytree from checkpoints.io.fold_bn (w/b per conv layer).
       x: (N, H, W, 3) preprocessed images, NHWC, in [-1, 1].
       config: static model config (jit static arg).
-      use_pallas_dw: route depthwise layers through the Pallas channel-tiled
-        kernel (SURVEY.md SS7 stage 3) instead of XLA grouped conv.
+      use_pallas_dw: legacy toggle — route all dw layers through the Pallas
+        channel-tiled kernel instead of XLA grouped conv.
+      dw_backend: a name from DW_BACKENDS or a per-block tuple of names
+        (the routing table produced by runtime.autotune).
       collect: also return every post-activation tensor, keyed by layer name —
         the per-layer oracle tap (reference analog: per-layer clEnqueueReadBuffer
         in verify mode, SURVEY.md SS3.2).
@@ -53,13 +65,30 @@ def forward(
     """
     acts: Dict[str, jax.Array] = {}
     relu6 = config.relu6
+    routing = _routing(config, use_pallas_dw, dw_backend)
 
     y = ops.conv2d_same(x, params["conv1"]["w"], 2, bias=params["conv1"]["b"], relu6=relu6)
     if collect:
         acts["conv1"] = y
 
     for i, (blk, stride) in enumerate(zip(params["blocks"], config.block_strides)):
-        y = _dw(y, blk["dw"]["w"], stride, blk["dw"]["b"], relu6, use_pallas_dw)
+        backend = routing[i]
+        if backend == "fused" and not collect:
+            from ..ops.pallas_block import separable_block_pallas  # noqa: PLC0415
+
+            y = separable_block_pallas(
+                y, blk["dw"]["w"], blk["dw"]["b"], blk["pw"]["w"], blk["pw"]["b"],
+                stride, relu6,
+            )
+            continue
+        if backend == "pallas" or (backend == "fused" and collect):
+            from ..ops.pallas_dw import depthwise_conv_pallas  # noqa: PLC0415
+
+            y = depthwise_conv_pallas(y, blk["dw"]["w"], stride,
+                                      bias=blk["dw"]["b"], relu6=relu6)
+        else:
+            y = ops.depthwise_conv_xla(y, blk["dw"]["w"], stride,
+                                       bias=blk["dw"]["b"], relu6=relu6)
         if collect:
             acts[f"block{i:02d}_dw"] = y
         y = ops.pointwise_conv(y, blk["pw"]["w"], bias=blk["pw"]["b"], relu6=relu6)

@@ -36,6 +36,7 @@ class InferencePipeline:
         *,
         seed: int = 0,
         use_pallas_dw: Optional[bool] = None,
+        dw_backend: Any = None,
         dtype: Any = None,
     ):
         self.config = config
@@ -47,6 +48,7 @@ class InferencePipeline:
             # (sw_emu tier) which is correct but slow — default by backend.
             use_pallas_dw = jax.default_backend() == "tpu"
         self.use_pallas_dw = use_pallas_dw
+        self.dw_backend = dw_backend
         host_params = params if params is not None else fold_bn(
             init_params(config, seed=seed), eps=config.bn_eps
         )
@@ -68,18 +70,21 @@ class InferencePipeline:
             def fn(params, images_u8):
                 x = prep.preprocess(images_u8, cfg.resolution, self.dtype)
                 return mobilenet_v1.predict_probs(
-                    params, x, cfg, use_pallas_dw=self.use_pallas_dw
+                    params, x, cfg, use_pallas_dw=self.use_pallas_dw,
+                    dw_backend=self.dw_backend,
                 )
         elif kind == "probs_f":
             def fn(params, x):
                 return mobilenet_v1.predict_probs(
-                    params, x.astype(self.dtype), cfg, use_pallas_dw=self.use_pallas_dw
+                    params, x.astype(self.dtype), cfg,
+                    use_pallas_dw=self.use_pallas_dw, dw_backend=self.dw_backend,
                 )
         elif kind == "collect":
             def fn(params, x):
                 return mobilenet_v1.forward(
                     params, x.astype(self.dtype), cfg,
-                    use_pallas_dw=self.use_pallas_dw, collect=True,
+                    use_pallas_dw=self.use_pallas_dw, dw_backend=self.dw_backend,
+                    collect=True,
                 )
         else:
             raise KeyError(kind)
