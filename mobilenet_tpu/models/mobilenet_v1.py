@@ -74,12 +74,29 @@ def forward(
     for i, (blk, stride) in enumerate(zip(params["blocks"], config.block_strides)):
         backend = routing[i]
         if backend == "fused" and not collect:
-            from ..ops.pallas_block import separable_block_pallas  # noqa: PLC0415
+            cin = y.shape[-1]
+            cout = blk["pw"]["w"].shape[-1]
+            if (
+                stride == 1 and cin < 128 and 128 % cin == 0
+                and (y.shape[2] * cin) % 128 == 0 and (128 // cin) * cout % 128 == 0
+            ):
+                # narrow-channel layer: lane-packed variant (full occupancy)
+                from ..ops.pallas_block_packed import (  # noqa: PLC0415
+                    pack, separable_block_packed, unpack,
+                )
 
-            y = separable_block_pallas(
-                y, blk["dw"]["w"], blk["dw"]["b"], blk["pw"]["w"], blk["pw"]["b"],
-                stride, relu6,
-            )
+                yp = separable_block_packed(
+                    pack(y, cin), blk["dw"]["w"], blk["dw"]["b"],
+                    blk["pw"]["w"], blk["pw"]["b"], cin, cout, relu6,
+                )
+                y = unpack(yp, cout)
+            else:
+                from ..ops.pallas_block import separable_block_pallas  # noqa: PLC0415
+
+                y = separable_block_pallas(
+                    y, blk["dw"]["w"], blk["dw"]["b"], blk["pw"]["w"],
+                    blk["pw"]["b"], stride, relu6,
+                )
             continue
         if backend == "pallas" or (backend == "fused" and collect):
             from ..ops.pallas_dw import depthwise_conv_pallas  # noqa: PLC0415

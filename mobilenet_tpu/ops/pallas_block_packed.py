@@ -1,0 +1,217 @@
+"""Lane-packed fused dw+pw kernel for narrow-channel layers (Cin < 128).
+
+Problem (measured on v5e): VPU values are (8,128)-tiled, so a C=32 layer runs
+its 9-tap depthwise at 25% lane occupancy — the same wall time as a C=128
+layer. The early MobileNet blocks (C=32 at alpha=1.0; C=8..64 for the small-
+alpha sweep, BASELINE.json:8) dominate the whole network's VPU time.
+
+Fix: pack R = 128/C consecutive pixels into one 128-lane vector — a FREE
+layout change, because NHWC reshape (W, C) -> (W/R, R*C) preserves memory
+order. The stencil's column shifts become lane rotations:
+
+    x_packed (N, H, W/R, 128), lane = j*C + c  (pixel 4*w4+j, channel c)
+    left/right pixel taps = pltpu.roll(+-C lanes) with the cross-group lane
+    fixed up from the neighboring column (select on a static lane mask).
+    Rolls are HOISTED: computed once per window, reused by all 3 row taps,
+    so per-element cost is ~15 VPU ops at 100% occupancy vs 9 ops at 1/R.
+
+The fused pointwise rides the MXU as (M, 128) @ (128, R*Cout) with a
+block-diagonal weight (kron(I_R, pw_w)) — K stays a full 128 lanes — and the
+output reshapes straight into the packed layout of the NEXT layer
+((R*Cout)/128 lane groups), so narrow layers chain packed end-to-end.
+
+Stride 1 only (every narrow-channel dw in MobileNet except block 1 is s1;
+s2 falls back to the dense kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_dw import _should_interpret
+
+
+def _act(y, relu6):
+    y = jnp.maximum(y, 0.0)
+    if relu6:
+        y = jnp.minimum(y, 6.0)
+    return y
+
+
+def _shift_cols(v, direction):
+    """Shift the W4 (column-group) axis of (BN, H?, W4, 128) by one, zero fill."""
+    if v.shape[2] == 1:  # single group: the neighboring group is all padding
+        return jnp.zeros_like(v)
+    if direction > 0:  # use value from column w4-1
+        return jnp.pad(v[:, :, :-1, :], ((0, 0), (0, 0), (1, 0), (0, 0)))
+    return jnp.pad(v[:, :, 1:, :], ((0, 0), (0, 0), (0, 1), (0, 0)))
+
+
+def _packed_kernel(
+    x_ref, dww_ref, dwb_ref, pww_ref, pwb_ref, o_ref, s_ref,
+    *, th, w4, r, cin, relu6, out_dtype, g, bn, out_cols,
+):
+    i = pl.program_id(1)
+    is_first_step = jnp.logical_and(pl.program_id(0) == 0, i == 0)
+
+    @pl.when(is_first_step)
+    def _():
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    # --- row normalization into zero-top/bottom scratch (cols need none) ---
+    if g == 1:
+        s_ref[:, 1 : th + 1, :, :] = x_ref[...]
+    else:
+        @pl.when(i == 0)
+        def _():
+            s_ref[:, 1 : th + 2, :, :] = x_ref[:, 0 : th + 1]
+            s_ref[:, 0:1, :, :] = jnp.zeros_like(s_ref[:, 0:1, :, :])
+
+        if g > 2:
+            @pl.when(jnp.logical_and(i > 0, i < g - 1))
+            def _():
+                s_ref[:, 0 : th + 2, :, :] = x_ref[...]
+
+        @pl.when(i == g - 1)
+        def _():
+            s_ref[:, 0 : th + 1, :, :] = x_ref[:, 1 : th + 2]
+            s_ref[:, th + 1 : th + 2, :, :] = jnp.zeros_like(
+                s_ref[:, th + 1 : th + 2, :, :])
+
+    # float32 up front: Mosaic's lane rotate only supports 32-bit data, and
+    # the accumulator is f32 anyway; packed windows are small (W/R columns).
+    sv = s_ref[...].astype(jnp.float32)  # (BN, th+2, W4, 128)
+
+    # --- hoisted packed column shifts (one roll pair per window) -----------
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 128), 3)
+    group = lane // cin
+    rolled_l = pltpu.roll(sv, 128 - cin, axis=3)  # pixel j+1 at slot j (j < R-1)
+    left_tap = jnp.where(group == r - 1, _shift_cols(rolled_l, -1), rolled_l)
+    rolled_r = pltpu.roll(sv, cin, axis=3)   # pixel j-1 at slot j (j > 0)
+    right_tap = jnp.where(group == 0, _shift_cols(rolled_r, +1), rolled_r)
+
+    taps = (right_tap, sv, left_tap)  # dx = 0, 1, 2 -> pixel w-1, w, w+1
+
+    acc = jnp.zeros((bn, th, w4, 128), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            t = taps[dx][:, dy : dy + th]
+            acc = acc + t * dww_ref[dy, dx, :].astype(jnp.float32)
+
+    y = _act(acc + dwb_ref[0].astype(jnp.float32), relu6)
+    y2 = y.astype(pww_ref.dtype).reshape(bn * th * w4, 128)
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if pww_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    out = jnp.dot(y2, pww_ref[...], preferred_element_type=jnp.float32, precision=prec)
+    out = _act(out + pwb_ref[0].astype(jnp.float32), relu6)
+    # (BN*th*W4, R*Cout) -> (BN, th, out_cols, 128): contiguous lane regroup.
+    o_ref[...] = out.reshape(bn, th, out_cols, 128).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cin", "cout", "relu6", "block_h", "block_n", "interpret"),
+)
+def separable_block_packed(
+    x_packed: jax.Array,  # (N, H, W/R, 128), lane = j*Cin + c
+    dw_w: jax.Array,      # (3, 3, 1, Cin)
+    dw_b: jax.Array,      # (Cin,)
+    pw_w: jax.Array,      # (Cin, Cout)
+    pw_b: jax.Array,      # (Cout,)
+    cin: int,
+    cout: int,
+    relu6: bool = True,
+    *,
+    block_h: Optional[int] = None,
+    block_n: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Stride-1 fused dw+pw on lane-packed input. Returns packed
+    (N, H, W*Cout/128, 128) — the packed layout for Cout (dense NHWC when
+    Cout >= 128 after one free reshape in the caller)."""
+    if interpret is None:
+        interpret = _should_interpret()
+    n, h, w4, lanes = x_packed.shape
+    assert lanes == 128 and 128 % cin == 0, (lanes, cin)
+    r = 128 // cin
+    assert r * cout % 128 == 0, (r, cout)
+    out_cols = w4 * (r * cout) // 128
+
+    th = block_h or min(h, 16)
+    while h % th:
+        th -= 1
+    bn = block_n or 1
+    if block_n is None:
+        # small tiles: batch-tile toward >=256 matmul rows / <=4MB VMEM
+        while (
+            bn * 2 <= n and n % (bn * 2) == 0 and bn * th * w4 < 256
+            and bn * 2 * (th + 2) * w4 * 128 * x_packed.dtype.itemsize < 2**22
+        ):
+            bn *= 2
+    while n % bn:
+        bn -= 1
+    g = h // th
+
+    th_in = th if g == 1 else th + 2
+    if g == 1:
+        x_index = lambda b_, i: (b_ * bn, 0, 0, 0)
+    else:
+        x_index = lambda b_, i: (b_ * bn, jnp.clip(i * th - 1, 0, h - (th + 2)), 0, 0)
+
+    # packed weights: per-channel vectors tiled across the R pixel groups;
+    # block-diagonal pointwise so K stays 128 lanes.
+    dww = jnp.tile(dw_w.reshape(3, 3, cin), (1, 1, r))
+    dwb = jnp.tile(dw_b.reshape(1, cin), (1, r))
+    pww = jnp.kron(jnp.eye(r, dtype=pw_w.dtype), pw_w)  # (128, R*Cout)
+    pwb = jnp.tile(pw_b.reshape(1, cout), (1, r))
+
+    kernel = functools.partial(
+        _packed_kernel, th=th, w4=w4, r=r, cin=cin, relu6=relu6,
+        out_dtype=x_packed.dtype, g=g, bn=bn, out_cols=out_cols,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bn, g),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(bn), pl.Element(th_in), pl.Element(w4), pl.Element(128)),
+                x_index,
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((3, 3, 128), lambda b_, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, r * cout), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r * cout), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bn, th, out_cols, 128),
+            lambda b_, i: (b_, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, out_cols, 128), x_packed.dtype),
+        scratch_shapes=[pltpu.VMEM((bn, th + 2, w4, 128), x_packed.dtype)],
+        interpret=interpret,
+    )(x_packed, dww, dwb, pww, pwb)
+
+
+def pack(x: jax.Array, cin: int) -> jax.Array:
+    """(N, H, W, C) -> (N, H, W*C/128, 128). Free: preserves memory order."""
+    n, h, w, c = x.shape
+    assert c == cin and 128 % c == 0 and (w * c) % 128 == 0
+    return x.reshape(n, h, w * c // 128, 128)
+
+
+def unpack(x_packed: jax.Array, c: int) -> jax.Array:
+    """(N, H, W4, 128) -> (N, H, W4*128/C, C). Free reshape."""
+    n, h, w4, lanes = x_packed.shape
+    return x_packed.reshape(n, h, w4 * lanes // c, c)
