@@ -51,12 +51,18 @@ def pick_tiles(n: int, h_out: int, wdim: int, cin: int, cout: int,
     c_pad = _round_up(cin, 128)
     co_pad = _round_up(cout, 128)
 
+    # Headroom factor for Mosaic's scoped-vmem stack allocator, calibrated
+    # against observed compiles on v5e: the stride-2 full-width path keeps
+    # ~3.5x the naive estimate live; stride 1 tracks the estimate closely.
+    factor = 3.5 if stride == 2 else 1.0
+
     def est(bn, th):
         th_in = stride * th + 2
         win = bn * th_in * (wdim + 2) * c_pad * itemsize
-        acc = bn * th * (wdim if stride == 2 else wdim) * c_pad * 4
+        acc = bn * th * wdim * c_pad * 4
         out = bn * th * (wdim // stride) * co_pad * (4 + itemsize)
-        return 2 * win + win + acc + out + c_pad * co_pad * itemsize
+        weights = c_pad * co_pad * itemsize
+        return factor * (3 * win + acc + out) + weights
 
     th = min(h_out, 16)
     while h_out % th:
@@ -66,10 +72,10 @@ def pick_tiles(n: int, h_out: int, wdim: int, cin: int, cout: int,
         bn * 2 <= n
         and n % (bn * 2) == 0
         and bn * th * (wdim // stride) < 256
-        and est(bn * 2, th) < 6 * 1024 * 1024
+        and est(bn * 2, th) < 6.5 * 1024 * 1024
     ):
         bn *= 2
-    while est(bn, th) > 10 * 1024 * 1024 and th > 1:
+    while est(bn, th) > 11 * 1024 * 1024 and th > 1:
         th -= 1
         while h_out % th:
             th -= 1
