@@ -39,7 +39,9 @@ def _kernel_s1(x_ref, w_ref, b_ref, m_ref, o_ref, *, th, w_out, six_q, relu6):
 
 
 def _kernel_s2(x_ref, w_ref, b_ref, m_ref, o_ref, *, th, w_out, six_q, relu6):
-    xv = x_ref[0]  # (2TH+2, W_in, CT), W_in even
+    # int32 up front: Mosaic can't shape-cast 8-bit vectors (int8 tiles are
+    # (32,128)); the accumulator is int32 anyway.
+    xv = x_ref[0].astype(jnp.int32)  # (2TH+2, W_in, CT), W_in even
     ct = xv.shape[-1]
     w_in = xv.shape[1]
     rows = xv.reshape(th + 1, 2, w_in, ct)
