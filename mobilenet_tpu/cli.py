@@ -129,6 +129,38 @@ def cmd_sweep(args):
     return results
 
 
+def cmd_export(args):
+    """Weight export (reference analog: C9, SURVEY.md SS2): raw -> folded ->
+    int8 flat .npz files with documented layouts."""
+    import os
+
+    from .checkpoints import fold_bn, init_params, load_npz, save_npz
+    from .config import ModelConfig
+    from .quant import quantize
+
+    cfg = ModelConfig(alpha=args.alpha, resolution=args.res)
+    raw = load_npz(args.ckpt) if args.ckpt else init_params(cfg, seed=args.seed)
+    folded = fold_bn(raw, eps=cfg.bn_eps)
+    q = quantize(folded, cfg)
+
+    os.makedirs(args.out, exist_ok=True)
+    save_npz(os.path.join(args.out, f"{cfg.variant_name()}_raw.npz"), raw)
+    save_npz(os.path.join(args.out, f"{cfg.variant_name()}_folded.npz"), folded)
+    qtree = {
+        "conv1": {"w_i8": q.conv1.w_i8, "bias_i32": q.conv1.bias_i32, "m": q.conv1.m},
+        "blocks": [
+            {
+                "dw": {"w_i8": b["dw"].w_i8, "bias_i32": b["dw"].bias_i32, "m": b["dw"].m},
+                "pw": {"w_i8": b["pw"].w_i8, "bias_i32": b["pw"].bias_i32, "m": b["pw"].m},
+            }
+            for b in q.blocks
+        ],
+        "fc": {"w_i8": q.fc_w_i8, "s_w": q.fc_s_w, "b": q.fc_b_f32},
+    }
+    save_npz(os.path.join(args.out, f"{cfg.variant_name()}_int8.npz"), qtree)
+    print(f"exported raw/folded/int8 checkpoints to {args.out}")
+
+
 def cmd_serve(args):
     from .runtime.serving import serve_main
 
@@ -175,6 +207,11 @@ def main(argv=None):
     sp.add_argument("--steps", type=int, default=20)
     common(sp, 256)
     sp.set_defaults(fn=cmd_sweep)
+
+    sp = sub.add_parser("export")
+    sp.add_argument("--out", default="checkpoints_out")
+    common(sp, 1)
+    sp.set_defaults(fn=cmd_export)
 
     sp = sub.add_parser("serve")
     sp.add_argument("--streams", type=int, default=64)
