@@ -44,10 +44,13 @@ class InferencePipeline:
             dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
         self.dtype = dtype
         if use_pallas_dw is None:
-            # Pallas path is TPU-compiled; on CPU it would run interpreted
-            # (sw_emu tier) which is correct but slow — default by backend.
             use_pallas_dw = jax.default_backend() == "tpu"
         self.use_pallas_dw = use_pallas_dw
+        if dw_backend is None:
+            # Fastest measured routing: fused dw+pw Pallas blocks on TPU
+            # (11.9k -> 13.9k img/s vs per-op paths); on CPU the XLA ops run
+            # compiled while Pallas would interpret (sw_emu tier) — use XLA.
+            dw_backend = "fused" if jax.default_backend() == "tpu" else "xla"
         self.dw_backend = dw_backend
         host_params = params if params is not None else fold_bn(
             init_params(config, seed=seed), eps=config.bn_eps
