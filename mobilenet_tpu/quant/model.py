@@ -46,6 +46,7 @@ def forward_i8(
     config: ModelConfig,
     *,
     use_pallas_dw: bool = False,
+    use_fused: bool = False,
     collect: bool = False,
 ):
     """x_i8: (N, H, W, 3) int8 at s_in = 1/127. Returns float32 logits."""
@@ -61,6 +62,15 @@ def forward_i8(
 
     for i, (blk, stride) in enumerate(zip(dev["blocks"], config.block_strides)):
         d = blk["dw"]
+        if use_fused and not collect:
+            from .pallas_block_i8 import separable_block_i8  # noqa: PLC0415
+
+            p = blk["pw"]
+            y = separable_block_i8(
+                y, d["w"], d["b"], d["m"], p["w"], p["b"], p["m"], stride,
+                d["six_q"], p["six_q"], relu6,
+            )
+            continue
         if use_pallas_dw:
             from .pallas_dw_i8 import depthwise_i8_pallas  # noqa: PLC0415
 

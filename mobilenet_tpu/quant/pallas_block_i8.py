@@ -1,0 +1,248 @@
+"""Fused INT8 depthwise+pointwise block: per-layer requantization in VMEM.
+
+The int8 twin of ops/pallas_block.py and the closest TPU analog of the
+reference's fixed-point FPGA pipeline (SURVEY.md SS2 C7, BASELINE.json:10):
+
+    window (int8) --VPU int32 9-tap dw--> acc
+      --requant (f32 mult, round-half-even, clamp) --> int8 tile in VMEM
+      --MXU s8 x s8 -> s32 pointwise (2x bf16 MXU rate) --> acc
+      --requant--> int8 out tile
+
+Quantized activations cross HBM exactly once per block, at 1 byte/element —
+half the bf16 path's traffic — and the intermediate dw result never leaves
+VMEM. Requant semantics are bit-identical to quant/ops.py and the C++ oracle
+(same m/six_q constants, jnp.round == nearbyintf).
+
+Same halo/scratch/batch-tiling structure as the float kernel; windows are
+read as int8 and widened to int32 immediately (Mosaic cannot shape-cast 8-bit
+vectors).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.pallas_dw import _should_interpret
+
+
+def _requant(acc_i32, m_vec, six_q, relu6):
+    v = acc_i32.astype(jnp.float32) * m_vec.astype(jnp.float32)
+    v = jnp.maximum(v, 0.0)
+    if relu6:
+        v = jnp.minimum(v, six_q)
+    return jnp.clip(jnp.round(v), -128, 127).astype(jnp.int8)
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def pick_tiles_i8(n: int, h_out: int, wdim: int, cin: int, cout: int,
+                  stride: int) -> Tuple[int, int]:
+    """(BN, TH) for the int8 block: int32 widening makes windows 4B/elem."""
+    c_pad = _round_up(cin, 128)
+    co_pad = _round_up(cout, 128)
+    factor = 3.5 if stride == 2 else 1.5  # widened window costs more than bf16
+
+    def est(bn, th):
+        th_in = stride * th + 2
+        win = bn * th_in * (wdim + 2) * c_pad * 4  # int32-widened
+        acc = bn * th * wdim * c_pad * 4
+        out = bn * th * (wdim // stride) * co_pad * 5
+        return factor * (3 * win + acc + out) + c_pad * co_pad
+
+    th = min(h_out, 16)
+    while h_out % th:
+        th -= 1
+    bn = 1
+    while (
+        bn * 2 <= n and n % (bn * 2) == 0
+        and bn * th * (wdim // stride) < 256
+        and est(bn * 2, th) < 6.5 * 1024 * 1024
+    ):
+        bn *= 2
+    while est(bn, th) > 11 * 1024 * 1024 and th > 1:
+        th -= 1
+        while h_out % th:
+            th -= 1
+    return bn, th
+
+
+def _kernel(
+    x_ref, dww_ref, dwb_ref, dwm_ref, pww_ref, pwb_ref, pwm_ref, o_ref, s_ref,
+    *, th, w_out, stride, relu6, g, bn, wdim, dw_six_q, pw_six_q,
+):
+    i = pl.program_id(1)
+    is_first_step = jnp.logical_and(pl.program_id(0) == 0, i == 0)
+
+    @pl.when(is_first_step)
+    def _():
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    # --- window normalization (same pattern as the float kernel) ----------
+    if stride == 1:
+        if g == 1:
+            s_ref[:, 1 : th + 1, 1 : wdim + 1, :] = x_ref[...]
+        else:
+            @pl.when(i == 0)
+            def _():
+                s_ref[:, 1 : th + 2, 1 : wdim + 1, :] = x_ref[:, 0 : th + 1]
+                s_ref[:, 0:1, 1 : wdim + 1, :] = jnp.zeros_like(
+                    s_ref[:, 0:1, 1 : wdim + 1, :])
+
+            if g > 2:
+                @pl.when(jnp.logical_and(i > 0, i < g - 1))
+                def _():
+                    s_ref[:, 0 : th + 2, 1 : wdim + 1, :] = x_ref[...]
+
+            @pl.when(i == g - 1)
+            def _():
+                s_ref[:, 0 : th + 1, 1 : wdim + 1, :] = x_ref[:, 1 : th + 2]
+                s_ref[:, th + 1 : th + 2, 1 : wdim + 1, :] = jnp.zeros_like(
+                    s_ref[:, th + 1 : th + 2, 1 : wdim + 1, :])
+    else:
+        if g == 1:
+            s_ref[:, 0 : 2 * th, 0:wdim, :] = x_ref[...]
+        else:
+            @pl.when(i < g - 1)
+            def _():
+                s_ref[:, 0 : 2 * th + 2, 0:wdim, :] = x_ref[...]
+
+            @pl.when(i == g - 1)
+            def _():
+                s_ref[:, 0 : 2 * th, 0:wdim, :] = x_ref[:, 2 : 2 * th + 2]
+                s_ref[:, 2 * th : 2 * th + 2, 0:wdim, :] = jnp.zeros_like(
+                    s_ref[:, 2 * th : 2 * th + 2, 0:wdim, :])
+
+    # --- int32 9-tap depthwise --------------------------------------------
+    sv = s_ref[...].astype(jnp.int32)
+    c_in = sv.shape[-1]
+    if stride == 1:
+        acc = jnp.zeros((bn, th, w_out, c_in), jnp.int32)
+        for dy in range(3):
+            for dx in range(3):
+                tap = sv[:, dy : dy + th, dx : dx + w_out, :]
+                acc = acc + tap * dww_ref[dy, dx, :].astype(jnp.int32)
+    else:
+        w_full = 2 * w_out
+        pairs = sv.reshape(bn, th + 1, 2, wdim + 2, c_in)
+        acc_f = jnp.zeros((bn, th, w_full, c_in), jnp.int32)
+        for dy in range(3):
+            r = pairs[:, dy // 2 : dy // 2 + th, dy % 2]
+            for dx in range(3):
+                acc_f = acc_f + r[:, :, dx : dx + w_full, :] * dww_ref[dy, dx, :].astype(jnp.int32)
+        acc = acc_f.reshape(bn, th, w_out, 2, c_in)[:, :, :, 0, :]
+
+    acc = acc + dwb_ref[0].astype(jnp.int32)
+    mid_i8 = _requant(acc, dwm_ref[0], dw_six_q, relu6)
+
+    # --- int8 MXU pointwise + requant --------------------------------------
+    lhs = mid_i8.reshape(bn * th * w_out, c_in)
+    out32 = jax.lax.dot_general(
+        lhs, pww_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out32 = out32 + pwb_ref[0].astype(jnp.int32)
+    o_ref[...] = _requant(out32, pwm_ref[0], pw_six_q, relu6).reshape(
+        bn, th, w_out, -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("stride", "dw_six_q", "pw_six_q", "relu6", "block_h",
+                     "block_n", "interpret"),
+)
+def separable_block_i8(
+    x_i8: jax.Array,        # (N, H, W, Cin) int8
+    dw_w_i8: jax.Array,     # (3, 3, 1, Cin)
+    dw_bias_i32: jax.Array,
+    dw_m: jax.Array,
+    pw_w_i8: jax.Array,     # (Cin, Cout)
+    pw_bias_i32: jax.Array,
+    pw_m: jax.Array,
+    stride: int,
+    dw_six_q: float,
+    pw_six_q: float,
+    relu6: bool = True,
+    *,
+    block_h: Optional[int] = None,
+    block_n: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    if interpret is None:
+        interpret = _should_interpret()
+    n, h, wdim, cin = x_i8.shape
+    cout = pw_w_i8.shape[1]
+    assert dw_w_i8.shape == (3, 3, 1, cin)
+    if stride == 2:
+        assert h % 2 == 0 and wdim % 2 == 0
+    h_out = -(-h // stride)
+    w_out = -(-wdim // stride)
+
+    bn_auto, th_auto = pick_tiles_i8(n, h_out, wdim, cin, cout, stride)
+    th = block_h or th_auto
+    while h_out % th:
+        th -= 1
+    bn = block_n or bn_auto
+    while n % bn:
+        bn -= 1
+    g = h_out // th
+
+    if stride == 1:
+        th_in = th if g == 1 else th + 2
+        scratch = pltpu.VMEM((bn, th + 2, wdim + 2, cin), jnp.int8)
+        if g == 1:
+            x_index = lambda b_, i: (b_ * bn, 0, 0, 0)
+        else:
+            x_index = lambda b_, i: (
+                b_ * bn, jnp.clip(i * th - 1, 0, h - (th + 2)), 0, 0)
+    else:
+        th_in = 2 * th if g == 1 else 2 * th + 2
+        scratch = pltpu.VMEM((bn, 2 * th + 2, wdim + 2, cin), jnp.int8)
+        if g == 1:
+            x_index = lambda b_, i: (b_ * bn, 0, 0, 0)
+        else:
+            x_index = lambda b_, i: (
+                b_ * bn, jnp.minimum(i * 2 * th, h - (2 * th + 2)), 0, 0)
+
+    kernel = functools.partial(
+        _kernel, th=th, w_out=w_out, stride=stride, relu6=relu6, g=g, bn=bn,
+        wdim=wdim, dw_six_q=dw_six_q, pw_six_q=pw_six_q,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bn, g),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(bn), pl.Element(th_in), pl.Element(wdim), pl.Element(cin)),
+                x_index,
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((3, 3, cin), lambda b_, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cin), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cin), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cin, cout), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bn, th, w_out, cout),
+            lambda b_, i: (b_, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, cout), jnp.int8),
+        scratch_shapes=[scratch],
+        interpret=interpret,
+    )(
+        x_i8, dw_w_i8.reshape(3, 3, cin), dw_bias_i32.reshape(1, cin),
+        dw_m.reshape(1, cin), pw_w_i8, pw_bias_i32.reshape(1, cout),
+        pw_m.reshape(1, cout),
+    )

@@ -81,3 +81,33 @@ def test_requant_rounding_half_to_even():
     out = qops.requantize(acc, m, six_q=127.0, relu6=True)
     # 0.5->0, 1.5->2, 2.5->2, negatives clamp to 0 by ReLU
     np.testing.assert_array_equal(np.asarray(out)[0], [0, 2, 2, 0, 0])
+
+
+def test_fused_i8_block_exact(setup, rng):
+    from mobilenet_tpu.quant.pallas_block_i8 import separable_block_i8
+
+    cfg, folded, q, x = setup
+    for bi, stride in ((3, 2), (4, 1)):
+        d, p = q.blocks[bi]["dw"], q.blocks[bi]["pw"]
+        c = d.w_i8.shape[-1]
+        xi = rng.integers(-127, 128, (2, 16, 16, c)).astype(np.int8)
+        mid = qoracle.dw3x3_i8(xi, d.w_i8, d.bias_i32, d.m, d.six_q, stride)
+        ref = qoracle.pw_i8(mid, p.w_i8, p.bias_i32, p.m, p.six_q)
+        got = separable_block_i8(
+            jnp.asarray(xi), jnp.asarray(d.w_i8), jnp.asarray(d.bias_i32),
+            jnp.asarray(d.m), jnp.asarray(p.w_i8), jnp.asarray(p.bias_i32),
+            jnp.asarray(p.m), stride, float(d.six_q), float(p.six_q), True,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_fused_i8_full_model_exact(setup):
+    from mobilenet_tpu.quant.model import _as_device_tree, forward_i8
+
+    cfg, folded, q, x = setup
+    dev = _as_device_tree(q)
+    xi = quantize_input(x)
+    ref = jax.jit(lambda v: forward_i8(dev, v, cfg))(jnp.asarray(xi))
+    got = jax.jit(lambda v: forward_i8(dev, v, cfg, use_fused=True))(jnp.asarray(xi))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
