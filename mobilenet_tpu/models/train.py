@@ -42,3 +42,37 @@ def sgd_train_step(
     loss, grads = jax.value_and_grad(cross_entropy_loss)(params, images, labels, config)
     new_params = jax.tree.map(lambda p, g: p - lr * g.astype(p.dtype), params, grads)
     return new_params, loss
+
+
+def make_optax_trainer(config: ModelConfig, lr: float = 1e-2,
+                       momentum: float = 0.9, weight_decay: float = 4e-5):
+    """Optax SGD-momentum trainer (MobileNet paper hyperparameter style:
+    weight decay 4e-5). Returns (init_fn, step_fn); both jittable and
+    shardable with the parallel.mesh layouts.
+
+    accuracy-reporting variant: step_fn returns (params, opt_state, loss, top1).
+    """
+    import optax  # noqa: PLC0415
+
+    tx = optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.sgd(lr, momentum=momentum),
+    )
+
+    def init_fn(params):
+        return tx.init(params)
+
+    def step_fn(params, opt_state, images, labels):
+        def loss_fn(p):
+            logits = mobilenet_v1.forward(p, images, config, use_pallas_dw=False)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+            return jnp.mean(nll), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        top1 = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        return params, opt_state, loss, top1
+
+    return init_fn, step_fn
