@@ -38,7 +38,12 @@ class InferencePipeline:
         use_pallas_dw: Optional[bool] = None,
         dw_backend: Any = None,
         dtype: Any = None,
+        mesh: Any = None,
     ):
+        """`mesh`: optional jax.sharding.Mesh with a 'data' axis — batches
+        shard across it (data-parallel serving over ICI; params replicated,
+        Pallas kernels run per-shard under shard_map). Single chip when None
+        (the contract configuration, BASELINE.json:2)."""
         self.config = config
         if dtype is None:
             dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
@@ -52,11 +57,19 @@ class InferencePipeline:
             # compiled while Pallas would interpret (sw_emu tier) — use XLA.
             dw_backend = "fused" if jax.default_backend() == "tpu" else "xla"
         self.dw_backend = dw_backend
+        self.mesh = mesh
         host_params = params if params is not None else fold_bn(
             init_params(config, seed=seed), eps=config.bn_eps
         )
         # Weights -> HBM once (the clCreateBuffer+WriteBuffer(weights) analog).
         self.params = to_device(host_params, dtype=self.dtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # Replicate the (tiny, ~17MB) weights on every chip.
+            self.params = jax.tree.map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, P())), self.params
+            )
         self._entries: Dict[Any, Any] = {}
 
     # -- compiled entries ---------------------------------------------------
@@ -91,7 +104,33 @@ class InferencePipeline:
                 )
         else:
             raise KeyError(kind)
-        jitted = jax.jit(fn)
+
+        if self.mesh is not None:
+            # Data-parallel over the mesh: each device runs the full network
+            # on its batch shard (shard_map keeps the Pallas kernels local —
+            # the SPMD partitioner cannot split an opaque custom call).
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            mesh = self.mesh
+            sharded = shard_map(
+                fn, mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS),
+                check_rep=False,
+            )
+
+            def entry_fn(params, batch):
+                batch = jax.device_put(
+                    batch, NamedSharding(mesh, P(DATA_AXIS, None, None, None))
+                )
+                return sharded(params, batch)
+
+            jitted = jax.jit(entry_fn)
+        else:
+            jitted = jax.jit(fn)
         self._entries[key] = jitted
         return jitted
 
@@ -148,7 +187,15 @@ class InferencePipeline:
             ]
             entry = self._entry("probs_f")
 
-        device = jax.devices()[0]
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import DATA_AXIS
+
+            device = NamedSharding(self.mesh, P(DATA_AXIS, None, None, None))
+            n_dev = self.mesh.devices.size
+        else:
+            device = jax.devices()[0]
+            n_dev = 1
 
         def sync(out):
             # On the tunneled TPU platform block_until_ready returns before
@@ -187,7 +234,7 @@ class InferencePipeline:
 
         # --- p50/p99 single-image latency: batch-1 entry, fetch-synced
         # (includes one host<->device round trip through the tunnel).
-        lat_batch = jax.device_put(host_batches[0][:1], device)
+        lat_batch = jax.device_put(host_batches[0][:max(1, n_dev)], device)
         sync(entry(self.params, lat_batch))
         lats = []
         for _ in range(30):
