@@ -109,7 +109,7 @@ class InferencePipeline:
             # Data-parallel over the mesh: each device runs the full network
             # on its batch shard (shard_map keeps the Pallas kernels local —
             # the SPMD partitioner cannot split an opaque custom call).
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from ..parallel.mesh import DATA_AXIS
@@ -119,7 +119,7 @@ class InferencePipeline:
                 fn, mesh=mesh,
                 in_specs=(P(), P(DATA_AXIS)),
                 out_specs=P(DATA_AXIS),
-                check_rep=False,
+                check_vma=False,
             )
 
             def entry_fn(params, batch):
