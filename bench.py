@@ -28,10 +28,10 @@ def main():
     batch = 256
     steps = 40 if on_tpu else 2
 
-    # Fastest routing (measured on v5e, batch 256 bf16): every separable block
-    # through the fused dw+pw Pallas kernel — 11,900 img/s vs 6,200 for the
-    # all-XLA path. CPU fallback uses XLA ops (interpret-mode Pallas is slow).
-    dw_backend = "fused" if on_tpu else "xla"
+    # "auto" routing (measured fastest on v5e): fused dw+pw Pallas blocks at
+    # throughput batches (13.9k vs 6.2k img/s all-XLA), XLA ops for the
+    # batch-1 latency entry (0.66 ms vs 0.87 ms device time). CPU uses XLA.
+    dw_backend = "auto" if on_tpu else "xla"
     pipe = InferencePipeline(cfg, seed=0, dw_backend=dw_backend)
     stats = pipe.benchmark(batch_size=batch, steps=steps)
 

@@ -52,10 +52,11 @@ class InferencePipeline:
             use_pallas_dw = jax.default_backend() == "tpu"
         self.use_pallas_dw = use_pallas_dw
         if dw_backend is None:
-            # Fastest measured routing: fused dw+pw Pallas blocks on TPU
-            # (11.9k -> 13.9k img/s vs per-op paths); on CPU the XLA ops run
-            # compiled while Pallas would interpret (sw_emu tier) — use XLA.
-            dw_backend = "fused" if jax.default_backend() == "tpu" else "xla"
+            # "auto" = fused Pallas blocks for throughput batches, XLA for
+            # the batch-1 latency entry (both measured fastest on v5e); on
+            # CPU the XLA ops run compiled while Pallas would interpret
+            # (sw_emu tier) — always XLA there.
+            dw_backend = "auto" if jax.default_backend() == "tpu" else "xla"
         self.dw_backend = dw_backend
         self.mesh = mesh
         host_params = params if params is not None else fold_bn(
