@@ -1,55 +1,108 @@
-"""Real-TPU (hw tier) smoke test: Pallas dw kernel vs XLA grouped conv,
-plus micro-benchmarks. Run directly on the axon TPU backend."""
-import sys, os
+"""hw-tier validation: run every Pallas kernel family on the REAL TPU and
+check against the oracles (the rebuild's analog of the reference's `hw` run,
+SURVEY.md SS4). Exits nonzero on any failure.
+
+Usage: python tools/tpu_smoke.py [--quick]
+"""
+
+import os
+import sys
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import time
-import jax, jax.numpy as jnp
+
 import numpy as np
+import jax
+import jax.numpy as jnp
 
-from mobilenet_tpu.ops.conv import depthwise_conv_xla
-from mobilenet_tpu.ops.pallas_dw import depthwise_conv_pallas
 
-assert jax.default_backend() == "tpu", jax.default_backend()
-print("device:", jax.devices())
+def main(quick: bool = False):
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    print("device:", jax.devices(), flush=True)
+    rng = np.random.default_rng(0)
+    failures = []
 
-rng = np.random.default_rng(0)
+    def check(name, got, ref, tol):
+        err = np.abs(np.asarray(got, np.float32) - np.asarray(ref, np.float32)).max()
+        ok = err <= tol
+        print(f"[{'OK ' if ok else 'FAIL'}] {name}: max_err={err:.2e}", flush=True)
+        if not ok:
+            failures.append(name)
 
-def check(n, h, c, stride, dtype=jnp.float32):
-    x = jnp.asarray(rng.uniform(-2, 2, (n, h, h, c)), dtype)
-    w = jnp.asarray(rng.normal(0, 0.5, (3, 3, 1, c)), dtype)
-    b = jnp.asarray(rng.normal(0, 0.2, (c,)), dtype)
-    got = np.asarray(depthwise_conv_pallas(x, w, stride, b, True))
-    ref = np.asarray(depthwise_conv_xla(x, w, stride, b, True))
-    tol = 2e-6 if dtype == jnp.float32 else 0.1
-    err = np.abs(got.astype(np.float32) - ref.astype(np.float32)).max()
-    status = "OK" if err <= tol else "FAIL"
-    print(f"[{status}] n={n} h={h} c={c} s={stride} {np.dtype(dtype).name}: max_err={err:.2e}")
-    return err <= tol
+    from mobilenet_tpu.oracle import numpy_ref
+    from mobilenet_tpu.ops.conv import depthwise_conv_xla
+    from mobilenet_tpu.ops.pallas_dw import depthwise_conv_pallas
+    from mobilenet_tpu.ops.pallas_block import separable_block_pallas
+    from mobilenet_tpu.ops.pallas_block_packed import (
+        pack, separable_block_packed, unpack,
+    )
 
-def bench_one(fn, *args, iters=50):
-    fn(*args).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    out.block_until_ready()
-    return (time.perf_counter() - t0) / iters
+    # --- standalone dw kernel (fp32, exact vs XLA) -------------------------
+    shapes = [(112, 32, 1), (112, 64, 2), (14, 512, 1), (7, 1024, 1)]
+    if quick:
+        shapes = shapes[:2]
+    for h, c, s in shapes:
+        x = jnp.asarray(rng.uniform(-2, 2, (2, h, h, c)), jnp.float32)
+        w = jnp.asarray(rng.normal(0, 0.5, (3, 3, 1, c)), jnp.float32)
+        b = jnp.asarray(rng.normal(0, 0.2, (c,)), jnp.float32)
+        check(f"pallas_dw h={h} c={c} s={s}",
+              depthwise_conv_pallas(x, w, s, b, True),
+              depthwise_conv_xla(x, w, s, b, True), 0.0)
 
-ok = True
-for (h, c, s) in [(112, 32, 1), (112, 64, 2), (56, 128, 1), (56, 128, 2),
-                  (28, 256, 1), (14, 512, 1), (14, 512, 2), (7, 1024, 1)]:
-    ok &= check(4, h, c, s)
-ok &= check(4, 56, 128, 1, jnp.bfloat16)
-ok &= check(4, 14, 512, 2, jnp.bfloat16)
+    # --- fused block (fp32 vs oracle) --------------------------------------
+    for (h, cin, cout, s) in [(56, 128, 128, 1), (28, 256, 512, 2), (7, 1024, 1024, 1)]:
+        x = rng.uniform(-1, 1, (2, h, h, cin)).astype(np.float32)
+        dw_w = rng.normal(0, 0.5, (3, 3, 1, cin)).astype(np.float32)
+        dw_b = rng.normal(0, 0.2, (cin,)).astype(np.float32)
+        pw_w = rng.normal(0, 0.3, (cin, cout)).astype(np.float32)
+        pw_b = rng.normal(0, 0.2, (cout,)).astype(np.float32)
+        ref = numpy_ref.pointwise_ref(
+            numpy_ref.depthwise_ref(x, dw_w, s, dw_b, True), pw_w, pw_b, True)
+        got = separable_block_pallas(
+            jnp.asarray(x), jnp.asarray(dw_w), jnp.asarray(dw_b),
+            jnp.asarray(pw_w), jnp.asarray(pw_b), s, True)
+        check(f"fused_block h={h} {cin}->{cout} s={s}", got, ref, 3e-5)
 
-print("\n--- micro-bench (batch 32, fp32) ---")
-for (h, c, s) in [(112, 64, 1), (56, 128, 1), (14, 512, 1), (14, 512, 2)]:
-    x = jnp.asarray(rng.uniform(-2, 2, (32, h, h, c)), jnp.float32)
-    w = jnp.asarray(rng.normal(0, 0.5, (3, 3, 1, c)), jnp.float32)
-    b = jnp.asarray(rng.normal(0, 0.2, (c,)), jnp.float32)
-    tp = bench_one(lambda x: depthwise_conv_pallas(x, w, s, b, True), x)
-    tx = bench_one(lambda x: depthwise_conv_xla(x, w, s, b, True), x)
-    gb = 2 * x.size * 4 / (s * s) if s == 2 else 2 * x.size * 4
-    print(f"h={h} c={c} s={s}: pallas {tp*1e6:8.1f}us ({x.size*4*(1+1/(s*s))/tp/1e9:6.1f} GB/s) "
-          f"xla {tx*1e6:8.1f}us  speedup {tx/tp:5.2f}x")
+    # --- packed fused block ------------------------------------------------
+    for (h, cin, cout) in [(112, 32, 64), (16, 8, 16)]:
+        x = rng.uniform(-1, 1, (2, h, h, cin)).astype(np.float32)
+        dw_w = rng.normal(0, 0.5, (3, 3, 1, cin)).astype(np.float32)
+        dw_b = rng.normal(0, 0.2, (cin,)).astype(np.float32)
+        pw_w = rng.normal(0, 0.3, (cin, cout)).astype(np.float32)
+        pw_b = rng.normal(0, 0.2, (cout,)).astype(np.float32)
+        ref = numpy_ref.pointwise_ref(
+            numpy_ref.depthwise_ref(x, dw_w, 1, dw_b, True), pw_w, pw_b, True)
+        got = unpack(separable_block_packed(
+            pack(jnp.asarray(x), cin), jnp.asarray(dw_w), jnp.asarray(dw_b),
+            jnp.asarray(pw_w), jnp.asarray(pw_b), cin, cout, True), cout)
+        check(f"packed_block h={h} {cin}->{cout}", got, ref, 3e-5)
 
-print("ALL OK" if ok else "FAILURES PRESENT")
+    # --- int8 fused block (EXACT) -------------------------------------------
+    from mobilenet_tpu import ModelConfig
+    from mobilenet_tpu.checkpoints import fold_bn, init_params
+    from mobilenet_tpu.quant import oracle as qoracle, quantize
+    from mobilenet_tpu.quant.pallas_block_i8 import separable_block_i8
+
+    cfg = ModelConfig(alpha=0.25, resolution=128)
+    q = quantize(fold_bn(init_params(cfg, 5), eps=cfg.bn_eps), cfg)
+    for bi, stride in ((3, 2), (4, 1)):
+        d, p = q.blocks[bi]["dw"], q.blocks[bi]["pw"]
+        c = d.w_i8.shape[-1]
+        xi = rng.integers(-127, 128, (2, 16, 16, c)).astype(np.int8)
+        mid = qoracle.dw3x3_i8(xi, d.w_i8, d.bias_i32, d.m, d.six_q, stride)
+        ref = qoracle.pw_i8(mid, p.w_i8, p.bias_i32, p.m, p.six_q)
+        got = separable_block_i8(
+            jnp.asarray(xi), jnp.asarray(d.w_i8), jnp.asarray(d.bias_i32),
+            jnp.asarray(d.m), jnp.asarray(p.w_i8), jnp.asarray(p.bias_i32),
+            jnp.asarray(p.m), stride, float(d.six_q), float(p.six_q), True)
+        exact = np.array_equal(np.asarray(got), ref)
+        print(f"[{'OK ' if exact else 'FAIL'}] i8_fused_block b{bi} s={stride}: "
+              f"{'exact' if exact else 'MISMATCH'}", flush=True)
+        if not exact:
+            failures.append(f"i8_fused b{bi}")
+
+    print("SMOKE", "PASS" if not failures else f"FAIL: {failures}", flush=True)
+    return 0 if not failures else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(quick="--quick" in sys.argv))
