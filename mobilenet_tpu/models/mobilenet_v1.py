@@ -97,6 +97,19 @@ def forward(
                     blk["pw"]["w"], blk["pw"]["b"], cin, cout, relu6,
                 )
                 y = unpack(yp, cout)
+            elif (
+                stride == 2 and 2 * cin == 128
+                and y.shape[1] % 2 == 0 and y.shape[2] % 2 == 0
+            ):
+                # R=2 packed stride-2: the s2 stencil as 3 packed taps
+                from ..ops.pallas_block_packed import (  # noqa: PLC0415
+                    pack, separable_block_packed_s2,
+                )
+
+                y = separable_block_packed_s2(
+                    pack(y, cin), blk["dw"]["w"], blk["dw"]["b"],
+                    blk["pw"]["w"], blk["pw"]["b"], cin, cout, relu6,
+                )
             else:
                 from ..ops.pallas_block import separable_block_pallas  # noqa: PLC0415
 

@@ -215,3 +215,158 @@ def unpack(x_packed: jax.Array, c: int) -> jax.Array:
     """(N, H, W4, 128) -> (N, H, W4*128/C, C). Free reshape."""
     n, h, w4, lanes = x_packed.shape
     return x_packed.reshape(n, h, w4 * lanes // c, c)
+
+
+# ---------------------------------------------------------------------------
+# Packed stride-2 block for R=2 (Cin == 64): the stride-2 stencil becomes a
+# stride-1-like 3-tap pattern over pixel-pair lane vectors.
+#
+# With lane = j*64 + c (pixel 2g+j), define A[p] = sum_dx in[p+dx] * k_dx for
+# every pixel p; then the stride-2 dw output is out[w'] = A[2w'] — exactly the
+# j = 0 lane half of A's packed form. Taps for A_packed are:
+#     shift 0: v          shift 1: roll(64) + cross-group fixup
+#     shift 2: column shift only (same lane half, next group)
+# so ONE roll serves the whole stencil, every vector op runs at 100% lane
+# occupancy and HALF the dense kernel's width, and the odd-pixel (j = 1)
+# garbage half is discarded for free by zero rows in the pointwise weight
+# matrix (W_ext = [[pw_w], [0]]; K stays the full 128 lanes).
+# Rows use the same even/odd outer-dim split + clamped bottom window as the
+# dense stride-2 kernel.
+# ---------------------------------------------------------------------------
+
+
+def _packed_s2_kernel(
+    x_ref, dww_ref, dwb_ref, pww_ref, pwb_ref, o_ref, s_ref,
+    *, th, w4, relu6, out_dtype, g, bn,
+):
+    i = pl.program_id(1)
+    is_first_step = jnp.logical_and(pl.program_id(0) == 0, i == 0)
+
+    @pl.when(is_first_step)
+    def _():
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    # rows cover image rows [2*ts, 2*ts+2th+1]; col W4 stays a zero border
+    if g == 1:
+        s_ref[:, 0 : 2 * th, 0:w4, :] = x_ref[...]
+    else:
+        @pl.when(i < g - 1)
+        def _():
+            s_ref[:, 0 : 2 * th + 2, 0:w4, :] = x_ref[...]
+
+        @pl.when(i == g - 1)
+        def _():
+            s_ref[:, 0 : 2 * th, 0:w4, :] = x_ref[:, 2 : 2 * th + 2]
+            s_ref[:, 2 * th : 2 * th + 2, 0:w4, :] = jnp.zeros_like(
+                s_ref[:, 2 * th : 2 * th + 2, 0:w4, :])
+
+    sv = s_ref[...].astype(jnp.float32)  # (BN, rows, W4+1, 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 128), 3)
+    upper = lane >= 64
+    rolled = pltpu.roll(sv, 64, axis=3)  # swap lane halves
+    shift1 = jnp.where(upper, _shift_cols(rolled, -1), rolled)
+    shift2 = _shift_cols(sv, -1)
+    taps = (sv, shift1, shift2)
+
+    n_pairs = sv.shape[1] // 2
+    acc = jnp.zeros((bn, th, w4 + 1, 128), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            t = taps[dx].reshape(bn, n_pairs, 2, w4 + 1, 128)[
+                :, dy // 2 : dy // 2 + th, dy % 2]
+            acc = acc + t * dww_ref[dy, dx, :].astype(jnp.float32)
+
+    y = _act(acc[:, :, 0:w4, :] + dwb_ref[0].astype(jnp.float32), relu6)
+    y2 = y.astype(pww_ref.dtype).reshape(bn * th * w4, 128)
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if pww_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    out = jnp.dot(y2, pww_ref[...], preferred_element_type=jnp.float32, precision=prec)
+    out = _act(out + pwb_ref[0].astype(jnp.float32), relu6)
+    o_ref[...] = out.reshape(bn, th, w4, -1).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cin", "cout", "relu6", "block_h", "block_n", "interpret"),
+)
+def separable_block_packed_s2(
+    x_packed: jax.Array,  # (N, H, W/2, 128), lane = j*Cin + c, Cin == 64
+    dw_w: jax.Array,      # (3, 3, 1, Cin)
+    dw_b: jax.Array,
+    pw_w: jax.Array,      # (Cin, Cout)
+    pw_b: jax.Array,
+    cin: int,
+    cout: int,
+    relu6: bool = True,
+    *,
+    block_h: Optional[int] = None,
+    block_n: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Stride-2 fused dw+pw on R=2 lane-packed input. Returns dense
+    (N, H/2, W/2, Cout). Requires 2*Cin == 128 and even H."""
+    if interpret is None:
+        interpret = _should_interpret()
+    n, h, w4, lanes = x_packed.shape
+    assert lanes == 128 and 2 * cin == 128
+    assert h % 2 == 0
+    h_out = h // 2
+    w_out = w4  # output width == input pixel-pair count
+
+    th = block_h or min(h_out, 16)
+    while h_out % th:
+        th -= 1
+    bn = block_n or 1
+    if block_n is None:
+        while (
+            bn * 2 <= n and n % (bn * 2) == 0 and bn * th * w_out < 256
+            and bn * 2 * (2 * th + 2) * (w4 + 1) * 128 * 4 < 2**22
+        ):
+            bn *= 2
+    while n % bn:
+        bn -= 1
+    g = h_out // th
+
+    th_in = 2 * th if g == 1 else 2 * th + 2
+    if g == 1:
+        x_index = lambda b_, i: (b_ * bn, 0, 0, 0)
+    else:
+        x_index = lambda b_, i: (
+            b_ * bn, jnp.minimum(i * 2 * th, h - (2 * th + 2)), 0, 0)
+
+    dww = jnp.tile(dw_w.reshape(3, 3, cin), (1, 1, 2))
+    dwb = jnp.tile(dw_b.reshape(1, cin), (1, 2))
+    pww = jnp.concatenate([pw_w, jnp.zeros_like(pw_w)], axis=0)  # (128, Cout)
+    pwb = pw_b.reshape(1, cout)
+
+    kernel = functools.partial(
+        _packed_s2_kernel, th=th, w4=w4, relu6=relu6,
+        out_dtype=x_packed.dtype, g=g, bn=bn,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bn, g),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(bn), pl.Element(th_in), pl.Element(w4), pl.Element(128)),
+                x_index,
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((3, 3, 128), lambda b_, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, cout), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bn, th, w_out, cout),
+            lambda b_, i: (b_, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, cout), x_packed.dtype),
+        scratch_shapes=[pltpu.VMEM((bn, 2 * th + 2, w4 + 1, 128), x_packed.dtype)],
+        interpret=interpret,
+    )(x_packed, dww, dwb, pww, pwb)
