@@ -146,15 +146,27 @@ def separable_block_packed(
     assert r * cout % 128 == 0, (r, cout)
     out_cols = w4 * (r * cout) // 128
 
-    th = block_h or min(h, 16)
-    while h % th:
-        th -= 1
+    def est(bn_, th_):
+        # f32 window + 2 hoisted roll copies + acc + out (measured headroom)
+        win = bn_ * (th_ + 2) * w4 * 128 * 4
+        out = bn_ * th_ * out_cols * 128 * 6
+        return 4 * win + out
+
+    if block_h is None:
+        # Measured: larger row tiles win (whole-image g=1 removes halo
+        # branches entirely — 3.83 vs 4.51 ms on block 0 at batch 256).
+        th = h
+        while th > 1 and (h % th or est(1, th) > 12 * 2**20):
+            th -= 1
+    else:
+        th = block_h
+        while h % th:
+            th -= 1
     bn = block_n or 1
     if block_n is None:
-        # small tiles: batch-tile toward >=256 matmul rows / <=4MB VMEM
         while (
             bn * 2 <= n and n % (bn * 2) == 0 and bn * th * w4 < 256
-            and bn * 2 * (th + 2) * w4 * 128 * x_packed.dtype.itemsize < 2**22
+            and est(bn * 2, th) < 12 * 2**20
         ):
             bn *= 2
     while n % bn:
