@@ -98,17 +98,24 @@ def forward(
                 )
                 y = unpack(yp, cout)
             elif (
-                stride == 2 and 2 * cin == 128
-                and y.shape[1] % 2 == 0 and y.shape[2] % 2 == 0
+                stride == 2 and cin < 128 and 128 % cin == 0
+                and (128 // cin) % 2 == 0
+                and ((128 // cin) // 2) * cout % 128 == 0
+                and y.shape[1] % 2 == 0 and (y.shape[2] * cin) % 128 == 0
             ):
-                # R=2 packed stride-2: the s2 stencil as 3 packed taps
+                # packed stride-2: the s2 stencil as 3 packed taps (one
+                # identity + two lane rolls); odd-pixel lanes dropped by the
+                # kron-selection pointwise weights
                 from ..ops.pallas_block_packed import (  # noqa: PLC0415
-                    pack, separable_block_packed_s2,
+                    pack, separable_block_packed_s2, unpack,
                 )
 
-                y = separable_block_packed_s2(
-                    pack(y, cin), blk["dw"]["w"], blk["dw"]["b"],
-                    blk["pw"]["w"], blk["pw"]["b"], cin, cout, relu6,
+                y = unpack(
+                    separable_block_packed_s2(
+                        pack(y, cin), blk["dw"]["w"], blk["dw"]["b"],
+                        blk["pw"]["w"], blk["pw"]["b"], cin, cout, relu6,
+                    ),
+                    cout,
                 )
             else:
                 from ..ops.pallas_block import separable_block_pallas  # noqa: PLC0415

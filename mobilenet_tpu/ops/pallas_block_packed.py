@@ -230,18 +230,16 @@ def unpack(x_packed: jax.Array, c: int) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# Packed stride-2 block for R=2 (Cin == 64): the stride-2 stencil becomes a
-# stride-1-like 3-tap pattern over pixel-pair lane vectors.
-#
-# With lane = j*64 + c (pixel 2g+j), define A[p] = sum_dx in[p+dx] * k_dx for
-# every pixel p; then the stride-2 dw output is out[w'] = A[2w'] — exactly the
-# j = 0 lane half of A's packed form. Taps for A_packed are:
-#     shift 0: v          shift 1: roll(64) + cross-group fixup
-#     shift 2: column shift only (same lane half, next group)
-# so ONE roll serves the whole stencil, every vector op runs at 100% lane
-# occupancy and HALF the dense kernel's width, and the odd-pixel (j = 1)
-# garbage half is discarded for free by zero rows in the pointwise weight
-# matrix (W_ext = [[pw_w], [0]]; K stays the full 128 lanes).
+# Packed stride-2 block (any even R = 128/Cin): with lane = j*C + c (pixel
+# R*g+j), define A[p] = sum_dx in[p+dx] * k_dx for EVERY pixel p; the
+# stride-2 dw output is out[w'] = A[2w'] — the even-j lanes of A's packed
+# form. Taps for A_packed are pixel shifts +0/+1/+2: one identity, and two
+# lane rolls (-C, -2C) with cross-group fixups — every vector op runs at
+# 100% lane occupancy and HALF the dense kernel's effective width. The
+# odd-pixel halves are discarded for free by a selection weight matrix
+# kron(S, pw_w) with S[j, j'] = (j == 2j'), keeping MXU K at the full 128
+# lanes; the output lands in the R/2-packed layout of Cout (dense when
+# (R/2)*Cout == 128, which holds for every MobileNet stride-2 block).
 # Rows use the same even/odd outer-dim split + clamped bottom window as the
 # dense stride-2 kernel.
 # ---------------------------------------------------------------------------
@@ -249,7 +247,7 @@ def unpack(x_packed: jax.Array, c: int) -> jax.Array:
 
 def _packed_s2_kernel(
     x_ref, dww_ref, dwb_ref, pww_ref, pwb_ref, o_ref, s_ref,
-    *, th, w4, relu6, out_dtype, g, bn,
+    *, th, w4, r, cin, relu6, out_dtype, g, bn, out_cols,
 ):
     i = pl.program_id(1)
     is_first_step = jnp.logical_and(pl.program_id(0) == 0, i == 0)
@@ -274,10 +272,11 @@ def _packed_s2_kernel(
 
     sv = s_ref[...].astype(jnp.float32)  # (BN, rows, W4+1, 128)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 128), 3)
-    upper = lane >= 64
-    rolled = pltpu.roll(sv, 64, axis=3)  # swap lane halves
-    shift1 = jnp.where(upper, _shift_cols(rolled, -1), rolled)
-    shift2 = _shift_cols(sv, -1)
+    group = lane // cin
+    roll1 = pltpu.roll(sv, 128 - cin, axis=3)          # pixel p+1 at slot p
+    shift1 = jnp.where(group == r - 1, _shift_cols(roll1, -1), roll1)
+    roll2 = pltpu.roll(sv, (128 - 2 * cin) % 128, axis=3)  # pixel p+2
+    shift2 = jnp.where(group >= r - 2, _shift_cols(roll2, -1), roll2)
     taps = (sv, shift1, shift2)
 
     n_pairs = sv.shape[1] // 2
@@ -297,7 +296,7 @@ def _packed_s2_kernel(
     )
     out = jnp.dot(y2, pww_ref[...], preferred_element_type=jnp.float32, precision=prec)
     out = _act(out + pwb_ref[0].astype(jnp.float32), relu6)
-    o_ref[...] = out.reshape(bn, th, w4, -1).astype(out_dtype)
+    o_ref[...] = out.reshape(bn, th, out_cols, 128).astype(out_dtype)
 
 
 @functools.partial(
@@ -305,7 +304,7 @@ def _packed_s2_kernel(
     static_argnames=("cin", "cout", "relu6", "block_h", "block_n", "interpret"),
 )
 def separable_block_packed_s2(
-    x_packed: jax.Array,  # (N, H, W/2, 128), lane = j*Cin + c, Cin == 64
+    x_packed: jax.Array,  # (N, H, W*Cin/128, 128), lane = j*Cin + c
     dw_w: jax.Array,      # (3, 3, 1, Cin)
     dw_b: jax.Array,
     pw_w: jax.Array,      # (Cin, Cout)
@@ -318,15 +317,19 @@ def separable_block_packed_s2(
     block_n: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Stride-2 fused dw+pw on R=2 lane-packed input. Returns dense
-    (N, H/2, W/2, Cout). Requires 2*Cin == 128 and even H."""
+    """Stride-2 fused dw+pw on R-lane-packed input (R = 128/Cin even).
+    Returns (N, H/2, W*Cout/(2*128) cols, 128) — the R/2-packed layout of
+    Cout (dense NHWC when (R/2)*Cout == 128). Requires even H and
+    (R/2)*Cout % 128 == 0."""
     if interpret is None:
         interpret = _should_interpret()
     n, h, w4, lanes = x_packed.shape
-    assert lanes == 128 and 2 * cin == 128
+    r = 128 // cin
+    assert lanes == 128 and 128 % cin == 0 and r % 2 == 0, (cin, r)
+    assert (r // 2) * cout % 128 == 0, (r, cout)
     assert h % 2 == 0
     h_out = h // 2
-    w_out = w4  # output width == input pixel-pair count
+    out_cols = w4 * ((r // 2) * cout) // 128
 
     th = block_h or min(h_out, 16)
     while h_out % th:
@@ -334,7 +337,7 @@ def separable_block_packed_s2(
     bn = block_n or 1
     if block_n is None:
         while (
-            bn * 2 <= n and n % (bn * 2) == 0 and bn * th * w_out < 256
+            bn * 2 <= n and n % (bn * 2) == 0 and bn * th * w4 < 256
             and bn * 2 * (2 * th + 2) * (w4 + 1) * 128 * 4 < 2**22
         ):
             bn *= 2
@@ -349,14 +352,19 @@ def separable_block_packed_s2(
         x_index = lambda b_, i: (
             b_ * bn, jnp.minimum(i * 2 * th, h - (2 * th + 2)), 0, 0)
 
-    dww = jnp.tile(dw_w.reshape(3, 3, cin), (1, 1, 2))
-    dwb = jnp.tile(dw_b.reshape(1, cin), (1, 2))
-    pww = jnp.concatenate([pw_w, jnp.zeros_like(pw_w)], axis=0)  # (128, Cout)
-    pwb = pw_b.reshape(1, cout)
+    dww = jnp.tile(dw_w.reshape(3, 3, cin), (1, 1, r))
+    dwb = jnp.tile(dw_b.reshape(1, cin), (1, r))
+    # selection: out lane block j' takes A's lane block j = 2*j'
+    sel = jnp.zeros((r, r // 2), pw_w.dtype).at[
+        2 * jnp.arange(r // 2), jnp.arange(r // 2)].set(1)
+    # kron over (R, R/2) selection x (Cin, Cout) weight:
+    # W[(j*Cin+c), (j'*Cout+o)] = sel[j, j'] * pw_w[c, o]
+    pww = jnp.kron(sel, pw_w)
+    pwb = jnp.tile(pw_b.reshape(1, cout), (1, r // 2))
 
     kernel = functools.partial(
-        _packed_s2_kernel, th=th, w4=w4, relu6=relu6,
-        out_dtype=x_packed.dtype, g=g, bn=bn,
+        _packed_s2_kernel, th=th, w4=w4, r=r, cin=cin, relu6=relu6,
+        out_dtype=x_packed.dtype, g=g, bn=bn, out_cols=out_cols,
     )
 
     return pl.pallas_call(
@@ -370,15 +378,17 @@ def separable_block_packed_s2(
             ),
             pl.BlockSpec((3, 3, 128), lambda b_, i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 128), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, cout), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, (r // 2) * cout), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, (r // 2) * cout), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (bn, th, w_out, cout),
+            (bn, th, out_cols, 128),
             lambda b_, i: (b_, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, cout), x_packed.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, h_out, out_cols, 128), x_packed.dtype),
         scratch_shapes=[pltpu.VMEM((bn, 2 * th + 2, w4 + 1, 128), x_packed.dtype)],
         interpret=interpret,
     )(x_packed, dww, dwb, pww, pwb)

@@ -64,3 +64,30 @@ def test_model_uses_packed_for_narrow_blocks():
     ref = mobilenet_v1.forward(params, x, cfg, dw_backend="xla")
     got = mobilenet_v1.forward(params, x, cfg, dw_backend="fused")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "n,h,cin,cout",
+    [
+        (2, 112, 64, 128),  # alpha=1.0 block 1 (R=2)
+        (2, 32, 32, 64),    # alpha=0.5 block 1 (R=4)
+        (2, 16, 16, 32),    # alpha=0.25 block 1 (R=8)
+        (1, 64, 8, 16),     # R=16 stride-2
+        (1, 16, 64, 128),   # single row tile (g==1)
+    ],
+)
+def test_packed_s2_vs_oracle(rng, n, h, cin, cout):
+    from mobilenet_tpu.ops.pallas_block_packed import separable_block_packed_s2
+
+    x = rng.uniform(-1, 1, (n, h, h, cin)).astype(np.float32)
+    dw_w = rng.normal(0, 0.5, (3, 3, 1, cin)).astype(np.float32)
+    dw_b = rng.normal(0, 0.2, (cin,)).astype(np.float32)
+    pw_w = rng.normal(0, 0.3, (cin, cout)).astype(np.float32)
+    pw_b = rng.normal(0, 0.2, (cout,)).astype(np.float32)
+    got = np.asarray(unpack(separable_block_packed_s2(
+        pack(jnp.asarray(x), cin), jnp.asarray(dw_w), jnp.asarray(dw_b),
+        jnp.asarray(pw_w), jnp.asarray(pw_b), cin, cout, True, interpret=True,
+    ), cout))
+    mid = numpy_ref.depthwise_ref(x, dw_w, 2, dw_b, True)
+    ref = numpy_ref.pointwise_ref(mid, pw_w, pw_b, True)
+    np.testing.assert_allclose(got, ref, atol=3e-5, rtol=1e-5)
