@@ -64,6 +64,9 @@ def pick_tiles(n: int, h_out: int, wdim: int, cin: int, cout: int,
         weights = c_pad * co_pad * itemsize
         return factor * (3 * win + acc + out) + weights
 
+    # Moderate row tiles (whole-image tiles measured slightly WORSE here:
+    # single-window steps lose cross-step DMA/compute overlap), plus batch
+    # tiling toward ~1024 MXU rows for the small-spatial layers.
     th = min(h_out, 16)
     while h_out % th:
         th -= 1
@@ -71,8 +74,8 @@ def pick_tiles(n: int, h_out: int, wdim: int, cin: int, cout: int,
     while (
         bn * 2 <= n
         and n % (bn * 2) == 0
-        and bn * th * (wdim // stride) < 256
-        and est(bn * 2, th) < 6.5 * 1024 * 1024
+        and bn * th * (wdim // stride) < 1024
+        and est(bn * 2, th) < 8 * 1024 * 1024
     ):
         bn *= 2
     while est(bn, th) > 11 * 1024 * 1024 and th > 1:
