@@ -76,6 +76,22 @@ def main(quick: bool = False):
             jnp.asarray(pw_w), jnp.asarray(pw_b), cin, cout, True), cout)
         check(f"packed_block h={h} {cin}->{cout}", got, ref, 3e-5)
 
+    # --- packed stride-2 block ----------------------------------------------
+    from mobilenet_tpu.ops.pallas_block_packed import separable_block_packed_s2, unpack
+
+    for (h, cin, cout) in [(112, 64, 128), (32, 32, 64)]:
+        x = rng.uniform(-1, 1, (2, h, h, cin)).astype(np.float32)
+        dw_w = rng.normal(0, 0.5, (3, 3, 1, cin)).astype(np.float32)
+        dw_b = rng.normal(0, 0.2, (cin,)).astype(np.float32)
+        pw_w = rng.normal(0, 0.3, (cin, cout)).astype(np.float32)
+        pw_b = rng.normal(0, 0.2, (cout,)).astype(np.float32)
+        ref = numpy_ref.pointwise_ref(
+            numpy_ref.depthwise_ref(x, dw_w, 2, dw_b, True), pw_w, pw_b, True)
+        got = unpack(separable_block_packed_s2(
+            pack(jnp.asarray(x), cin), jnp.asarray(dw_w), jnp.asarray(dw_b),
+            jnp.asarray(pw_w), jnp.asarray(pw_b), cin, cout, True), cout)
+        check(f"packed_s2_block h={h} {cin}->{cout}", got, ref, 3e-5)
+
     # --- int8 fused block (EXACT) -------------------------------------------
     from mobilenet_tpu import ModelConfig
     from mobilenet_tpu.checkpoints import fold_bn, init_params
