@@ -62,6 +62,15 @@ class InferencePipeline:
         host_params = params if params is not None else fold_bn(
             init_params(config, seed=seed), eps=config.bn_eps
         )
+        if self.dw_backend in ("auto", "fused"):
+            # alpha=0.75-style channel counts (24/48/96) divide neither 128
+            # nor any lane group: zero-pad them to the next divisor of 128 so
+            # the lane-packed kernels apply. Logits are exactly unchanged
+            # (padded channels carry zeros end-to-end).
+            from ..checkpoints.padding import needs_padding, pad_channels
+
+            if needs_padding(host_params):
+                host_params = pad_channels(host_params)
         # Weights -> HBM once (the clCreateBuffer+WriteBuffer(weights) analog).
         self.params = to_device(host_params, dtype=self.dtype)
         if mesh is not None:
