@@ -20,8 +20,10 @@ block-diagonal weight (kron(I_R, pw_w)) — K stays a full 128 lanes — and the
 output reshapes straight into the packed layout of the NEXT layer
 ((R*Cout)/128 lane groups), so narrow layers chain packed end-to-end.
 
-Stride 1 only (every narrow-channel dw in MobileNet except block 1 is s1;
-s2 falls back to the dense kernel).
+This module provides both strides: `separable_block_packed` (stride 1,
+block-diagonal kron(I_R, W) pointwise) and `separable_block_packed_s2`
+(stride 2 via the full-pixel accumulator A[p] = sum_dx in[p+dx]k_dx whose
+even-pixel lanes are selected by kron(S, W) — see the section comment below).
 """
 
 from __future__ import annotations

@@ -63,13 +63,34 @@ def forward_i8(
     for i, (blk, stride) in enumerate(zip(dev["blocks"], config.block_strides)):
         d = blk["dw"]
         if use_fused and not collect:
-            from .pallas_block_i8 import separable_block_i8  # noqa: PLC0415
-
             p = blk["pw"]
-            y = separable_block_i8(
-                y, d["w"], d["b"], d["m"], p["w"], p["b"], p["m"], stride,
-                d["six_q"], p["six_q"], relu6,
+            cin = y.shape[-1]
+            cout = p["w"].shape[-1]
+            r = 128 // cin if (cin < 128 and 128 % cin == 0) else 0
+            packed_ok = r and (y.shape[2] * cin) % 128 == 0 and (
+                (r * cout % 128 == 0) if stride == 1
+                else (r % 2 == 0 and (r // 2) * cout % 128 == 0 and y.shape[1] % 2 == 0)
             )
+            if packed_ok:
+                from ..ops.pallas_block_packed import pack, unpack  # noqa: PLC0415
+                from .pallas_block_packed_i8 import (  # noqa: PLC0415
+                    separable_block_packed_i8,
+                )
+
+                y = unpack(
+                    separable_block_packed_i8(
+                        pack(y, cin), d["w"], d["b"], d["m"], p["w"], p["b"],
+                        p["m"], cin, cout, stride, d["six_q"], p["six_q"], relu6,
+                    ),
+                    cout,
+                )
+            else:
+                from .pallas_block_i8 import separable_block_i8  # noqa: PLC0415
+
+                y = separable_block_i8(
+                    y, d["w"], d["b"], d["m"], p["w"], p["b"], p["m"], stride,
+                    d["six_q"], p["six_q"], relu6,
+                )
             continue
         if use_pallas_dw:
             from .pallas_dw_i8 import depthwise_i8_pallas  # noqa: PLC0415

@@ -1,0 +1,276 @@
+"""Lane-packed fused INT8 blocks: the quantized twins of
+ops/pallas_block_packed.py (BASELINE.json:10 — per-layer requantization in
+Pallas, here at full lane occupancy for narrow-channel layers).
+
+Same layout algebra as the float kernels — pack R = 128/Cin pixels per lane
+vector (free NHWC reshape), column taps as 32-bit lane rolls (the int8 window
+is widened to int32 on read, which also satisfies Mosaic's 32-bit-only
+rotate), block-diagonal / selection pointwise weights on the MXU's native
+s8 x s8 -> s32 path — with the exact requant epilogues of quant/ops.py
+(float32 multiplier, in-domain ReLU6, round-half-to-even), so outputs remain
+BIT-IDENTICAL to the int8 oracles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.pallas_dw import _should_interpret
+
+
+def _requant(acc_i32, m_vec, six_q, relu6):
+    v = acc_i32.astype(jnp.float32) * m_vec.astype(jnp.float32)
+    v = jnp.maximum(v, 0.0)
+    if relu6:
+        v = jnp.minimum(v, six_q)
+    return jnp.clip(jnp.round(v), -128, 127).astype(jnp.int8)
+
+
+def _shift_cols(v, direction):
+    if v.shape[2] == 1:
+        return jnp.zeros_like(v)
+    if direction > 0:
+        return jnp.pad(v[:, :, :-1, :], ((0, 0), (0, 0), (1, 0), (0, 0)))
+    return jnp.pad(v[:, :, 1:, :], ((0, 0), (0, 0), (0, 1), (0, 0)))
+
+
+def _s1_kernel(x_ref, dww_ref, dwb_ref, dwm_ref, pww_ref, pwb_ref, pwm_ref,
+               o_ref, s_ref, *, th, w4, r, cin, relu6, g, bn, out_cols,
+               dw_six_q, pw_six_q):
+    i = pl.program_id(1)
+    is_first_step = jnp.logical_and(pl.program_id(0) == 0, i == 0)
+
+    @pl.when(is_first_step)
+    def _():
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    if g == 1:
+        s_ref[:, 1 : th + 1, :, :] = x_ref[...]
+    else:
+        @pl.when(i == 0)
+        def _():
+            s_ref[:, 1 : th + 2, :, :] = x_ref[:, 0 : th + 1]
+            s_ref[:, 0:1, :, :] = jnp.zeros_like(s_ref[:, 0:1, :, :])
+
+        if g > 2:
+            @pl.when(jnp.logical_and(i > 0, i < g - 1))
+            def _():
+                s_ref[:, 0 : th + 2, :, :] = x_ref[...]
+
+        @pl.when(i == g - 1)
+        def _():
+            s_ref[:, 0 : th + 1, :, :] = x_ref[:, 1 : th + 2]
+            s_ref[:, th + 1 : th + 2, :, :] = jnp.zeros_like(
+                s_ref[:, th + 1 : th + 2, :, :])
+
+    sv = s_ref[...].astype(jnp.int32)  # widen: exact + 32-bit rolls
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 128), 3)
+    group = lane // cin
+    rolled_l = pltpu.roll(sv, 128 - cin, axis=3)
+    left_tap = jnp.where(group == r - 1, _shift_cols(rolled_l, -1), rolled_l)
+    rolled_r = pltpu.roll(sv, cin, axis=3)
+    right_tap = jnp.where(group == 0, _shift_cols(rolled_r, +1), rolled_r)
+    taps = (right_tap, sv, left_tap)
+
+    acc = jnp.zeros((bn, th, w4, 128), jnp.int32)
+    for dy in range(3):
+        for dx in range(3):
+            acc = acc + taps[dx][:, dy : dy + th] * dww_ref[dy, dx, :].astype(jnp.int32)
+    acc = acc + dwb_ref[0].astype(jnp.int32)
+    mid = _requant(acc, dwm_ref[0], dw_six_q, relu6)
+
+    out32 = jax.lax.dot_general(
+        mid.reshape(bn * th * w4, 128), pww_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out32 = out32 + pwb_ref[0].astype(jnp.int32)
+    o_ref[...] = _requant(out32, pwm_ref[0], pw_six_q, relu6).reshape(
+        bn, th, out_cols, 128)
+
+
+def _s2_kernel(x_ref, dww_ref, dwb_ref, dwm_ref, pww_ref, pwb_ref, pwm_ref,
+               o_ref, s_ref, *, th, w4, r, cin, relu6, g, bn, out_cols,
+               dw_six_q, pw_six_q):
+    i = pl.program_id(1)
+    is_first_step = jnp.logical_and(pl.program_id(0) == 0, i == 0)
+
+    @pl.when(is_first_step)
+    def _():
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    if g == 1:
+        s_ref[:, 0 : 2 * th, 0:w4, :] = x_ref[...]
+    else:
+        @pl.when(i < g - 1)
+        def _():
+            s_ref[:, 0 : 2 * th + 2, 0:w4, :] = x_ref[...]
+
+        @pl.when(i == g - 1)
+        def _():
+            s_ref[:, 0 : 2 * th, 0:w4, :] = x_ref[:, 2 : 2 * th + 2]
+            s_ref[:, 2 * th : 2 * th + 2, 0:w4, :] = jnp.zeros_like(
+                s_ref[:, 2 * th : 2 * th + 2, 0:w4, :])
+
+    sv = s_ref[...].astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 128), 3)
+    group = lane // cin
+    roll1 = pltpu.roll(sv, 128 - cin, axis=3)
+    shift1 = jnp.where(group == r - 1, _shift_cols(roll1, -1), roll1)
+    roll2 = pltpu.roll(sv, (128 - 2 * cin) % 128, axis=3)
+    shift2 = jnp.where(group >= r - 2, _shift_cols(roll2, -1), roll2)
+    taps = (sv, shift1, shift2)
+
+    n_pairs = sv.shape[1] // 2
+    acc = jnp.zeros((bn, th, w4 + 1, 128), jnp.int32)
+    for dy in range(3):
+        for dx in range(3):
+            t = taps[dx].reshape(bn, n_pairs, 2, w4 + 1, 128)[
+                :, dy // 2 : dy // 2 + th, dy % 2]
+            acc = acc + t * dww_ref[dy, dx, :].astype(jnp.int32)
+    acc = acc[:, :, 0:w4, :] + dwb_ref[0].astype(jnp.int32)
+    mid = _requant(acc, dwm_ref[0], dw_six_q, relu6)
+
+    out32 = jax.lax.dot_general(
+        mid.reshape(bn * th * w4, 128), pww_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out32 = out32 + pwb_ref[0].astype(jnp.int32)
+    o_ref[...] = _requant(out32, pwm_ref[0], pw_six_q, relu6).reshape(
+        bn, th, out_cols, 128)
+
+
+def _common_call(kernel_fn, x_packed, stride, args, *, th, bn, g, th_in, w4,
+                 out_cols, h_out, n, x_index, interpret, scratch_rows):
+    return pl.pallas_call(
+        kernel_fn,
+        grid=(n // bn, g),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(bn), pl.Element(th_in), pl.Element(w4), pl.Element(128)),
+                x_index,
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((3, 3, 128), lambda b_, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(args[3].shape, lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, args[4].shape[1]), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, args[5].shape[1]), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bn, th, out_cols, 128), lambda b_, i: (b_, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h_out, out_cols, 128), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((bn, scratch_rows, w4 + (0 if stride == 1 else 1),
+                                    128), jnp.int8)],
+        interpret=interpret,
+    )(x_packed, *args)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cin", "cout", "stride", "dw_six_q", "pw_six_q", "relu6",
+                     "block_h", "block_n", "interpret"),
+)
+def separable_block_packed_i8(
+    x_packed: jax.Array,   # (N, H, W*Cin/128, 128) int8, lane = j*Cin + c
+    dw_w_i8: jax.Array,    # (3, 3, 1, Cin)
+    dw_bias_i32: jax.Array,
+    dw_m: jax.Array,
+    pw_w_i8: jax.Array,    # (Cin, Cout)
+    pw_bias_i32: jax.Array,
+    pw_m: jax.Array,
+    cin: int,
+    cout: int,
+    stride: int,
+    dw_six_q: float,
+    pw_six_q: float,
+    relu6: bool = True,
+    *,
+    block_h: Optional[int] = None,
+    block_n: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Packed int8 fused block (stride 1 or 2). Output is packed int8:
+    R*Cout/128 lane groups for stride 1, (R/2)*Cout/128 for stride 2."""
+    if interpret is None:
+        interpret = _should_interpret()
+    n, h, w4, lanes = x_packed.shape
+    r = 128 // cin
+    assert lanes == 128 and 128 % cin == 0
+    if stride == 1:
+        assert r * cout % 128 == 0
+        out_cols = w4 * (r * cout) // 128
+        h_out = h
+        pw_lanes = r * cout
+        sel = jnp.eye(r, dtype=jnp.int8)
+    else:
+        assert r % 2 == 0 and (r // 2) * cout % 128 == 0 and h % 2 == 0
+        out_cols = w4 * ((r // 2) * cout) // 128
+        h_out = h // 2
+        pw_lanes = (r // 2) * cout
+        sel = jnp.zeros((r, r // 2), jnp.int8).at[
+            2 * jnp.arange(r // 2), jnp.arange(r // 2)].set(1)
+
+    th = block_h or min(h_out, 16)
+    while h_out % th:
+        th -= 1
+    bn = block_n or 1
+    if block_n is None:
+        while (
+            bn * 2 <= n and n % (bn * 2) == 0 and bn * th * w4 < 256
+            and bn * 2 * (stride * th + 2) * (w4 + 1) * 128 * 4 < 2**22
+        ):
+            bn *= 2
+    while n % bn:
+        bn -= 1
+    g = h_out // th
+
+    if stride == 1:
+        th_in = th if g == 1 else th + 2
+        scratch_rows = th + 2
+        if g == 1:
+            x_index = lambda b_, i: (b_ * bn, 0, 0, 0)
+        else:
+            x_index = lambda b_, i: (
+                b_ * bn, jnp.clip(i * th - 1, 0, h - (th + 2)), 0, 0)
+        kfn = _s1_kernel
+    else:
+        th_in = 2 * th if g == 1 else 2 * th + 2
+        scratch_rows = 2 * th + 2
+        if g == 1:
+            x_index = lambda b_, i: (b_ * bn, 0, 0, 0)
+        else:
+            x_index = lambda b_, i: (
+                b_ * bn, jnp.minimum(i * 2 * th, h - (2 * th + 2)), 0, 0)
+        kfn = _s2_kernel
+
+    dww = jnp.tile(dw_w_i8.reshape(3, 3, cin), (1, 1, r))
+    dwb = jnp.tile(dw_bias_i32.reshape(1, cin), (1, r))
+    dwm = jnp.tile(dw_m.reshape(1, cin), (1, r))
+    pww = jnp.kron(sel, pw_w_i8)  # (128, pw_lanes)
+    rep = pw_lanes // cout
+    pwb = jnp.tile(pw_bias_i32.reshape(1, cout), (1, rep))
+    pwm = jnp.tile(pw_m.reshape(1, cout), (1, rep))
+
+    kernel = functools.partial(
+        kfn, th=th, w4=w4, r=r, cin=cin, relu6=relu6, g=g, bn=bn,
+        out_cols=out_cols, dw_six_q=dw_six_q, pw_six_q=pw_six_q,
+    )
+    return _common_call(
+        kernel, x_packed, stride, (dww, dwb, dwm, pww, pwb, pwm),
+        th=th, bn=bn, g=g, th_in=th_in, w4=w4, out_cols=out_cols,
+        h_out=h_out, n=n, x_index=x_index, interpret=interpret,
+        scratch_rows=scratch_rows,
+    )

@@ -111,3 +111,44 @@ def test_fused_i8_full_model_exact(setup):
     ref = jax.jit(lambda v: forward_i8(dev, v, cfg))(jnp.asarray(xi))
     got = jax.jit(lambda v: forward_i8(dev, v, cfg, use_fused=True))(jnp.asarray(xi))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_packed_i8_blocks_exact(setup, rng):
+    from mobilenet_tpu.ops.pallas_block_packed import pack, unpack
+    from mobilenet_tpu.quant.pallas_block_packed_i8 import separable_block_packed_i8
+
+    cfg, folded, q, x = setup
+    # alpha=0.25 blocks: narrow channels exercise R=2..16
+    for bi, stride in ((0, 1), (1, 2), (3, 2), (4, 1)):
+        d, p = q.blocks[bi]["dw"], q.blocks[bi]["pw"]
+        cin = d.w_i8.shape[-1]
+        cout = p.w_i8.shape[-1]
+        r = 128 // cin
+        if stride == 2 and (r % 2 or (r // 2) * cout % 128):
+            continue
+        if stride == 1 and r * cout % 128:
+            continue
+        h = 16
+        xi = rng.integers(-127, 128, (2, h, h, cin)).astype(np.int8)
+        if (h * cin) % 128:
+            continue
+        mid = qoracle.dw3x3_i8(xi, d.w_i8, d.bias_i32, d.m, d.six_q, stride)
+        ref = qoracle.pw_i8(mid, p.w_i8, p.bias_i32, p.m, p.six_q)
+        got = unpack(separable_block_packed_i8(
+            pack(jnp.asarray(xi), cin), jnp.asarray(d.w_i8), jnp.asarray(d.bias_i32),
+            jnp.asarray(d.m), jnp.asarray(p.w_i8), jnp.asarray(p.bias_i32),
+            jnp.asarray(p.m), cin, cout, stride, float(d.six_q), float(p.six_q),
+            True, interpret=True,
+        ), cout)
+        np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_fused_i8_full_model_with_packed_exact(setup):
+    from mobilenet_tpu.quant.model import _as_device_tree, forward_i8
+
+    cfg, folded, q, x = setup
+    dev = _as_device_tree(q)
+    xi = quantize_input(x)
+    ref = jax.jit(lambda v: forward_i8(dev, v, cfg))(jnp.asarray(xi))
+    got = jax.jit(lambda v: forward_i8(dev, v, cfg, use_fused=True))(jnp.asarray(xi))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
