@@ -77,8 +77,24 @@ def forward(
     y = ops.conv2d_same(x, params["conv1"]["w"], 2, bias=params["conv1"]["b"], relu6=relu6)
     if collect:
         acts["conv1"] = y
+    y = _run_blocks(params, y, config, routing, relu6, acts if collect else None)
 
+    pooled = ops.global_avg_pool(y)
+    if collect:
+        acts["pool"] = pooled
+    logits = ops.fc(pooled, params["fc"]["w"], params["fc"]["b"])
+    if collect:
+        acts["logits"] = logits
+        return logits, acts
+    return logits
+
+
+def _run_blocks(params, y, config, routing, relu6, acts=None, start: int = 0):
+    """The 13 dw/pw blocks, from block `start`, per-block backend routing."""
+    collect = acts is not None
     for i, (blk, stride) in enumerate(zip(params["blocks"], config.block_strides)):
+        if i < start:
+            continue
         backend = routing[i]
         if backend == "fused" and not collect:
             cin = y.shape[-1]
@@ -138,20 +154,92 @@ def forward(
         y = ops.pointwise_conv(y, blk["pw"]["w"], bias=blk["pw"]["b"], relu6=relu6)
         if collect:
             acts[f"block{i:02d}_pw"] = y
+    return y
 
+
+def _stem_fusible(params, config: ModelConfig, x_shape, routing, dtype) -> bool:
+    """True when the normalize+conv1+block0 mega-kernel applies
+    (ops.pallas_stem_b0: C1 == 32, whole lane rows, block 0 stride 1).
+
+    The kernel runs whole-image tiles; measured on v5e: bf16 fits the 16M
+    scoped-VMEM limit at every resolution up to 224, but fp32 OOMs at 224
+    (22.9M by the byte model) — fp32 fuses only up to 160 (model: 11.7M)."""
+    h, w = int(x_shape[1]), int(x_shape[2])
+    c1 = int(params["conv1"]["w"].shape[3])
+    cout = int(params["blocks"][0]["pw"]["w"].shape[1])
+    if jnp.dtype(dtype).itemsize > 2 and h > 160:
+        return False
+    return (
+        routing[0] == "fused"
+        and config.block_strides[0] == 1
+        and c1 == 32
+        and h % 2 == 0 and w % 2 == 0
+        and (w // 2) % 8 == 0
+        and (8 * cout) % 128 == 0
+    )
+
+
+def forward_u8(
+    params: Dict[str, Any],
+    images_u8: jax.Array,
+    config: ModelConfig,
+    *,
+    dtype=jnp.float32,
+    use_pallas_dw: bool = False,
+    dw_backend=None,
+    fuse_stem: bool = False,
+) -> jax.Array:
+    """uint8 NHWC at model resolution -> logits.
+
+    With fuse_stem=True (and fused routing + compatible shapes), normalize +
+    conv1 + block-0 dw/pw run as ONE Pallas mega-kernel with zero intermediate
+    HBM traffic (ops.pallas_stem_b0); otherwise the XLA preprocess + standard
+    forward path runs. Logits match `forward(preprocess(x))` to kernel
+    tolerance (tests/test_pallas_stem_b0.py).
+
+    fuse_stem defaults OFF: measured on v5e at 1.0-224 bf16 batch-256 the
+    mega-kernel is ~10% slower end-to-end (20.6k vs 22.8k img/s, 5-round
+    interleaved medians) — the sequential normalize->stem->dw->pw chain inside
+    one whole-image kernel loses the cross-stage pipelining that separate
+    pallas calls get, the same effect measured for the multi-block chain
+    kernel (docs/design.md SS5)."""
+    from ..ops import preprocess as prep  # noqa: PLC0415
+
+    routing = _routing(config, use_pallas_dw, dw_backend, int(images_u8.shape[0]))
+    if not (fuse_stem
+            and _stem_fusible(params, config, images_u8.shape, routing, dtype)):
+        x = prep.preprocess(images_u8, config.resolution, dtype)
+        return forward(params, x, config, use_pallas_dw=use_pallas_dw,
+                       dw_backend=dw_backend)
+
+    from ..ops.pallas_block_packed import unpack  # noqa: PLC0415
+    from ..ops.pallas_stem_b0 import stem_block0_fused  # noqa: PLC0415
+
+    blk0 = params["blocks"][0]
+    cout = int(blk0["pw"]["w"].shape[1])
+    yp = stem_block0_fused(
+        images_u8,
+        params["conv1"]["w"].astype(dtype), params["conv1"]["b"].astype(dtype),
+        blk0["dw"]["w"].astype(dtype), blk0["dw"]["b"].astype(dtype),
+        blk0["pw"]["w"].astype(dtype), blk0["pw"]["b"].astype(dtype),
+        cout, config.relu6,
+    )
+    y = unpack(yp, cout)
+    y = _run_blocks(params, y, config, routing, config.relu6, start=1)
     pooled = ops.global_avg_pool(y)
-    if collect:
-        acts["pool"] = pooled
-    logits = ops.fc(pooled, params["fc"]["w"], params["fc"]["b"])
-    if collect:
-        acts["logits"] = logits
-        return logits, acts
-    return logits
+    return ops.fc(pooled, params["fc"]["w"], params["fc"]["b"])
 
 
 def predict_probs(params, x, config: ModelConfig, **kw) -> jax.Array:
     """logits -> softmax probabilities (host does only top-k; SURVEY.md SS3.4)."""
     return jax.nn.softmax(forward(params, x, config, **kw).astype(jnp.float32), axis=-1)
+
+
+def predict_probs_u8(params, images_u8, config: ModelConfig, **kw) -> jax.Array:
+    """uint8 images -> softmax probabilities via the fused-stem path."""
+    return jax.nn.softmax(
+        forward_u8(params, images_u8, config, **kw).astype(jnp.float32), axis=-1
+    )
 
 
 def make_infer_fn(

@@ -148,17 +148,28 @@ def separable_block_packed(
     assert r * cout % 128 == 0, (r, cout)
     out_cols = w4 * (r * cout) // 128
 
-    def est(bn_, th_):
-        # f32 window + 2 hoisted roll copies + acc + out (measured headroom)
-        win = bn_ * (th_ + 2) * w4 * 128 * 4
-        out = bn_ * th_ * out_cols * 128 * 6
-        return 4 * win + out
+    itm = jnp.dtype(x_packed.dtype).itemsize
 
+    def est(bn_, th_):
+        # Scoped-VMEM byte model, calibrated on v5e: 2 pipelined in blocks +
+        # scratch (dtype) + 2 out blocks (dtype) + f32 temporaries (window,
+        # hoisted roll pair, dw acc, pw acc) + y2 cast copy (dtype).
+        # Measured: f32 whole-image block-0 needs 22.58M (model: 22.65M);
+        # the bf16 twin compiles within the 16M scope (model: 16.18M).
+        u_win = bn_ * (th_ + 2) * w4 * 128
+        u_mid = bn_ * th_ * w4 * 128
+        u_out = bn_ * th_ * out_cols * 128
+        return (
+            3 * u_win * itm + 2 * u_out * itm + u_mid * itm
+            + (3 * u_win + u_mid + u_out) * 4
+        )
+
+    cap = int(16.3 * 2**20)
     if block_h is None:
         # Measured: larger row tiles win (whole-image g=1 removes halo
         # branches entirely — 3.83 vs 4.51 ms on block 0 at batch 256).
         th = h
-        while th > 1 and (h % th or est(1, th) > 12 * 2**20):
+        while th > 1 and (h % th or est(1, th) > cap):
             th -= 1
     else:
         th = block_h
@@ -168,7 +179,7 @@ def separable_block_packed(
     if block_n is None:
         while (
             bn * 2 <= n and n % (bn * 2) == 0 and bn * th * w4 < 256
-            and est(bn * 2, th) < 12 * 2**20
+            and est(bn * 2, th) < cap
         ):
             bn *= 2
     while n % bn:

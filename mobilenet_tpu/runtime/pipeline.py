@@ -92,8 +92,16 @@ class InferencePipeline:
 
         if kind == "probs_u8":
             # uint8 NHWC at model resolution -> probs; preprocessing fused
-            # into the same XLA program (BASELINE.json:5).
+            # into the same XLA program (BASELINE.json:5). predict_probs_u8
+            # can also subsume preprocess into the stem mega-kernel
+            # (fuse_stem=True), measured slower — docs/design.md SS3.3c.
             def fn(params, images_u8):
+                if images_u8.shape[1] == images_u8.shape[2] == cfg.resolution:
+                    return mobilenet_v1.predict_probs_u8(
+                        params, images_u8, cfg, dtype=self.dtype,
+                        use_pallas_dw=self.use_pallas_dw,
+                        dw_backend=self.dw_backend,
+                    )
                 x = prep.preprocess(images_u8, cfg.resolution, self.dtype)
                 return mobilenet_v1.predict_probs(
                     params, x, cfg, use_pallas_dw=self.use_pallas_dw,

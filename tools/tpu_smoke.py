@@ -92,6 +92,30 @@ def main(quick: bool = False):
             jnp.asarray(pw_w), jnp.asarray(pw_b), cin, cout, True), cout)
         check(f"packed_s2_block h={h} {cin}->{cout}", got, ref, 3e-5)
 
+    # --- stem+block0 mega-kernel (normalize+conv1+dw+pw in one call) --------
+    from mobilenet_tpu.ops.pallas_stem_b0 import stem_block0_fused
+
+    # fp32 fuses only up to 160 (whole-image VMEM; bf16-224 is the routed
+    # throughput case, validated by the e2e bench + probe compiles).
+    for (h, cout) in [(160, 64), (128, 64)]:
+        img = rng.integers(0, 256, (2, h, h, 3), dtype=np.uint8)
+        sw = rng.normal(0, 0.3, (3, 3, 3, 32)).astype(np.float32)
+        sb = rng.normal(0, 0.1, (32,)).astype(np.float32)
+        dw_w = rng.normal(0, 0.5, (3, 3, 1, 32)).astype(np.float32)
+        dw_b = rng.normal(0, 0.2, (32,)).astype(np.float32)
+        pw_w = rng.normal(0, 0.3, (32, cout)).astype(np.float32)
+        pw_b = rng.normal(0, 0.2, (cout,)).astype(np.float32)
+        xf = numpy_ref.preprocess_ref(img)
+        ref = numpy_ref.pointwise_ref(
+            numpy_ref.depthwise_ref(
+                numpy_ref.conv2d_ref(xf, sw, 2, sb, True), dw_w, 1, dw_b, True),
+            pw_w, pw_b, True)
+        got = unpack(stem_block0_fused(
+            jnp.asarray(img), jnp.asarray(sw), jnp.asarray(sb),
+            jnp.asarray(dw_w), jnp.asarray(dw_b),
+            jnp.asarray(pw_w), jnp.asarray(pw_b), cout, True), cout)
+        check(f"stem_b0_mega h={h} 3->32->{cout}", got, ref, 3e-5)
+
     # --- int8 fused block (EXACT) -------------------------------------------
     from mobilenet_tpu import ModelConfig
     from mobilenet_tpu.checkpoints import fold_bn, init_params
