@@ -119,17 +119,22 @@ def forward_i8(
 
 
 def make_int8_infer(q: QuantizedParams, config: ModelConfig, *,
-                    use_pallas_dw: bool = False):
+                    use_pallas_dw: bool = False, use_fused=None):
     """Compiled int8 entry: uint8 images -> float32 logits, preprocessing and
-    input quantization fused into the same program."""
+    input quantization fused into the same program. use_fused=None routes the
+    fused/packed int8 Pallas blocks on TPU (the fast path) and the XLA ops on
+    CPU, mirroring the float pipeline's auto routing."""
     from ..ops import preprocess as prep
     from .quantize import ACT_IN_SCALE
 
+    if use_fused is None:
+        use_fused = jax.default_backend() == "tpu"
     dev = _as_device_tree(q)
 
     def infer(images_u8):
         x = prep.preprocess(images_u8, config.resolution, jnp.float32)
         x_i8 = qops.quantize_input_dev(x, ACT_IN_SCALE)
-        return forward_i8(dev, x_i8, config, use_pallas_dw=use_pallas_dw)
+        return forward_i8(dev, x_i8, config, use_pallas_dw=use_pallas_dw,
+                          use_fused=use_fused)
 
     return jax.jit(infer), dev
