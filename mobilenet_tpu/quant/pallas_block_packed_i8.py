@@ -69,7 +69,12 @@ def _s1_kernel(x_ref, dww_ref, dwb_ref, dwm_ref, pww_ref, pwb_ref, pwm_ref,
             s_ref[:, th + 1 : th + 2, :, :] = jnp.zeros_like(
                 s_ref[:, th + 1 : th + 2, :, :])
 
-    sv = s_ref[...].astype(jnp.int32)  # widen: exact + 32-bit rolls
+    # f32 taps with EXACT int semantics: |x|,|w| <= 127, 9 products + bias
+    # < 2^24, so f32 FMAs produce the same integers as i32 arithmetic
+    # (measured speed parity with i32 mul+add on the VPU; kept for structural
+    # unity with the float kernels). Mosaic can't cast i8->f32 directly;
+    # widen through i32 (rolls are 32-bit either way).
+    sv = s_ref[...].astype(jnp.int32).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 128), 3)
     group = lane // cin
     rolled_l = pltpu.roll(sv, 128 - cin, axis=3)
@@ -78,11 +83,11 @@ def _s1_kernel(x_ref, dww_ref, dwb_ref, dwm_ref, pww_ref, pwb_ref, pwm_ref,
     right_tap = jnp.where(group == 0, _shift_cols(rolled_r, +1), rolled_r)
     taps = (right_tap, sv, left_tap)
 
-    acc = jnp.zeros((bn, th, w4, 128), jnp.int32)
+    acc = jnp.zeros((bn, th, w4, 128), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            acc = acc + taps[dx][:, dy : dy + th] * dww_ref[dy, dx, :].astype(jnp.int32)
-    acc = acc + dwb_ref[0].astype(jnp.int32)
+            acc = acc + taps[dx][:, dy : dy + th] * dww_ref[dy, dx, :].astype(jnp.float32)
+    acc = acc + dwb_ref[0].astype(jnp.float32)
     mid = _requant(acc, dwm_ref[0], dw_six_q, relu6)
 
     out32 = jax.lax.dot_general(
@@ -118,7 +123,7 @@ def _s2_kernel(x_ref, dww_ref, dwb_ref, dwm_ref, pww_ref, pwb_ref, pwm_ref,
             s_ref[:, 2 * th : 2 * th + 2, 0:w4, :] = jnp.zeros_like(
                 s_ref[:, 2 * th : 2 * th + 2, 0:w4, :])
 
-    sv = s_ref[...].astype(jnp.int32)
+    sv = s_ref[...].astype(jnp.int32).astype(jnp.float32)  # f32-exact taps (see _s1_kernel)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 128), 3)
     group = lane // cin
     roll1 = pltpu.roll(sv, 128 - cin, axis=3)
@@ -128,13 +133,13 @@ def _s2_kernel(x_ref, dww_ref, dwb_ref, dwm_ref, pww_ref, pwb_ref, pwm_ref,
     taps = (sv, shift1, shift2)
 
     n_pairs = sv.shape[1] // 2
-    acc = jnp.zeros((bn, th, w4 + 1, 128), jnp.int32)
+    acc = jnp.zeros((bn, th, w4 + 1, 128), jnp.float32)
     for dy in range(3):
         for dx in range(3):
             t = taps[dx].reshape(bn, n_pairs, 2, w4 + 1, 128)[
                 :, dy // 2 : dy // 2 + th, dy % 2]
-            acc = acc + t * dww_ref[dy, dx, :].astype(jnp.int32)
-    acc = acc[:, :, 0:w4, :] + dwb_ref[0].astype(jnp.int32)
+            acc = acc + t * dww_ref[dy, dx, :].astype(jnp.float32)
+    acc = acc[:, :, 0:w4, :] + dwb_ref[0].astype(jnp.float32)
     mid = _requant(acc, dwm_ref[0], dw_six_q, relu6)
 
     out32 = jax.lax.dot_general(
