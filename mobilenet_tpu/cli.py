@@ -98,6 +98,8 @@ def cmd_verify(args):
 
 
 def cmd_bench(args):
+    if getattr(args, "int8", False):
+        return _bench_int8(args)
     pipe = _build_pipeline(args)
     stats = pipe.benchmark(batch_size=args.batch, steps=args.steps)
     stats.update(
@@ -106,6 +108,55 @@ def cmd_bench(args):
         use_pallas_dw=pipe.use_pallas_dw,
     )
     print(json.dumps(stats))
+
+
+def _bench_int8(args):
+    """INT8 fixed-point throughput (the FPGA quantized-path analog,
+    BASELINE.json:10): uint8 images -> quantize -> int8 network."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from .checkpoints import fold_bn, init_params
+    from .config import ModelConfig
+    from .quant import quantize
+    from .quant.model import make_int8_infer
+
+    cfg = ModelConfig(alpha=args.alpha, resolution=args.res)
+    q = quantize(fold_bn(init_params(cfg, seed=args.seed), eps=cfg.bn_eps), cfg)
+    infer, _ = make_int8_infer(q, cfg)
+    rng = np.random.default_rng(0)
+    img = jax.device_put(jnp.asarray(rng.integers(
+        0, 256, (args.batch, cfg.resolution, cfg.resolution, 3), dtype=np.uint8)))
+
+    def sync(o):
+        return np.asarray(o[0, :4])  # fetch-fenced (tunnel-safe) timing
+
+    sync(infer(img))
+    for _ in range(3):
+        out = infer(img)
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        out = infer(img)
+    sync(out)
+    dt = time.perf_counter() - t0
+    lat = []
+    one = img[:1]
+    sync(infer(one))
+    for _ in range(20):
+        t = time.perf_counter()
+        sync(infer(one))
+        lat.append(time.perf_counter() - t)
+    print(json.dumps({
+        "variant": cfg.variant_name(),
+        "dtype": "int8",
+        "images_per_sec": round(args.steps * args.batch / dt, 1),
+        "p50_latency_ms": round(float(np.percentile(lat, 50) * 1e3), 3),
+        "batch_size": args.batch,
+        "steps": args.steps,
+    }))
 
 
 def cmd_sweep(args):
@@ -200,6 +251,8 @@ def main(argv=None):
 
     sp = sub.add_parser("bench")
     sp.add_argument("--steps", type=int, default=40)
+    sp.add_argument("--int8", action="store_true",
+                    help="benchmark the INT8 fixed-point path")
     common(sp)
     sp.set_defaults(fn=cmd_bench)
 
