@@ -118,13 +118,15 @@ def _bench_int8(args):
     import jax
     import jax.numpy as jnp
 
-    from .checkpoints import fold_bn, init_params
+    from .checkpoints import fold_bn, init_params, load_npz
     from .config import ModelConfig
     from .quant import quantize
     from .quant.model import make_int8_infer
 
     cfg = ModelConfig(alpha=args.alpha, resolution=args.res)
-    q = quantize(fold_bn(init_params(cfg, seed=args.seed), eps=cfg.bn_eps), cfg)
+    folded = (load_npz(args.ckpt) if getattr(args, "ckpt", None)
+              else fold_bn(init_params(cfg, seed=args.seed), eps=cfg.bn_eps))
+    q = quantize(folded, cfg)
     infer, _ = make_int8_infer(q, cfg)
     rng = np.random.default_rng(0)
     img = jax.device_put(jnp.asarray(rng.integers(

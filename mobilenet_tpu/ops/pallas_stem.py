@@ -78,6 +78,31 @@ def s2d_pack(x: jax.Array) -> jax.Array:
     return xs.reshape(n, h // 2, (w // 2) * C16 // 128, 128)
 
 
+def build_stem_tap_mats(w: jax.Array, cout: int, dtype) -> jax.Array:
+    """Traced twin of prepare_stem_weights: (3,3,3,Cout) HWIO stem weights ->
+    (4, 128, 8*Cout) block-diagonal packed 2x2-cell tap matrices (tap order
+    (cy,cx) = 00,01,10,11). Shared by stem_conv_packed and the stem+block0
+    mega-kernel so the s2d channel-layout convention lives in ONE place."""
+    wf = w.astype(jnp.float32)
+    w2 = jnp.zeros((2, 2, C16, cout), jnp.float32)
+    for cy in range(2):
+        for hp in range(2):
+            dy = 2 * cy + hp
+            if dy > 2:
+                continue
+            for cx in range(2):
+                for wp in range(2):
+                    dx = 2 * cx + wp
+                    if dx > 2:
+                        continue
+                    w2 = w2.at[cy, cx, (hp * 2 + wp) * 3 : (hp * 2 + wp) * 3 + 3].set(
+                        wf[dy, dx])
+    eye = jnp.eye(R, dtype=dtype)
+    return jnp.stack(
+        [jnp.kron(eye, w2[cy, cx].astype(dtype)) for cy in range(2) for cx in range(2)]
+    )
+
+
 def _stem_kernel(x_ref, w_ref, b_ref, o_ref, s_ref, *, hh, w4, cout, relu6, bn):
     is_first_step = pl.program_id(0) == 0
 
@@ -138,24 +163,7 @@ def stem_conv_packed(
     xp = s2d_pack(x)
     # build the tap matrices on-device (weights may be traced values); the
     # NumPy twin prepare_stem_weights documents/tests the same mapping.
-    wf = w.astype(jnp.float32)
-    w2 = jnp.zeros((2, 2, C16, cout), jnp.float32)
-    for cy in range(2):
-        for hp in range(2):
-            dy = 2 * cy + hp
-            if dy > 2:
-                continue
-            for cx in range(2):
-                for wp in range(2):
-                    dx = 2 * cx + wp
-                    if dx > 2:
-                        continue
-                    w2 = w2.at[cy, cx, (hp * 2 + wp) * 3 : (hp * 2 + wp) * 3 + 3].set(
-                        wf[dy, dx])
-    eye = jnp.eye(R, dtype=x.dtype)
-    wmats = jnp.stack(
-        [jnp.kron(eye, w2[cy, cx].astype(x.dtype)) for cy in range(2) for cx in range(2)]
-    )
+    wmats = build_stem_tap_mats(w, cout, x.dtype)
     bt = jnp.tile(bias.reshape(1, cout), (1, R)).astype(x.dtype)
 
     bn = 1

@@ -31,19 +31,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import PREPROCESS_OFFSET, PREPROCESS_SCALE
 from .pallas_dw import _should_interpret
-from .pallas_stem import C16, R  # 16 s2d channels, 8 pixels per lane vector
+from .pallas_stem import (  # shared s2d layout convention + tap-matrix prep
+    C16, R, build_stem_tap_mats, s2d_pack,
+)
 
 C1 = 32           # stem output channels (alpha=1.0 / padded 0.75)
 STEM_LANES = R * C1  # 256
-
-
-def s2d_pack_u8(images_u8: jax.Array) -> jax.Array:
-    """(N, 224, 224, 3) uint8 -> (N, 112, 14, 128) uint8 s2d-packed."""
-    n, h, w, c = images_u8.shape
-    xs = images_u8.reshape(n, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
-    xs = xs.reshape(n, h // 2, w // 2, 4 * c)
-    xs = jnp.pad(xs, ((0, 0), (0, 0), (0, 0), (0, C16 - 4 * c)))
-    return xs.reshape(n, h // 2, (w // 2) * C16 // 128, 128)
 
 
 def _kernel(x_ref, sw_ref, sb_ref, dww_ref, dwb_ref, pww_ref, pwb_ref,
@@ -154,32 +147,14 @@ def stem_block0_fused(
     w4 = ww * C16 // 128
     out_cols = w4 * (R * cout) // 128
 
-    xp = s2d_pack_u8(images_u8)
+    xp = s2d_pack(images_u8)
 
-    # stem tap matrices (see pallas_stem.prepare_stem_weights for the twin)
-    wf = stem_w.astype(jnp.float32)
-    w2 = jnp.zeros((2, 2, C16, C1), jnp.float32)
-    for cy in range(2):
-        for hp in range(2):
-            dy = 2 * cy + hp
-            if dy > 2:
-                continue
-            for cx in range(2):
-                for wp in range(2):
-                    dx = 2 * cx + wp
-                    if dx > 2:
-                        continue
-                    w2 = w2.at[cy, cx, (hp * 2 + wp) * 3 : (hp * 2 + wp) * 3 + 3].set(
-                        wf[dy, dx])
     dtype = pw_w.dtype
-    eye = jnp.eye(R, dtype=dtype)
-    smats = jnp.stack(
-        [jnp.kron(eye, w2[cy, cx].astype(dtype)) for cy in range(2) for cx in range(2)]
-    )  # (4, 128, 256)
+    smats = build_stem_tap_mats(stem_w, C1, dtype)  # (4, 128, 256)
     sb = jnp.tile(stem_b.reshape(1, C1), (1, R)).astype(dtype)
     dww = jnp.tile(dw_w.reshape(3, 3, C1), (1, 1, R))
     dwb = jnp.tile(dw_b.reshape(1, C1), (1, R))
-    pww = jnp.kron(eye, pw_w)  # (256, 8*Cout)
+    pww = jnp.kron(jnp.eye(R, dtype=dtype), pw_w)  # (256, 8*Cout)
     pwb = jnp.tile(pw_b.reshape(1, cout), (1, R))
 
     bn = 1

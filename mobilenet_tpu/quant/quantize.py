@@ -58,6 +58,19 @@ def _quant_layer(w, b, out_axis, s_in, s_out) -> QuantLayer:
     bias_i32 = np.clip(
         np.rint(np.asarray(b, np.float32) / acc_scale), -(2**31) + 1, 2**31 - 1
     ).astype(np.int32)
+    # Exact-f32-integer precondition for the device kernels: the dw/conv
+    # paths accumulate taps + bias as f32 FMAs (quant/pallas_block*_i8.py,
+    # conv1_i8), which reproduce i32 bit-for-bit ONLY while every partial sum
+    # stays below 2^24. Tap sums are bounded by 27*127*127; guard the bias
+    # here (host-side, once) so a degenerate checkpoint (tiny weight scale ->
+    # huge accumulator-unit bias) fails loudly instead of breaking the
+    # int8 EXACT-equality gate.
+    if np.abs(bias_i32).max(initial=0) > 2**24 - 2 * 27 * 127 * 127:
+        raise ValueError(
+            "quantized bias exceeds the exact-f32-integer accumulation bound "
+            f"(|bias_i32|_max = {np.abs(bias_i32).max()}); this checkpoint's "
+            "weight scale is degenerate for the int8 fixed-point path"
+        )
     m = (acc_scale / np.float32(s_out)).astype(np.float32)
     six_q = np.float32(6.0) / np.float32(s_out)
     return QuantLayer(

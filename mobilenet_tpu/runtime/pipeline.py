@@ -39,6 +39,7 @@ class InferencePipeline:
         dw_backend: Any = None,
         dtype: Any = None,
         mesh: Any = None,
+        fuse_stem: bool = False,
     ):
         """`mesh`: optional jax.sharding.Mesh with a 'data' axis — batches
         shard across it (data-parallel serving over ICI; params replicated,
@@ -59,6 +60,10 @@ class InferencePipeline:
             dw_backend = "auto" if jax.default_backend() == "tpu" else "xla"
         self.dw_backend = dw_backend
         self.mesh = mesh
+        # Opt-in stem mega-kernel (ops.pallas_stem_b0): measured ~10% slower
+        # than pipelined separate stages at 1.0-224 (docs/design.md SS3.3c),
+        # so OFF by default; exposed for A/B and future shapes where it wins.
+        self.fuse_stem = fuse_stem
         host_params = params if params is not None else fold_bn(
             init_params(config, seed=seed), eps=config.bn_eps
         )
@@ -96,11 +101,12 @@ class InferencePipeline:
             # can also subsume preprocess into the stem mega-kernel
             # (fuse_stem=True), measured slower — docs/design.md SS3.3c.
             def fn(params, images_u8):
-                if images_u8.shape[1] == images_u8.shape[2] == cfg.resolution:
+                if (self.fuse_stem
+                        and images_u8.shape[1] == images_u8.shape[2] == cfg.resolution):
                     return mobilenet_v1.predict_probs_u8(
                         params, images_u8, cfg, dtype=self.dtype,
                         use_pallas_dw=self.use_pallas_dw,
-                        dw_backend=self.dw_backend,
+                        dw_backend=self.dw_backend, fuse_stem=True,
                     )
                 x = prep.preprocess(images_u8, cfg.resolution, self.dtype)
                 return mobilenet_v1.predict_probs(

@@ -62,3 +62,19 @@ def test_forward_u8_routing_matches_xla():
         params, prep.preprocess(img, cfg.resolution), cfg, dw_backend="xla"
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-3)
+
+
+def test_pipeline_fuse_stem_plumbing():
+    """InferencePipeline(fuse_stem=True) must route probs_u8 through the
+    mega-kernel path and match the default pipeline."""
+    from mobilenet_tpu import ModelConfig
+    from mobilenet_tpu.runtime.pipeline import InferencePipeline
+
+    cfg = ModelConfig(alpha=1.0, resolution=128)
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (2, 128, 128, 3), dtype=np.uint8)
+    base = InferencePipeline(cfg, seed=2, dw_backend="fused", dtype=jnp.float32)
+    fused = InferencePipeline(cfg, seed=2, dw_backend="fused",
+                              dtype=jnp.float32, fuse_stem=True)
+    np.testing.assert_allclose(
+        fused.run_batch(img), base.run_batch(img), atol=1e-5, rtol=1e-4)
