@@ -220,6 +220,7 @@ def cmd_serve(args):
     serve_main(
         alpha=args.alpha, res=args.res, dtype=args.dtype,
         streams=args.streams, port=args.port, seed=args.seed,
+        int8=getattr(args, "int8", False),
     )
 
 
@@ -271,6 +272,8 @@ def main(argv=None):
     sp = sub.add_parser("serve")
     sp.add_argument("--streams", type=int, default=64)
     sp.add_argument("--port", type=int, default=8000)
+    sp.add_argument("--int8", action="store_true",
+                    help="serve the INT8 fixed-point path")
     common(sp, 32)
     sp.set_defaults(fn=cmd_serve)
 

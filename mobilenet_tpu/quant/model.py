@@ -118,6 +118,30 @@ def forward_i8(
     return logits
 
 
+class Int8Pipeline:
+    """Pipeline-shaped adapter over the int8 network: exposes the
+    `run_batch(uint8) -> probs` + `.config` surface MicroBatchServer needs,
+    so multi-stream serving can run the quantized path (the reference served
+    its fixed-point FPGA pipeline; SURVEY.md SS2 C7/C12)."""
+
+    def __init__(self, config: ModelConfig, *, seed: int = 0, params=None,
+                 use_fused=None):
+        from ..checkpoints import fold_bn, init_params
+
+        self.config = config
+        folded = params if params is not None else fold_bn(
+            init_params(config, seed=seed), eps=config.bn_eps)
+        from .quantize import quantize
+
+        self.q = quantize(folded, config)
+        self._infer, self._dev = make_int8_infer(self.q, config,
+                                                 use_fused=use_fused)
+
+    def run_batch(self, images_u8):
+        logits = self._infer(jnp.asarray(images_u8))
+        return np.asarray(jax.nn.softmax(logits, axis=-1))
+
+
 def make_int8_infer(q: QuantizedParams, config: ModelConfig, *,
                     use_pallas_dw: bool = False, use_fused=None):
     """Compiled int8 entry: uint8 images -> float32 logits, preprocessing and

@@ -203,11 +203,18 @@ async def selftest(server: MicroBatchServer, streams: int = 64,
 
 
 def serve_main(alpha: float, res: int, dtype: str, streams: int, port: int,
-               seed: int = 0, selftest_only: bool = True):
-    from .pipeline import InferencePipeline
-
+               seed: int = 0, selftest_only: bool = True, int8: bool = False):
     cfg = ModelConfig(alpha=alpha, resolution=res, compute_dtype=dtype)
-    pipe = InferencePipeline(cfg, seed=seed)
+    if int8:
+        # Quantized serving — the reference's multi-stream mode ran its
+        # fixed-point FPGA pipeline (SURVEY.md SS2 C7/C12).
+        from ..quant.model import Int8Pipeline
+
+        pipe = Int8Pipeline(cfg, seed=seed)
+    else:
+        from .pipeline import InferencePipeline
+
+        pipe = InferencePipeline(cfg, seed=seed)
 
     async def run():
         server = MicroBatchServer(pipe, max_batch=streams)

@@ -67,3 +67,22 @@ def test_results_match_direct_batch(pipe):
     probs = pipe.run_batch(img[None])[0]
     idx = np.argsort(-probs)[:3]
     assert [c for c, _ in out] == [int(i) for i in idx]
+
+
+def test_int8_serving_selftest():
+    """Quantized multi-stream serving (reference analog: the FPGA fixed-point
+    pipeline under the 64-stream host loop, SURVEY.md SS2 C7/C12)."""
+    from mobilenet_tpu.quant.model import Int8Pipeline
+
+    pipe = Int8Pipeline(ModelConfig(alpha=0.25, resolution=128), seed=0)
+
+    async def run():
+        server = MicroBatchServer(pipe, max_batch=8, max_delay_ms=5.0)
+        await server.start()
+        stats = await selftest(server, streams=16, requests_per_stream=2)
+        await server.close()
+        return stats
+
+    stats = asyncio.run(run())
+    assert stats["requests"] == 32
+    assert stats["errors"] == 0
