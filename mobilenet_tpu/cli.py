@@ -182,6 +182,22 @@ def cmd_sweep(args):
     return results
 
 
+def cmd_autotune(args):
+    """Race the dw backends e2e on the current device (runtime.autotune)."""
+    from .config import ModelConfig
+    from .runtime.autotune import autotune_backend
+
+    cfg = ModelConfig(alpha=args.alpha, resolution=args.res,
+                      compute_dtype=args.dtype)
+    best, results = autotune_backend(cfg, batch_size=args.batch,
+                                     steps=args.steps, seed=args.seed)
+    print(json.dumps({
+        "variant": cfg.variant_name(),
+        "best": best,
+        "images_per_sec": {k: round(v, 1) for k, v in results.items()},
+    }))
+
+
 def cmd_export(args):
     """Weight export (reference analog: C9, SURVEY.md SS2): raw -> folded ->
     int8 flat .npz files with documented layouts."""
@@ -263,6 +279,11 @@ def main(argv=None):
     sp.add_argument("--steps", type=int, default=20)
     common(sp, 256)
     sp.set_defaults(fn=cmd_sweep)
+
+    sp = sub.add_parser("autotune")
+    sp.add_argument("--steps", type=int, default=10)
+    common(sp)
+    sp.set_defaults(fn=cmd_autotune)
 
     sp = sub.add_parser("export")
     sp.add_argument("--out", default="checkpoints_out")

@@ -61,8 +61,9 @@ def forward(
       config: static model config (jit static arg).
       use_pallas_dw: legacy toggle — route all dw layers through the Pallas
         channel-tiled kernel instead of XLA grouped conv.
-      dw_backend: a name from DW_BACKENDS or a per-block tuple of names
-        (the routing table produced by runtime.autotune).
+      dw_backend: a name from DW_BACKENDS (e.g. measured for the current
+        device via runtime.autotune.autotune_backend), "auto" for the
+        measured v5e defaults, or a per-block tuple of names.
       collect: also return every post-activation tensor, keyed by layer name —
         the per-layer oracle tap (reference analog: per-layer clEnqueueReadBuffer
         in verify mode, SURVEY.md SS3.2).

@@ -63,3 +63,15 @@ def test_run_report_json():
     assert doc["variant"] == "mobilenet_v1_0.25_128"
     assert doc["model_macs_per_image"] > 1e7
     assert 0 <= doc["mxu_utilization"] < 1
+
+
+def test_autotune_backend_cpu():
+    """runtime.autotune races backends e2e and returns a valid routing name."""
+    from mobilenet_tpu import ModelConfig
+    from mobilenet_tpu.models.mobilenet_v1 import DW_BACKENDS
+    from mobilenet_tpu.runtime.autotune import autotune_backend
+
+    best, results = autotune_backend(
+        ModelConfig(alpha=0.25, resolution=128), batch_size=2, steps=1)
+    assert best in DW_BACKENDS
+    assert results[best] > 0
