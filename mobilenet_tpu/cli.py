@@ -162,13 +162,17 @@ def _bench_int8(args):
 
 
 def cmd_sweep(args):
-    """The alpha x resolution grid of BASELINE.json:8."""
+    """The alpha x resolution grid of BASELINE.json:8 (filterable so long
+    TPU sweeps can run in chunks)."""
     from .config import ALPHAS, RESOLUTIONS, ModelConfig
     from .runtime.pipeline import InferencePipeline
 
+    alphas = [float(a) for a in args.alphas.split(",")] if args.alphas else ALPHAS
+    resolutions = ([int(r) for r in args.resolutions.split(",")]
+                   if args.resolutions else RESOLUTIONS)
     results = []
-    for alpha in ALPHAS:
-        for res in RESOLUTIONS:
+    for alpha in alphas:
+        for res in resolutions:
             cfg = ModelConfig(alpha=alpha, resolution=res, compute_dtype=args.dtype)
             pipe = InferencePipeline(cfg, seed=args.seed)
             stats = pipe.benchmark(batch_size=args.batch, steps=args.steps)
@@ -277,6 +281,8 @@ def main(argv=None):
 
     sp = sub.add_parser("sweep")
     sp.add_argument("--steps", type=int, default=20)
+    sp.add_argument("--alphas", default=None, help="comma list, e.g. 0.25,0.5")
+    sp.add_argument("--resolutions", default=None, help="comma list, e.g. 128,224")
     common(sp, 256)
     sp.set_defaults(fn=cmd_sweep)
 
