@@ -52,7 +52,19 @@ def cmd_classify(args):
             "bilinear",
         )
     ).astype(np.uint8)
-    top = pipe.classify(img_r, top_k=args.top_k)
+    if getattr(args, "int8", False):
+        from .checkpoints import load_npz
+        from .quant.model import Int8Pipeline
+
+        qpipe = Int8Pipeline(
+            pipe.config, seed=args.seed,
+            params=load_npz(args.ckpt) if getattr(args, "ckpt", None) else None,
+        )
+        probs = qpipe.run_batch(img_r[None])[0]
+        idx = np.argsort(-probs)[: args.top_k]
+        top = [(int(i), float(probs[i])) for i in idx]
+    else:
+        top = pipe.classify(img_r, top_k=args.top_k)
     for rank, (cls, prob) in enumerate(top, 1):
         print(f"top-{rank}: class {cls}  p={prob:.4f}")
 
@@ -263,6 +275,8 @@ def main(argv=None):
     sp = sub.add_parser("classify")
     sp.add_argument("image")
     sp.add_argument("--top-k", type=int, default=5)
+    sp.add_argument("--int8", action="store_true",
+                    help="classify with the INT8 fixed-point path")
     common(sp, 1)
     sp.set_defaults(fn=cmd_classify)
 
