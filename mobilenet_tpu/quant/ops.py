@@ -49,24 +49,34 @@ def pointwise_i8(x_i8: jax.Array, w_i8: jax.Array, bias_i32: jax.Array,
 
 def depthwise_i8_xla(x_i8: jax.Array, w_i8: jax.Array, bias_i32: jax.Array,
                      m: jax.Array, six_q, stride: int, relu6: bool = True) -> jax.Array:
-    """Depthwise int8 fallback: exact integer accumulation in float32.
+    """Depthwise int8 fallback: explicit 9-tap f32 FMAs — exact integers.
 
     Products are <= 127*127 and the 9-tap sum + bias stays far below 2^24, so
-    float32 tap accumulation is exact integer arithmetic. Used on CPU and as
-    the non-Pallas reference path; Precision.HIGHEST keeps true-fp32 math.
+    float32 tap accumulation is exact integer arithmetic in ANY order. The
+    taps are written as shifted slices, NOT lax.conv: XLA's f32 grouped conv
+    on TPU is not bit-reliable even at Precision.HIGHEST (measured: 2502/4096
+    outputs off by +-1 ULP-level conv error, plus NaNs, at c=8 h=16 — enough
+    to flip the post-requant integer). Used on CPU and as the non-Pallas
+    reference path; perf-insensitive (the fused Pallas kernels are the fast
+    path).
     """
-    c = x_i8.shape[-1]
-    y = lax.conv_general_dilated(
-        x_i8.astype(jnp.float32),
-        w_i8.astype(jnp.float32),
-        window_strides=(stride, stride),
-        padding="SAME",
-        dimension_numbers=_DIMS,
-        feature_group_count=c,
-        precision=lax.Precision.HIGHEST,
-    )
-    acc = y.astype(jnp.int32) + bias_i32
-    return requantize(acc, m, six_q, relu6)
+    from ..oracle.numpy_ref import same_pad  # noqa: PLC0415 (shared semantics)
+
+    n, h, w, c = x_i8.shape
+    h_out, w_out = -(-h // stride), -(-w // stride)
+    lo_h, hi_h = same_pad(h, stride, 3)
+    lo_w, hi_w = same_pad(w, stride, 3)
+    xp = jnp.pad(x_i8.astype(jnp.float32),
+                 ((0, 0), (lo_h, hi_h), (lo_w, hi_w), (0, 0)))
+    wf = w_i8.astype(jnp.float32)
+    acc = jnp.zeros((n, h_out, w_out, c), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            patch = xp[:, dy : dy + h_out * stride : stride,
+                       dx : dx + w_out * stride : stride, :]
+            acc = acc + patch * wf[dy, dx, 0]
+    acc_i32 = acc.astype(jnp.int32) + bias_i32
+    return requantize(acc_i32, m, six_q, relu6)
 
 
 def conv1_i8(x_i8: jax.Array, w_i8: jax.Array, bias_i32: jax.Array,
