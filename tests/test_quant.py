@@ -152,3 +152,25 @@ def test_fused_i8_full_model_with_packed_exact(setup):
     ref = jax.jit(lambda v: forward_i8(dev, v, cfg))(jnp.asarray(xi))
     got = jax.jit(lambda v: forward_i8(dev, v, cfg, use_fused=True))(jnp.asarray(xi))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("stride,h,c", [(1, 16, 8), (2, 16, 8), (1, 15, 24), (2, 14, 64)])
+def test_depthwise_i8_xla_exact(rng, stride, h, c):
+    """The non-Pallas dw fallback must be integer-exact for any shape/stride —
+    it is the collect/verify-path op, and XLA's grouped conv on TPU was
+    measured NOT bit-reliable (docs/design.md), hence the explicit-tap form."""
+    import jax.numpy as jnp
+
+    from mobilenet_tpu.quant import ops as qops
+    from mobilenet_tpu.quant import oracle as qoracle
+
+    xi = rng.integers(-127, 128, (2, h, h, c)).astype(np.int8)
+    w = rng.integers(-127, 128, (3, 3, 1, c)).astype(np.int8)
+    b = rng.integers(-5000, 5000, (c,)).astype(np.int32)
+    m = rng.uniform(0.001, 0.01, (c,)).astype(np.float32)
+    six_q = np.float32(127.0)
+    ref = qoracle.dw3x3_i8(xi, w, b, m, six_q, stride)
+    got = np.asarray(qops.depthwise_i8_xla(
+        jnp.asarray(xi), jnp.asarray(w), jnp.asarray(b), jnp.asarray(m),
+        float(six_q), stride, True))
+    np.testing.assert_array_equal(got, ref)
