@@ -125,24 +125,31 @@ def cmd_bench(args):
 def _bench_int8(args):
     """INT8 fixed-point throughput (the FPGA quantized-path analog,
     BASELINE.json:10): uint8 images -> quantize -> int8 network."""
+    from .config import ModelConfig
+
+    cfg = ModelConfig(alpha=args.alpha, resolution=args.res)
+    stats = _int8_throughput(cfg, args.batch, args.steps, args.seed,
+                             ckpt=getattr(args, "ckpt", None))
+    print(json.dumps(stats))
+
+
+def _int8_throughput(cfg, batch, steps, seed, ckpt=None, latency=True):
+    """Fetch-fenced int8 throughput (+ optional batch-1 p50) for one config."""
     import time
 
     import jax
     import jax.numpy as jnp
 
     from .checkpoints import fold_bn, init_params, load_npz
-    from .config import ModelConfig
-    from .quant import quantize
-    from .quant.model import make_int8_infer
+    from .quant.model import make_int8_infer, quantize_for_device
 
-    cfg = ModelConfig(alpha=args.alpha, resolution=args.res)
-    folded = (load_npz(args.ckpt) if getattr(args, "ckpt", None)
-              else fold_bn(init_params(cfg, seed=args.seed), eps=cfg.bn_eps))
-    q = quantize(folded, cfg)
+    folded = (load_npz(ckpt) if ckpt
+              else fold_bn(init_params(cfg, seed=seed), eps=cfg.bn_eps))
+    q = quantize_for_device(folded, cfg)
     infer, _ = make_int8_infer(q, cfg)
     rng = np.random.default_rng(0)
     img = jax.device_put(jnp.asarray(rng.integers(
-        0, 256, (args.batch, cfg.resolution, cfg.resolution, 3), dtype=np.uint8)))
+        0, 256, (batch, cfg.resolution, cfg.resolution, 3), dtype=np.uint8)))
 
     def sync(o):
         return np.asarray(o[0, :4])  # fetch-fenced (tunnel-safe) timing
@@ -152,25 +159,27 @@ def _bench_int8(args):
         out = infer(img)
     sync(out)
     t0 = time.perf_counter()
-    for _ in range(args.steps):
+    for _ in range(steps):
         out = infer(img)
     sync(out)
     dt = time.perf_counter() - t0
-    lat = []
-    one = img[:1]
-    sync(infer(one))
-    for _ in range(20):
-        t = time.perf_counter()
-        sync(infer(one))
-        lat.append(time.perf_counter() - t)
-    print(json.dumps({
+    stats = {
         "variant": cfg.variant_name(),
         "dtype": "int8",
-        "images_per_sec": round(args.steps * args.batch / dt, 1),
-        "p50_latency_ms": round(float(np.percentile(lat, 50) * 1e3), 3),
-        "batch_size": args.batch,
-        "steps": args.steps,
-    }))
+        "images_per_sec": round(steps * batch / dt, 1),
+        "batch_size": batch,
+        "steps": steps,
+    }
+    if latency:
+        lat = []
+        one = img[:1]
+        sync(infer(one))
+        for _ in range(20):
+            t = time.perf_counter()
+            sync(infer(one))
+            lat.append(time.perf_counter() - t)
+        stats["p50_latency_ms"] = round(float(np.percentile(lat, 50) * 1e3), 3)
+    return stats
 
 
 def cmd_sweep(args):
@@ -186,6 +195,12 @@ def cmd_sweep(args):
     for alpha in alphas:
         for res in resolutions:
             cfg = ModelConfig(alpha=alpha, resolution=res, compute_dtype=args.dtype)
+            if getattr(args, "int8", False):
+                row = _int8_throughput(cfg, args.batch, args.steps, args.seed,
+                                       latency=False)
+                results.append(row)
+                print(json.dumps(row), flush=True)
+                continue
             pipe = InferencePipeline(cfg, seed=args.seed)
             stats = pipe.benchmark(batch_size=args.batch, steps=args.steps)
             row = {
@@ -297,6 +312,8 @@ def main(argv=None):
     sp.add_argument("--steps", type=int, default=20)
     sp.add_argument("--alphas", default=None, help="comma list, e.g. 0.25,0.5")
     sp.add_argument("--resolutions", default=None, help="comma list, e.g. 128,224")
+    sp.add_argument("--int8", action="store_true",
+                    help="sweep the INT8 fixed-point path")
     common(sp, 256)
     sp.set_defaults(fn=cmd_sweep)
 

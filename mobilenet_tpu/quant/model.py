@@ -118,6 +118,27 @@ def forward_i8(
     return logits
 
 
+def quantize_for_device(folded, config: ModelConfig, use_fused=None):
+    """Quantize with the device-routing channel-padding pass applied.
+
+    Mirrors InferencePipeline: alpha=0.75-style channel counts (24/48/96)
+    divide neither 128 nor any lane group, so the packed int8 kernels can't
+    apply and those configs fall to slow paths (measured: 0.75-224 int8 ran
+    10.3k img/s vs 24.2k bf16 before padding). Zero-padded channels quantize
+    to zero weights/bias and stay exactly zero through every requant, so
+    logits are unchanged bit-for-bit."""
+    from .quantize import quantize as _quantize
+
+    if use_fused is None:
+        use_fused = jax.default_backend() == "tpu"
+    if use_fused:
+        from ..checkpoints.padding import needs_padding, pad_channels
+
+        if needs_padding(folded):
+            folded = pad_channels(folded)
+    return _quantize(folded, config)
+
+
 class Int8Pipeline:
     """Pipeline-shaped adapter over the int8 network: exposes the
     `run_batch(uint8) -> probs` + `.config` surface MicroBatchServer needs,
@@ -131,9 +152,7 @@ class Int8Pipeline:
         self.config = config
         folded = params if params is not None else fold_bn(
             init_params(config, seed=seed), eps=config.bn_eps)
-        from .quantize import quantize
-
-        self.q = quantize(folded, config)
+        self.q = quantize_for_device(folded, config, use_fused=use_fused)
         self._infer, self._dev = make_int8_infer(self.q, config,
                                                  use_fused=use_fused)
 

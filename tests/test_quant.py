@@ -174,3 +174,31 @@ def test_depthwise_i8_xla_exact(rng, stride, h, c):
         jnp.asarray(xi), jnp.asarray(w), jnp.asarray(b), jnp.asarray(m),
         float(six_q), stride, True))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_int8_channel_padding_exact_logits(rng):
+    """quantize_for_device's channel-padding (alpha=0.75 family) must leave
+    int8 logits bit-identical: zero-padded channels quantize to zero
+    weights/bias and stay zero through every requant."""
+    import jax
+    import jax.numpy as jnp
+
+    from mobilenet_tpu import ModelConfig
+    from mobilenet_tpu.checkpoints import fold_bn, init_params
+    from mobilenet_tpu.quant import quantize
+    from mobilenet_tpu.quant.model import (
+        _as_device_tree, forward_i8, quantize_for_device,
+    )
+    from mobilenet_tpu.quant.quantize import quantize_input
+
+    cfg = ModelConfig(alpha=0.75, resolution=128)
+    folded = fold_bn(init_params(cfg, seed=6), eps=cfg.bn_eps)
+    x = rng.uniform(-1, 1, (2, 128, 128, 3)).astype(np.float32)
+    x_i8 = jnp.asarray(quantize_input(x))
+
+    base = _as_device_tree(quantize(folded, cfg))
+    padded = _as_device_tree(quantize_for_device(folded, cfg, use_fused=True))
+    ref = np.asarray(jax.jit(lambda v: forward_i8(base, v, cfg))(x_i8))
+    got = np.asarray(jax.jit(
+        lambda v: forward_i8(padded, v, cfg, use_fused=True))(x_i8))
+    np.testing.assert_array_equal(got, ref)
