@@ -38,9 +38,11 @@ def _build_pipeline(args, dtype=None):
 
 
 def cmd_classify(args):
+    from .config import ModelConfig
     from .ops.preprocess import decode_image_host
 
-    pipe = _build_pipeline(args)
+    cfg = ModelConfig(alpha=args.alpha, resolution=args.res,
+                      compute_dtype=args.dtype)
     img = decode_image_host(args.image)
     # Host decode only; resize + normalize run on device in the jitted graph.
     import jax.image, jax.numpy as jnp
@@ -48,7 +50,7 @@ def cmd_classify(args):
     img_r = np.asarray(
         jax.image.resize(
             jnp.asarray(img, jnp.float32),
-            (pipe.config.resolution, pipe.config.resolution, 3),
+            (cfg.resolution, cfg.resolution, 3),
             "bilinear",
         )
     ).astype(np.uint8)
@@ -57,14 +59,14 @@ def cmd_classify(args):
         from .quant.model import Int8Pipeline
 
         qpipe = Int8Pipeline(
-            pipe.config, seed=args.seed,
+            cfg, seed=args.seed,
             params=load_npz(args.ckpt) if getattr(args, "ckpt", None) else None,
         )
         probs = qpipe.run_batch(img_r[None])[0]
         idx = np.argsort(-probs)[: args.top_k]
         top = [(int(i), float(probs[i])) for i in idx]
     else:
-        top = pipe.classify(img_r, top_k=args.top_k)
+        top = _build_pipeline(args).classify(img_r, top_k=args.top_k)
     for rank, (cls, prob) in enumerate(top, 1):
         print(f"top-{rank}: class {cls}  p={prob:.4f}")
 
@@ -134,19 +136,21 @@ def _bench_int8(args):
 
 
 def _int8_throughput(cfg, batch, steps, seed, ckpt=None, latency=True):
-    """Fetch-fenced int8 throughput (+ optional batch-1 p50) for one config."""
+    """Fetch-fenced int8 throughput (+ optional batch-1 p50) for one config.
+
+    Built on Int8Pipeline so bench measures exactly what classify/serve
+    --int8 run (one construction path for padding/quantization/routing)."""
     import time
 
     import jax
     import jax.numpy as jnp
 
-    from .checkpoints import fold_bn, init_params, load_npz
-    from .quant.model import make_int8_infer, quantize_for_device
+    from .checkpoints import load_npz
+    from .quant.model import Int8Pipeline
 
-    folded = (load_npz(ckpt) if ckpt
-              else fold_bn(init_params(cfg, seed=seed), eps=cfg.bn_eps))
-    q = quantize_for_device(folded, cfg)
-    infer, _ = make_int8_infer(q, cfg)
+    pipe = Int8Pipeline(cfg, seed=seed,
+                        params=load_npz(ckpt) if ckpt else None)
+    infer = pipe._infer
     rng = np.random.default_rng(0)
     img = jax.device_put(jnp.asarray(rng.integers(
         0, 256, (batch, cfg.resolution, cfg.resolution, 3), dtype=np.uint8)))
@@ -197,6 +201,7 @@ def cmd_sweep(args):
             cfg = ModelConfig(alpha=alpha, resolution=res, compute_dtype=args.dtype)
             if getattr(args, "int8", False):
                 row = _int8_throughput(cfg, args.batch, args.steps, args.seed,
+                                       ckpt=getattr(args, "ckpt", None),
                                        latency=False)
                 results.append(row)
                 print(json.dumps(row), flush=True)

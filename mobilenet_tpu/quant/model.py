@@ -155,10 +155,13 @@ class Int8Pipeline:
         self.q = quantize_for_device(folded, config, use_fused=use_fused)
         self._infer, self._dev = make_int8_infer(self.q, config,
                                                  use_fused=use_fused)
+        # softmax folded into the jitted program (jit-of-jit inlines) — no
+        # per-batch eager dispatches on the serving hot path.
+        self._probs = jax.jit(
+            lambda imgs: jax.nn.softmax(self._infer(imgs), axis=-1))
 
     def run_batch(self, images_u8):
-        logits = self._infer(jnp.asarray(images_u8))
-        return np.asarray(jax.nn.softmax(logits, axis=-1))
+        return np.asarray(self._probs(jnp.asarray(images_u8)))
 
 
 def make_int8_infer(q: QuantizedParams, config: ModelConfig, *,

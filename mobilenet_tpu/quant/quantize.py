@@ -52,24 +52,25 @@ def _quant_weight(w: np.ndarray, out_axis: int):
     return w_i8, s_w
 
 
-def _quant_layer(w, b, out_axis, s_in, s_out) -> QuantLayer:
+def _quant_layer(w, b, out_axis, s_in, s_out, f32_bias_bound=False) -> QuantLayer:
     w_i8, s_w = _quant_weight(np.asarray(w, np.float32), out_axis)
     acc_scale = (np.float32(s_in) * s_w).astype(np.float32)
     bias_i32 = np.clip(
         np.rint(np.asarray(b, np.float32) / acc_scale), -(2**31) + 1, 2**31 - 1
     ).astype(np.int32)
-    # Exact-f32-integer precondition for the device kernels: the dw/conv
-    # paths accumulate taps + bias as f32 FMAs (quant/pallas_block*_i8.py,
-    # conv1_i8), which reproduce i32 bit-for-bit ONLY while every partial sum
-    # stays below 2^24. Tap sums are bounded by 27*127*127; guard the bias
-    # here (host-side, once) so a degenerate checkpoint (tiny weight scale ->
-    # huge accumulator-unit bias) fails loudly instead of breaking the
+    # Exact-f32-integer precondition, DW LAYERS ONLY: the fused Pallas dw
+    # kernels add bias into the f32 tap accumulator
+    # (quant/pallas_block*_i8.py), which reproduces i32 bit-for-bit ONLY
+    # while every partial sum stays below 2^24 (tap sums <= 9*127*127).
+    # pw/fc/conv1 add bias in native int32 and carry no such bound. Guard
+    # host-side, once, so a degenerate checkpoint (tiny weight scale -> huge
+    # accumulator-unit bias) fails loudly instead of silently breaking the
     # int8 EXACT-equality gate.
-    if np.abs(bias_i32).max(initial=0) > 2**24 - 2 * 27 * 127 * 127:
+    if f32_bias_bound and np.abs(bias_i32).max(initial=0) > 2**24 - 2 * 9 * 127 * 127:
         raise ValueError(
-            "quantized bias exceeds the exact-f32-integer accumulation bound "
-            f"(|bias_i32|_max = {np.abs(bias_i32).max()}); this checkpoint's "
-            "weight scale is degenerate for the int8 fixed-point path"
+            "quantized dw bias exceeds the exact-f32-integer accumulation "
+            f"bound (|bias_i32|_max = {np.abs(bias_i32).max()}); this "
+            "checkpoint's weight scale is degenerate for the int8 fixed-point path"
         )
     m = (acc_scale / np.float32(s_out)).astype(np.float32)
     six_q = np.float32(6.0) / np.float32(s_out)
@@ -104,6 +105,7 @@ def quantize(folded_params: Dict[str, Any], config: ModelConfig) -> QuantizedPar
                 "dw": _quant_layer(
                     blk["dw"]["w"], blk["dw"]["b"], out_axis=3,
                     s_in=ACT_HIDDEN_SCALE, s_out=ACT_HIDDEN_SCALE,
+                    f32_bias_bound=True,
                 ),
                 "pw": _quant_layer(
                     blk["pw"]["w"], blk["pw"]["b"], out_axis=1,
