@@ -2,7 +2,10 @@
 check against the oracles (the rebuild's analog of the reference's `hw` run,
 SURVEY.md SS4). Exits nonzero on any failure.
 
-Usage: python tools/tpu_smoke.py [--quick]
+Usage: python tools/tpu_smoke.py [--quick] [--only SUBSTR]
+
+The full run needs >10 min of remote compiles; `--only` filters check names
+(substring match) so sections can run in chunks.
 """
 
 import os
@@ -15,11 +18,14 @@ import jax
 import jax.numpy as jnp
 
 
-def main(quick: bool = False):
+def main(quick: bool = False, only: str = ""):
     assert jax.default_backend() == "tpu", jax.default_backend()
     print("device:", jax.devices(), flush=True)
     rng = np.random.default_rng(0)
     failures = []
+
+    def want(name):
+        return only in name
 
     def check(name, got, ref, tol):
         err = np.abs(np.asarray(got, np.float32) - np.asarray(ref, np.float32)).max()
@@ -40,7 +46,7 @@ def main(quick: bool = False):
     shapes = [(112, 32, 1), (112, 64, 2), (14, 512, 1), (7, 1024, 1)]
     if quick:
         shapes = shapes[:2]
-    for h, c, s in shapes:
+    for h, c, s in shapes if want("pallas_dw") else []:
         x = jnp.asarray(rng.uniform(-2, 2, (2, h, h, c)), jnp.float32)
         w = jnp.asarray(rng.normal(0, 0.5, (3, 3, 1, c)), jnp.float32)
         b = jnp.asarray(rng.normal(0, 0.2, (c,)), jnp.float32)
@@ -49,7 +55,8 @@ def main(quick: bool = False):
               depthwise_conv_xla(x, w, s, b, True), 0.0)
 
     # --- fused block (fp32 vs oracle) --------------------------------------
-    for (h, cin, cout, s) in [(56, 128, 128, 1), (28, 256, 512, 2), (7, 1024, 1024, 1)]:
+    for (h, cin, cout, s) in ([(56, 128, 128, 1), (28, 256, 512, 2), (7, 1024, 1024, 1)]
+                              if want("fused_block") else []):
         x = rng.uniform(-1, 1, (2, h, h, cin)).astype(np.float32)
         dw_w = rng.normal(0, 0.5, (3, 3, 1, cin)).astype(np.float32)
         dw_b = rng.normal(0, 0.2, (cin,)).astype(np.float32)
@@ -63,7 +70,7 @@ def main(quick: bool = False):
         check(f"fused_block h={h} {cin}->{cout} s={s}", got, ref, 3e-5)
 
     # --- packed fused block ------------------------------------------------
-    for (h, cin, cout) in [(112, 32, 64), (16, 8, 16)]:
+    for (h, cin, cout) in [(112, 32, 64), (16, 8, 16)] if want("packed_block") else []:
         x = rng.uniform(-1, 1, (2, h, h, cin)).astype(np.float32)
         dw_w = rng.normal(0, 0.5, (3, 3, 1, cin)).astype(np.float32)
         dw_b = rng.normal(0, 0.2, (cin,)).astype(np.float32)
@@ -79,7 +86,8 @@ def main(quick: bool = False):
     # --- packed stride-2 block ----------------------------------------------
     from mobilenet_tpu.ops.pallas_block_packed import separable_block_packed_s2, unpack
 
-    for (h, cin, cout) in [(112, 64, 128), (32, 32, 64)]:
+    for (h, cin, cout) in ([(112, 64, 128), (32, 32, 64)]
+                           if want("packed_s2") else []):
         x = rng.uniform(-1, 1, (2, h, h, cin)).astype(np.float32)
         dw_w = rng.normal(0, 0.5, (3, 3, 1, cin)).astype(np.float32)
         dw_b = rng.normal(0, 0.2, (cin,)).astype(np.float32)
@@ -97,7 +105,7 @@ def main(quick: bool = False):
 
     # fp32 fuses only up to 160 (whole-image VMEM; bf16-224 is the routed
     # throughput case, validated by the e2e bench + probe compiles).
-    for (h, cout) in [(160, 64), (128, 64)]:
+    for (h, cout) in [(160, 64), (128, 64)] if want("stem_b0") else []:
         img = rng.integers(0, 256, (2, h, h, 3), dtype=np.uint8)
         sw = rng.normal(0, 0.3, (3, 3, 3, 32)).astype(np.float32)
         sb = rng.normal(0, 0.1, (32,)).astype(np.float32)
@@ -124,7 +132,7 @@ def main(quick: bool = False):
 
     cfg = ModelConfig(alpha=0.25, resolution=128)
     q = quantize(fold_bn(init_params(cfg, 5), eps=cfg.bn_eps), cfg)
-    for bi, stride in ((3, 2), (4, 1)):
+    for bi, stride in ((3, 2), (4, 1)) if want("i8_fused") else ():
         d, p = q.blocks[bi]["dw"], q.blocks[bi]["pw"]
         c = d.w_i8.shape[-1]
         xi = rng.integers(-127, 128, (2, 16, 16, c)).astype(np.int8)
@@ -140,9 +148,57 @@ def main(quick: bool = False):
         if not exact:
             failures.append(f"i8_fused b{bi}")
 
+    # --- packed int8 blocks (EXACT; covers the f32-tap rewrite) -------------
+    if want("i8_packed"):
+        from mobilenet_tpu.ops.pallas_block_packed import pack as _pack, unpack as _unpack
+        from mobilenet_tpu.quant.pallas_block_packed_i8 import separable_block_packed_i8
+
+        cfgp = ModelConfig(alpha=1.0, resolution=224)
+        qp = quantize(fold_bn(init_params(cfgp, 3), eps=cfgp.bn_eps), cfgp)
+        for bi, stride, h in ((0, 1, 112), (1, 2, 112)):
+            d, p = qp.blocks[bi]["dw"], qp.blocks[bi]["pw"]
+            c = d.w_i8.shape[-1]
+            xi = rng.integers(-127, 128, (2, h, h, c)).astype(np.int8)
+            mid = qoracle.dw3x3_i8(xi, d.w_i8, d.bias_i32, d.m, d.six_q, stride)
+            ref = qoracle.pw_i8(mid, p.w_i8, p.bias_i32, p.m, p.six_q)
+            cout = p.w_i8.shape[1]
+            got = _unpack(separable_block_packed_i8(
+                _pack(jnp.asarray(xi), c), jnp.asarray(d.w_i8),
+                jnp.asarray(d.bias_i32), jnp.asarray(d.m), jnp.asarray(p.w_i8),
+                jnp.asarray(p.bias_i32), jnp.asarray(p.m), c, cout, stride,
+                float(d.six_q), float(p.six_q), True), cout)
+            exact = np.array_equal(np.asarray(got), ref)
+            print(f"[{'OK ' if exact else 'FAIL'}] i8_packed_block b{bi} s={stride}: "
+                  f"{'exact' if exact else 'MISMATCH'}", flush=True)
+            if not exact:
+                failures.append(f"i8_packed b{bi}")
+
+    # --- int8 XLA-fallback dw (EXACT; XLA grouped conv was NOT bit-reliable
+    # on TPU — this guards the explicit-tap replacement, docs/design.md) ----
+    if want("i8_dw_xla"):
+        from mobilenet_tpu.quant import ops as qops2
+
+        for stride, h, c in ((1, 16, 8), (2, 16, 8), (1, 28, 256)):
+            xi = rng.integers(-127, 128, (2, h, h, c)).astype(np.int8)
+            w = rng.integers(-127, 128, (3, 3, 1, c)).astype(np.int8)
+            b = rng.integers(-5000, 5000, (c,)).astype(np.int32)
+            m = rng.uniform(0.001, 0.01, (c,)).astype(np.float32)
+            ref = qoracle.dw3x3_i8(xi, w, b, m, np.float32(127.0), stride)
+            got = np.asarray(qops2.depthwise_i8_xla(
+                jnp.asarray(xi), jnp.asarray(w), jnp.asarray(b), jnp.asarray(m),
+                127.0, stride, True))
+            exact = np.array_equal(got, ref)
+            print(f"[{'OK ' if exact else 'FAIL'}] i8_dw_xla s={stride} c={c}: "
+                  f"{'exact' if exact else 'MISMATCH'}", flush=True)
+            if not exact:
+                failures.append(f"i8_dw_xla s{stride}c{c}")
+
     print("SMOKE", "PASS" if not failures else f"FAIL: {failures}", flush=True)
     return 0 if not failures else 1
 
 
 if __name__ == "__main__":
-    sys.exit(main(quick="--quick" in sys.argv))
+    only = ""
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
+    sys.exit(main(quick="--quick" in sys.argv, only=only))
