@@ -234,6 +234,38 @@ def cmd_autotune(args):
     }))
 
 
+def cmd_train(args):
+    """Training-loop driver on synthetic data (overfit smoke): exercises the
+    jittable SGD-momentum step end-to-end. The reference stack is
+    inference-only; training is an extension (models/train.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .checkpoints import fold_bn, init_params, save_npz, to_device
+    from .config import ModelConfig
+    from .models.train import make_optax_trainer
+
+    cfg = ModelConfig(alpha=args.alpha, resolution=args.res)
+    params = to_device(fold_bn(init_params(cfg, seed=args.seed), eps=cfg.bn_eps))
+    init_fn, step_fn = make_optax_trainer(cfg, lr=args.lr)
+    opt_state = init_fn(params)
+    step = jax.jit(step_fn)
+
+    rng = np.random.default_rng(0)
+    n_cls = min(cfg.num_classes, 16)
+    images = jnp.asarray(rng.uniform(
+        -1, 1, (args.batch, cfg.resolution, cfg.resolution, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, n_cls, (args.batch,)), jnp.int32)
+
+    for i in range(args.steps):
+        params, opt_state, loss, top1 = step(params, opt_state, images, labels)
+        print(json.dumps({"step": i, "loss": round(float(loss), 4),
+                          "top1": round(float(top1), 4)}), flush=True)
+    if args.out:
+        save_npz(args.out, jax.device_get(params))
+        print(f"saved trained folded checkpoint to {args.out}")
+
+
 def cmd_export(args):
     """Weight export (reference analog: C9, SURVEY.md SS2): raw -> folded ->
     int8 flat .npz files with documented layouts."""
@@ -321,6 +353,13 @@ def main(argv=None):
                     help="sweep the INT8 fixed-point path")
     common(sp, 256)
     sp.set_defaults(fn=cmd_sweep)
+
+    sp = sub.add_parser("train")
+    sp.add_argument("--steps", type=int, default=10)
+    sp.add_argument("--lr", type=float, default=1e-2)
+    sp.add_argument("--out", default=None, help="save trained .npz here")
+    common(sp, 32)
+    sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("autotune")
     sp.add_argument("--steps", type=int, default=10)

@@ -91,3 +91,42 @@ def test_packed_s2_vs_oracle(rng, n, h, cin, cout):
     mid = numpy_ref.depthwise_ref(x, dw_w, 2, dw_b, True)
     ref = numpy_ref.pointwise_ref(mid, pw_w, pw_b, True)
     np.testing.assert_allclose(got, ref, atol=3e-5, rtol=1e-5)
+
+
+def test_randomized_valid_shapes_vs_oracle():
+    """Sample random valid (n, h, cin, cout) configs for both packed kernels
+    and check against the oracle — guards the shape-constraint edges the
+    fixed parametrize lists miss."""
+    rng = np.random.default_rng(99)
+    from mobilenet_tpu.ops.pallas_block_packed import separable_block_packed_s2
+
+    tried = 0
+    while tried < 8:
+        cin = int(rng.choice([8, 16, 32, 64]))
+        r = 128 // cin
+        # w*cin % 128 == 0  =>  w % r == 0; keep h == w for simplicity
+        h = int(rng.choice([2, 3, 4])) * r
+        stride = int(rng.choice([1, 2]))
+        if stride == 2 and (r % 2 or h % 2):
+            continue
+        factor = r if stride == 1 else r // 2
+        cout = (128 // factor) * int(rng.choice([1, 2]))
+        n = int(rng.choice([1, 2]))
+        tried += 1
+
+        x = rng.uniform(-1, 1, (n, h, h, cin)).astype(np.float32)
+        dw_w = rng.normal(0, 0.5, (3, 3, 1, cin)).astype(np.float32)
+        dw_b = rng.normal(0, 0.2, (cin,)).astype(np.float32)
+        pw_w = rng.normal(0, 0.3, (cin, cout)).astype(np.float32)
+        pw_b = rng.normal(0, 0.2, (cout,)).astype(np.float32)
+        kern = separable_block_packed if stride == 1 else separable_block_packed_s2
+        got = np.asarray(unpack(kern(
+            pack(jnp.asarray(x), cin), jnp.asarray(dw_w), jnp.asarray(dw_b),
+            jnp.asarray(pw_w), jnp.asarray(pw_b), cin, cout, True,
+            interpret=True), cout))
+        ref = numpy_ref.pointwise_ref(
+            numpy_ref.depthwise_ref(x, dw_w, stride, dw_b, True),
+            pw_w, pw_b, True)
+        np.testing.assert_allclose(
+            got, ref, atol=3e-5, rtol=1e-5,
+            err_msg=f"n={n} h={h} cin={cin} cout={cout} s={stride}")
