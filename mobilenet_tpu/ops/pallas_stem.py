@@ -1,10 +1,11 @@
 """Pallas stem kernel: the 3x3 s2 stem conv as a packed 2x2 MXU conv.
 
-STATUS: experimental, not routed by default — measured 4.2 ms standalone per
-256-batch vs 3.9 ms for XLA's native conv (the in-graph stem segment is
-1.7 ms with pipelining). Kept because it is the building block for a future
-stem+block0 mega-fusion (both run whole-image row tiles, so chaining them in
-one kernel would eliminate the stem output's HBM round trip).
+STATUS: experimental, NOT routed — measured 4.2 ms standalone per 256-batch
+vs 3.9 ms for XLA's native conv, and 18.3k vs 23.1k img/s e2e when swapped
+into the full fused model (4-round interleaved medians) — XLA's conv1 +
+cross-stage pipelining wins decisively. The stem+block0 mega-fusion built on
+this kernel (pallas_stem_b0.py) also measured slower (docs/design.md
+SS3.3c). Kept as the tested record of the approach.
 
 Reference analog: C3, the standard-conv OpenCL kernel (SURVEY.md SS2). The
 stem is awkward on TPU: Cin=3 leaves the lane axis 2% occupied and XLA's
