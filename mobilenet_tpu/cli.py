@@ -241,12 +241,15 @@ def cmd_train(args):
     import jax
     import jax.numpy as jnp
 
-    from .checkpoints import fold_bn, init_params, save_npz, to_device
+    from .checkpoints import fold_bn, init_params, load_npz, save_npz, to_device
     from .config import ModelConfig
     from .models.train import make_optax_trainer
 
+    # training runs in fp32 regardless of --dtype (gradient stability)
     cfg = ModelConfig(alpha=args.alpha, resolution=args.res)
-    params = to_device(fold_bn(init_params(cfg, seed=args.seed), eps=cfg.bn_eps))
+    folded = (load_npz(args.ckpt) if getattr(args, "ckpt", None)
+              else fold_bn(init_params(cfg, seed=args.seed), eps=cfg.bn_eps))
+    params = to_device(folded)
     init_fn, step_fn = make_optax_trainer(cfg, lr=args.lr)
     opt_state = init_fn(params)
     step = jax.jit(step_fn)

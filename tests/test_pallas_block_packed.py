@@ -100,19 +100,15 @@ def test_randomized_valid_shapes_vs_oracle():
     rng = np.random.default_rng(99)
     from mobilenet_tpu.ops.pallas_block_packed import separable_block_packed_s2
 
-    tried = 0
-    while tried < 8:
+    for _ in range(8):
         cin = int(rng.choice([8, 16, 32, 64]))
-        r = 128 // cin
+        r = 128 // cin  # always even for these cin, so stride 2 is legal
         # w*cin % 128 == 0  =>  w % r == 0; keep h == w for simplicity
         h = int(rng.choice([2, 3, 4])) * r
         stride = int(rng.choice([1, 2]))
-        if stride == 2 and (r % 2 or h % 2):
-            continue
         factor = r if stride == 1 else r // 2
         cout = (128 // factor) * int(rng.choice([1, 2]))
         n = int(rng.choice([1, 2]))
-        tried += 1
 
         x = rng.uniform(-1, 1, (n, h, h, cin)).astype(np.float32)
         dw_w = rng.normal(0, 0.5, (3, 3, 1, cin)).astype(np.float32)

@@ -21,13 +21,24 @@ import jax.numpy as jnp
 def main(quick: bool = False, only: str = ""):
     assert jax.default_backend() == "tpu", jax.default_backend()
     print("device:", jax.devices(), flush=True)
-    rng = np.random.default_rng(0)
     failures = []
+    n_checks = [0]
 
-    def want(name):
-        return only in name
+    def want(section):
+        # match either direction so both the short section tag and the full
+        # printed check name work as --only values
+        return only in section or section in only
+
+    def rng_for(section):
+        # per-section generator (stable seed — Python hash() is randomized):
+        # chunked --only runs see the same inputs as a full run, so recorded
+        # results reproduce under any chunking
+        import zlib
+
+        return np.random.default_rng(zlib.crc32(section.encode()))
 
     def check(name, got, ref, tol):
+        n_checks[0] += 1
         err = np.abs(np.asarray(got, np.float32) - np.asarray(ref, np.float32)).max()
         ok = err <= tol
         print(f"[{'OK ' if ok else 'FAIL'}] {name}: max_err={err:.2e}", flush=True)
@@ -46,6 +57,7 @@ def main(quick: bool = False, only: str = ""):
     shapes = [(112, 32, 1), (112, 64, 2), (14, 512, 1), (7, 1024, 1)]
     if quick:
         shapes = shapes[:2]
+    rng = rng_for("pallas_dw")
     for h, c, s in shapes if want("pallas_dw") else []:
         x = jnp.asarray(rng.uniform(-2, 2, (2, h, h, c)), jnp.float32)
         w = jnp.asarray(rng.normal(0, 0.5, (3, 3, 1, c)), jnp.float32)
@@ -55,6 +67,7 @@ def main(quick: bool = False, only: str = ""):
               depthwise_conv_xla(x, w, s, b, True), 0.0)
 
     # --- fused block (fp32 vs oracle) --------------------------------------
+    rng = rng_for("fused_block")
     for (h, cin, cout, s) in ([(56, 128, 128, 1), (28, 256, 512, 2), (7, 1024, 1024, 1)]
                               if want("fused_block") else []):
         x = rng.uniform(-1, 1, (2, h, h, cin)).astype(np.float32)
@@ -70,6 +83,7 @@ def main(quick: bool = False, only: str = ""):
         check(f"fused_block h={h} {cin}->{cout} s={s}", got, ref, 3e-5)
 
     # --- packed fused block ------------------------------------------------
+    rng = rng_for("packed_block")
     for (h, cin, cout) in [(112, 32, 64), (16, 8, 16)] if want("packed_block") else []:
         x = rng.uniform(-1, 1, (2, h, h, cin)).astype(np.float32)
         dw_w = rng.normal(0, 0.5, (3, 3, 1, cin)).astype(np.float32)
@@ -86,6 +100,7 @@ def main(quick: bool = False, only: str = ""):
     # --- packed stride-2 block ----------------------------------------------
     from mobilenet_tpu.ops.pallas_block_packed import separable_block_packed_s2, unpack
 
+    rng = rng_for("packed_s2")
     for (h, cin, cout) in ([(112, 64, 128), (32, 32, 64)]
                            if want("packed_s2") else []):
         x = rng.uniform(-1, 1, (2, h, h, cin)).astype(np.float32)
@@ -105,6 +120,7 @@ def main(quick: bool = False, only: str = ""):
 
     # fp32 fuses only up to 160 (whole-image VMEM; bf16-224 is the routed
     # throughput case, validated by the e2e bench + probe compiles).
+    rng = rng_for("stem_b0")
     for (h, cout) in [(160, 64), (128, 64)] if want("stem_b0") else []:
         img = rng.integers(0, 256, (2, h, h, 3), dtype=np.uint8)
         sw = rng.normal(0, 0.3, (3, 3, 3, 32)).astype(np.float32)
@@ -130,8 +146,10 @@ def main(quick: bool = False, only: str = ""):
     from mobilenet_tpu.quant import oracle as qoracle, quantize
     from mobilenet_tpu.quant.pallas_block_i8 import separable_block_i8
 
-    cfg = ModelConfig(alpha=0.25, resolution=128)
-    q = quantize(fold_bn(init_params(cfg, 5), eps=cfg.bn_eps), cfg)
+    if want("i8_fused"):
+        rng = rng_for("i8_fused")
+        cfg = ModelConfig(alpha=0.25, resolution=128)
+        q = quantize(fold_bn(init_params(cfg, 5), eps=cfg.bn_eps), cfg)
     for bi, stride in ((3, 2), (4, 1)) if want("i8_fused") else ():
         d, p = q.blocks[bi]["dw"], q.blocks[bi]["pw"]
         c = d.w_i8.shape[-1]
@@ -142,6 +160,7 @@ def main(quick: bool = False, only: str = ""):
             jnp.asarray(xi), jnp.asarray(d.w_i8), jnp.asarray(d.bias_i32),
             jnp.asarray(d.m), jnp.asarray(p.w_i8), jnp.asarray(p.bias_i32),
             jnp.asarray(p.m), stride, float(d.six_q), float(p.six_q), True)
+        n_checks[0] += 1
         exact = np.array_equal(np.asarray(got), ref)
         print(f"[{'OK ' if exact else 'FAIL'}] i8_fused_block b{bi} s={stride}: "
               f"{'exact' if exact else 'MISMATCH'}", flush=True)
@@ -150,6 +169,7 @@ def main(quick: bool = False, only: str = ""):
 
     # --- packed int8 blocks (EXACT; covers the f32-tap rewrite) -------------
     if want("i8_packed"):
+        rng = rng_for("i8_packed")
         from mobilenet_tpu.ops.pallas_block_packed import pack as _pack, unpack as _unpack
         from mobilenet_tpu.quant.pallas_block_packed_i8 import separable_block_packed_i8
 
@@ -167,6 +187,7 @@ def main(quick: bool = False, only: str = ""):
                 jnp.asarray(d.bias_i32), jnp.asarray(d.m), jnp.asarray(p.w_i8),
                 jnp.asarray(p.bias_i32), jnp.asarray(p.m), c, cout, stride,
                 float(d.six_q), float(p.six_q), True), cout)
+            n_checks[0] += 1
             exact = np.array_equal(np.asarray(got), ref)
             print(f"[{'OK ' if exact else 'FAIL'}] i8_packed_block b{bi} s={stride}: "
                   f"{'exact' if exact else 'MISMATCH'}", flush=True)
@@ -176,6 +197,7 @@ def main(quick: bool = False, only: str = ""):
     # --- int8 XLA-fallback dw (EXACT; XLA grouped conv was NOT bit-reliable
     # on TPU — this guards the explicit-tap replacement, docs/design.md) ----
     if want("i8_dw_xla"):
+        rng = rng_for("i8_dw_xla")
         from mobilenet_tpu.quant import ops as qops2
 
         for stride, h, c in ((1, 16, 8), (2, 16, 8), (1, 28, 256)):
@@ -187,18 +209,26 @@ def main(quick: bool = False, only: str = ""):
             got = np.asarray(qops2.depthwise_i8_xla(
                 jnp.asarray(xi), jnp.asarray(w), jnp.asarray(b), jnp.asarray(m),
                 127.0, stride, True))
+            n_checks[0] += 1
             exact = np.array_equal(got, ref)
             print(f"[{'OK ' if exact else 'FAIL'}] i8_dw_xla s={stride} c={c}: "
                   f"{'exact' if exact else 'MISMATCH'}", flush=True)
             if not exact:
                 failures.append(f"i8_dw_xla s{stride}c{c}")
 
-    print("SMOKE", "PASS" if not failures else f"FAIL: {failures}", flush=True)
+    if not n_checks[0]:
+        print(f"SMOKE FAIL: --only {only!r} matched no checks", flush=True)
+        return 1
+    print(f"SMOKE ({n_checks[0]} checks)",
+          "PASS" if not failures else f"FAIL: {failures}", flush=True)
     return 0 if not failures else 1
 
 
 if __name__ == "__main__":
-    only = ""
-    if "--only" in sys.argv:
-        only = sys.argv[sys.argv.index("--only") + 1]
-    sys.exit(main(quick="--quick" in sys.argv, only=only))
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default="", help="section/check-name substring filter")
+    a = ap.parse_args()
+    sys.exit(main(quick=a.quick, only=a.only))
