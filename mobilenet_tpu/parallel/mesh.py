@@ -34,6 +34,13 @@ def make_mesh(
     """Create a (data, model) mesh over the first n devices."""
     devices = jax.devices()
     n = n_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(
+            f"make_mesh: need {n} devices, have {len(devices)} on the "
+            f"'{jax.default_backend()}' backend (provision a virtual CPU mesh "
+            f"via jax_platforms='cpu' + jax_num_cpu_devices before any backend "
+            f"initialization, as tests/conftest.py does)"
+        )
     if n % model_parallel:
         raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
     grid = np.asarray(devices[:n]).reshape(n // model_parallel, model_parallel)

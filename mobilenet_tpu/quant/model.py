@@ -146,15 +146,20 @@ class Int8Pipeline:
     its fixed-point FPGA pipeline; SURVEY.md SS2 C7/C12)."""
 
     def __init__(self, config: ModelConfig, *, seed: int = 0, params=None,
-                 use_fused=None):
+                 use_fused=None, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh with a 'data' axis — batches
+        shard across it (data-parallel int8 serving over ICI, mirroring the
+        fp32 InferencePipeline's mesh wiring; quantized constants replicated,
+        the Pallas int8 kernels run per-shard under shard_map)."""
         from ..checkpoints import fold_bn, init_params
 
         self.config = config
+        self.mesh = mesh
         folded = params if params is not None else fold_bn(
             init_params(config, seed=seed), eps=config.bn_eps)
         self.q = quantize_for_device(folded, config, use_fused=use_fused)
         self._infer, self._dev = make_int8_infer(self.q, config,
-                                                 use_fused=use_fused)
+                                                 use_fused=use_fused, mesh=mesh)
         # softmax folded into the jitted program (jit-of-jit inlines) — no
         # per-batch eager dispatches on the serving hot path.
         self._probs = jax.jit(
@@ -165,11 +170,13 @@ class Int8Pipeline:
 
 
 def make_int8_infer(q: QuantizedParams, config: ModelConfig, *,
-                    use_pallas_dw: bool = False, use_fused=None):
+                    use_pallas_dw: bool = False, use_fused=None, mesh=None):
     """Compiled int8 entry: uint8 images -> float32 logits, preprocessing and
     input quantization fused into the same program. use_fused=None routes the
     fused/packed int8 Pallas blocks on TPU (the fast path) and the XLA ops on
-    CPU, mirroring the float pipeline's auto routing."""
+    CPU, mirroring the float pipeline's auto routing. With `mesh`, the batch
+    shards over its 'data' axis (int8 data-parallel serving — the reference
+    served its fixed-point pipeline multi-stream, SURVEY.md SS2 C7/C12)."""
     from ..ops import preprocess as prep
     from .quantize import ACT_IN_SCALE
 
@@ -177,10 +184,43 @@ def make_int8_infer(q: QuantizedParams, config: ModelConfig, *,
         use_fused = jax.default_backend() == "tpu"
     dev = _as_device_tree(q)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # Replicate the (tiny) quantized constants on every chip; six_q is a
+        # static python float, keep it out of device_put.
+        rep = NamedSharding(mesh, P())
+        dev = jax.tree.map(
+            lambda x: jax.device_put(x, rep) if isinstance(x, jax.Array) else x,
+            dev,
+        )
+
     def infer(images_u8):
         x = prep.preprocess(images_u8, config.resolution, jnp.float32)
         x_i8 = qops.quantize_input_dev(x, ACT_IN_SCALE)
         return forward_i8(dev, x_i8, config, use_pallas_dw=use_pallas_dw,
                           use_fused=use_fused)
 
-    return jax.jit(infer), dev
+    if mesh is None:
+        return jax.jit(infer), dev
+
+    # Data-parallel over the mesh: each device runs the full int8 network on
+    # its batch shard (shard_map keeps the Pallas kernels local — the SPMD
+    # partitioner cannot split an opaque custom call). Mirrors
+    # runtime/pipeline.py's fp32 mesh wiring.
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    batch_spec = P(DATA_AXIS, None, None, None)
+    sharded = shard_map(
+        infer, mesh=mesh, in_specs=(batch_spec,),
+        out_specs=P(DATA_AXIS), check_vma=False,
+    )
+
+    def entry(images_u8):
+        images_u8 = jax.device_put(images_u8, NamedSharding(mesh, batch_spec))
+        return sharded(images_u8)
+
+    return jax.jit(entry), dev
