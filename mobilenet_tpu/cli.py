@@ -43,17 +43,10 @@ def cmd_classify(args):
 
     cfg = ModelConfig(alpha=args.alpha, resolution=args.res,
                       compute_dtype=args.dtype)
+    # Host decode only; the raw uint8 image goes straight to the jitted
+    # entry, which resizes + normalizes in float ON DEVICE (SURVEY.md SS3.4)
+    # — one resize, no lossy uint8 round-trip.
     img = decode_image_host(args.image)
-    # Host decode only; resize + normalize run on device in the jitted graph.
-    import jax.image, jax.numpy as jnp
-
-    img_r = np.asarray(
-        jax.image.resize(
-            jnp.asarray(img, jnp.float32),
-            (cfg.resolution, cfg.resolution, 3),
-            "bilinear",
-        )
-    ).astype(np.uint8)
     if getattr(args, "int8", False):
         from .checkpoints import load_npz
         from .quant.model import Int8Pipeline
@@ -62,11 +55,11 @@ def cmd_classify(args):
             cfg, seed=args.seed,
             params=load_npz(args.ckpt) if getattr(args, "ckpt", None) else None,
         )
-        probs = qpipe.run_batch(img_r[None])[0]
+        probs = qpipe.run_batch(img[None])[0]
         idx = np.argsort(-probs)[: args.top_k]
         top = [(int(i), float(probs[i])) for i in idx]
     else:
-        top = _build_pipeline(args).classify(img_r, top_k=args.top_k)
+        top = _build_pipeline(args).classify(img, top_k=args.top_k)
     for rank, (cls, prob) in enumerate(top, 1):
         print(f"top-{rank}: class {cls}  p={prob:.4f}")
 
@@ -80,7 +73,14 @@ def cmd_verify(args):
     from .utils import golden
 
     cfg = ModelConfig(alpha=args.alpha, resolution=args.res)
-    folded = fold_bn(init_params(cfg, seed=args.seed), eps=cfg.bn_eps)
+    if getattr(args, "ckpt", None):
+        # Verify a trained/imported FOLDED checkpoint: the oracle runs on the
+        # same weights (previously --ckpt was silently ignored).
+        from .checkpoints import load_npz
+
+        folded = load_npz(args.ckpt)
+    else:
+        folded = fold_bn(init_params(cfg, seed=args.seed), eps=cfg.bn_eps)
     rng = np.random.default_rng(args.seed + 1)
     x = rng.uniform(-1, 1, (args.batch, cfg.resolution, cfg.resolution, 3)).astype(
         np.float32
@@ -94,7 +94,12 @@ def cmd_verify(args):
 
     from .runtime.pipeline import InferencePipeline
 
-    pipe = InferencePipeline(cfg, params=folded, dtype=np.float32)
+    # dw_backend="xla": the verify harness must keep UNPADDED channel shapes
+    # so per-layer activations line up with the oracles — "auto"/"fused"
+    # routing applies the channel-padding pass for alpha=0.75-style counts
+    # (verify routing resolves to xla at batch 2 anyway).
+    pipe = InferencePipeline(cfg, params=folded, dtype=np.float32,
+                             dw_backend="xla")
     _, acts = pipe.activations(x)
     if args.oracle == "cpp":
         _, acts_ref = cpu_ref.forward_all(folded, x, cfg)
@@ -114,12 +119,15 @@ def cmd_verify(args):
 def cmd_bench(args):
     if getattr(args, "int8", False):
         return _bench_int8(args)
+    import jax
+
     pipe = _build_pipeline(args)
     stats = pipe.benchmark(batch_size=args.batch, steps=args.steps)
     stats.update(
         variant=pipe.config.variant_name(),
         dtype=str(np.dtype(pipe.dtype).name),
         use_pallas_dw=pipe.use_pallas_dw,
+        backend=jax.default_backend(),
     )
     print(json.dumps(stats))
 
@@ -384,10 +392,39 @@ def main(argv=None):
 
     args = p.parse_args(argv)
     if args.backend:
-        import jax
-
-        jax.config.update("jax_platforms", args.backend if args.backend != "tpu" else None)
+        _select_backend(args.backend)
     args.fn(args)
+
+
+def _select_backend(backend: str) -> None:
+    """Route --backend {cpu,tpu}. jax_platforms is immutable once a backend
+    initializes, so this must run before any JAX op; sitecustomize pre-imports
+    jax with JAX_PLATFORMS=axon (the tunneled-TPU platform), which we treat
+    as 'tpu' — --backend tpu is then a no-op rather than a config rewrite."""
+    import jax
+
+    current = jax.config.jax_platforms  # config string; None = auto-detect
+    tpu_platforms = ("tpu", "axon")
+    if backend == "cpu":
+        if current == "cpu":
+            return
+        from jax._src import xla_bridge
+
+        if xla_bridge.backends_are_initialized() and jax.default_backend() != "cpu":
+            raise SystemExit(
+                "--backend cpu: a non-CPU JAX backend is already initialized "
+                "in this process; run from a fresh process"
+            )
+        jax.config.update("jax_platforms", "cpu")
+        return
+    # backend == "tpu": require a TPU-like platform to be configured/present.
+    if current in tpu_platforms or current is None and any(
+        d.platform in tpu_platforms for d in jax.devices()
+    ):
+        return
+    raise SystemExit(
+        f"--backend tpu: no TPU platform available (jax_platforms={current!r})"
+    )
 
 
 if __name__ == "__main__":

@@ -229,7 +229,8 @@ class InferencePipeline:
         # --- chip compute throughput: device-resident input (the img/s/chip
         # contract metric, BASELINE.json:2). Transfers measured separately.
         dev_batch = jax.device_put(host_batches[0], device)
-        sync(entry(self.params, dev_batch))  # compile + warm
+        out = entry(self.params, dev_batch)  # compile + warm
+        sync(out)
         for _ in range(warmup):
             out = entry(self.params, dev_batch)
         sync(out)

@@ -145,12 +145,16 @@ class MicroBatchServer:
 # ---------------------------------------------------------------------------
 
 
-async def serve_tcp(server: MicroBatchServer, host: str, port: int):
+async def make_tcp_server(server: MicroBatchServer, host: str, port: int):
+    """Bind the NDJSON front end; port=0 binds an ephemeral port (tests).
+    Returns the asyncio.Server (caller drives serve_forever / close)."""
+
     async def handle(reader, writer):
         while True:
             line = await reader.readline()
             if not line:
                 break
+            req = None
             try:
                 req = json.loads(line)
                 img = np.frombuffer(
@@ -159,12 +163,23 @@ async def serve_tcp(server: MicroBatchServer, host: str, port: int):
                 top = await server.submit(img)
                 resp = {"id": req.get("id"), "top": top}
             except Exception as e:
-                resp = {"id": None, "error": str(e)}
+                # Echo the request id whenever the JSON itself parsed, so a
+                # client multiplexing requests on one connection can correlate
+                # the failure; null only when json.loads failed.
+                rid = req.get("id") if isinstance(req, dict) else None
+                resp = {"id": rid, "error": str(e)}
             writer.write((json.dumps(resp) + "\n").encode())
             await writer.drain()
         writer.close()
 
-    srv = await asyncio.start_server(handle, host, port)
+    # asyncio's default 64 KiB line limit rejects any realistic image frame
+    # (one 128x128x3 b64 payload is already ~65.5 KB); size for a 224x224
+    # uint8 image with b64 + JSON overhead, with headroom.
+    return await asyncio.start_server(handle, host, port, limit=32 * 1024 * 1024)
+
+
+async def serve_tcp(server: MicroBatchServer, host: str, port: int):
+    srv = await make_tcp_server(server, host, port)
     async with srv:
         await srv.serve_forever()
 
