@@ -52,6 +52,7 @@ def forward(
     use_pallas_dw: bool = False,
     dw_backend=None,
     collect: bool = False,
+    num_blocks: Optional[int] = None,
 ) -> Any:
     """Run the 28-layer network on a folded-BN params pytree.
 
@@ -67,6 +68,9 @@ def forward(
       collect: also return every post-activation tensor, keyed by layer name —
         the per-layer oracle tap (reference analog: per-layer clEnqueueReadBuffer
         in verify mode, SURVEY.md SS3.2).
+      num_blocks: run only conv1 + the first num_blocks separable blocks and
+        return that activation (no pool/fc) — the prefix entry used by
+        tools/prefix_attr.py's differenced segment attribution.
 
     Returns:
       logits (N, num_classes), or (logits, {layer_name: activation}) if collect.
@@ -78,7 +82,10 @@ def forward(
     y = ops.conv2d_same(x, params["conv1"]["w"], 2, bias=params["conv1"]["b"], relu6=relu6)
     if collect:
         acts["conv1"] = y
-    y = _run_blocks(params, y, config, routing, relu6, acts if collect else None)
+    y = _run_blocks(params, y, config, routing, relu6, acts if collect else None,
+                    stop=num_blocks)
+    if num_blocks is not None:  # truncated prefix entry: blocks only, no head
+        return y
 
     pooled = ops.global_avg_pool(y)
     if collect:
@@ -90,12 +97,15 @@ def forward(
     return logits
 
 
-def _run_blocks(params, y, config, routing, relu6, acts=None, start: int = 0):
+def _run_blocks(params, y, config, routing, relu6, acts=None, start: int = 0,
+                stop: Optional[int] = None):
     """The 13 dw/pw blocks, from block `start`, per-block backend routing."""
     collect = acts is not None
     for i, (blk, stride) in enumerate(zip(params["blocks"], config.block_strides)):
         if i < start:
             continue
+        if stop is not None and i >= stop:
+            break
         backend = routing[i]
         if backend == "fused" and not collect:
             cin = y.shape[-1]

@@ -34,6 +34,19 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_dw import _should_interpret
 
 
+# Stride-2 even-column selection strategy (A/B-measurable):
+#   False — one reshape-gather of the f32 accumulator (round-1 design)
+#   True  — keep full width, free lane-merge (W,C)->(W/2,2C), and drop odd
+#           columns in the MXU with a K-zero-padded pointwise weight
+#           [[W],[0]] — no gather at all (relayouts are the enemy;
+#           docs/design.md SS3.2). Read at trace time.
+# Default FALSE for bf16 — measured 11.21 (gather) vs 11.41 (MXU) ms/batch-256
+# e2e at 1.0-224 (interleaved medians, tools/ab_s2.py): the bf16 act epilogue
+# at full width costs more than the f32 gather saves. The int8 twin measured
+# the OPPOSITE (MXU selection wins there; quant/pallas_block_i8.py).
+S2_MXU_SUBSAMPLE = False
+
+
 def _act(y, relu6):
     y = jnp.maximum(y, 0.0)
     if relu6:
@@ -87,7 +100,7 @@ def pick_tiles(n: int, h_out: int, wdim: int, cin: int, cout: int,
 
 def _block_kernel(
     x_ref, dww_ref, dwb_ref, pww_ref, pwb_ref, o_ref, s_ref,
-    *, th, w_out, stride, relu6, out_dtype, g, bn, wdim,
+    *, th, w_out, stride, relu6, out_dtype, g, bn, wdim, mxu_subsample=False,
 ):
     i = pl.program_id(1)
     is_first_step = jnp.logical_and(pl.program_id(0) == 0, i == 0)
@@ -151,7 +164,8 @@ def _block_kernel(
                 tap = sv[:, dy : dy + th, dx : dx + w_out, :].astype(jnp.float32)
                 acc = acc + tap * dww_ref[dy, dx, :].astype(jnp.float32)
     else:
-        # full-width accumulate, then one even-column gather
+        # full-width accumulate; even-column selection either by one gather
+        # or inside the MXU via the K-zero-padded weight (mxu_subsample).
         w_full = 2 * w_out
         pairs = sv.reshape(bn, th + 1, 2, wdim + 2, c_in)
         acc_f = jnp.zeros((bn, th, w_full, c_in), jnp.float32)
@@ -160,6 +174,20 @@ def _block_kernel(
             for dx in range(3):
                 tap = r[:, :, dx : dx + w_full, :].astype(jnp.float32)
                 acc_f = acc_f + tap * dww_ref[dy, dx, :].astype(jnp.float32)
+        if mxu_subsample:
+            # epilogue at full width (odd columns are finite garbage that the
+            # zero K-rows annihilate in the dot); lane-merge is free.
+            y = _act(acc_f + dwb_ref[0].astype(jnp.float32), relu6)
+            y2 = y.astype(pww_ref.dtype).reshape(bn * th * w_out, 2 * c_in)
+            out = jnp.dot(
+                y2, pww_ref[...], preferred_element_type=jnp.float32,
+                precision=(jax.lax.Precision.HIGHEST
+                           if pww_ref.dtype == jnp.float32
+                           else jax.lax.Precision.DEFAULT),
+            )
+            out = _act(out + pwb_ref[0].astype(jnp.float32), relu6)
+            o_ref[...] = out.reshape(bn, th, w_out, -1).astype(out_dtype)
+            return
         acc = acc_f.reshape(bn, th, w_out, 2, c_in)[:, :, :, 0, :]
 
     y = _act(acc + dwb_ref[0].astype(jnp.float32), relu6)
@@ -175,11 +203,32 @@ def _block_kernel(
     o_ref[...] = out.reshape(bn, th, w_out, -1).astype(out_dtype)
 
 
+def separable_block_pallas(
+    x, dw_w, dw_b, pw_w, pw_b, stride, relu6=True, *,
+    block_h=None, block_n=None, interpret=None, mxu_subsample=None,
+):
+    """Fused dw3x3(+BN+ReLU) -> pw1x1(+BN+ReLU). TF-SAME semantics.
+
+    Requires even H, W for stride 2 (true for every MobileNet layer; odd
+    shapes should use the unfused ops instead). mxu_subsample=None resolves
+    the module default S2_MXU_SUBSAMPLE at call time (resolved OUTSIDE the
+    jitted impl so it participates in the jit cache key).
+    """
+    if mxu_subsample is None:
+        mxu_subsample = S2_MXU_SUBSAMPLE
+    return _separable_block_impl(
+        x, dw_w, dw_b, pw_w, pw_b, stride, relu6,
+        block_h=block_h, block_n=block_n, interpret=interpret,
+        mxu_subsample=bool(mxu_subsample),
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("stride", "relu6", "block_h", "block_n", "interpret"),
+    static_argnames=("stride", "relu6", "block_h", "block_n", "interpret",
+                     "mxu_subsample"),
 )
-def separable_block_pallas(
+def _separable_block_impl(
     x: jax.Array,       # (N, H, W, Cin) unpadded
     dw_w: jax.Array,    # (3, 3, 1, Cin)
     dw_b: jax.Array,    # (Cin,)
@@ -191,12 +240,8 @@ def separable_block_pallas(
     block_h: Optional[int] = None,
     block_n: Optional[int] = None,
     interpret: Optional[bool] = None,
+    mxu_subsample: bool = False,
 ) -> jax.Array:
-    """Fused dw3x3(+BN+ReLU) -> pw1x1(+BN+ReLU). TF-SAME semantics.
-
-    Requires even H, W for stride 2 (true for every MobileNet layer; odd
-    shapes should use the unfused ops instead).
-    """
     if interpret is None:
         interpret = _should_interpret()
     n, h, wdim, cin = x.shape
@@ -233,10 +278,17 @@ def separable_block_pallas(
             x_index = lambda b_, i: (
                 b_ * bn, jnp.minimum(i * 2 * th, h - (2 * th + 2)), 0, 0)
 
+    sub = bool(mxu_subsample) and stride == 2
     kernel = functools.partial(
         _block_kernel, th=th, w_out=w_out, stride=stride, relu6=relu6,
-        out_dtype=x.dtype, g=g, bn=bn, wdim=wdim,
+        out_dtype=x.dtype, g=g, bn=bn, wdim=wdim, mxu_subsample=sub,
     )
+    if sub:
+        # K-zero-padded pointwise weight: lanes [0,C) = even columns keep W,
+        # lanes [C,2C) = odd columns hit zeros.
+        pw_arg = jnp.concatenate([pw_w, jnp.zeros_like(pw_w)], axis=0)
+    else:
+        pw_arg = pw_w
 
     return pl.pallas_call(
         kernel,
@@ -249,7 +301,7 @@ def separable_block_pallas(
             ),
             pl.BlockSpec((3, 3, cin), lambda b_, i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cin), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cin, cout), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(pw_arg.shape, lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -260,4 +312,4 @@ def separable_block_pallas(
         out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, cout), x.dtype),
         scratch_shapes=[pltpu.VMEM((bn, s_rows, wdim + 2, cin), x.dtype)],
         interpret=interpret,
-    )(x, dw_w.reshape(3, 3, cin), dw_b.reshape(1, cin), pw_w, pw_b.reshape(1, cout))
+    )(x, dw_w.reshape(3, 3, cin), dw_b.reshape(1, cin), pw_arg, pw_b.reshape(1, cout))

@@ -48,8 +48,11 @@ def forward_i8(
     use_pallas_dw: bool = False,
     use_fused: bool = False,
     collect: bool = False,
+    num_blocks=None,
 ):
-    """x_i8: (N, H, W, 3) int8 at s_in = 1/127. Returns float32 logits."""
+    """x_i8: (N, H, W, 3) int8 at s_in = 1/127. Returns float32 logits.
+    num_blocks: run only conv1 + the first num_blocks blocks and return that
+    int8 activation (tools/prefix_attr.py segment attribution)."""
     from .quantize import ACT_IN_SCALE  # noqa: PLC0415
 
     acts: Dict[str, jax.Array] = {}
@@ -61,6 +64,8 @@ def forward_i8(
         acts["conv1"] = y
 
     for i, (blk, stride) in enumerate(zip(dev["blocks"], config.block_strides)):
+        if num_blocks is not None and i >= num_blocks:
+            return y
         d = blk["dw"]
         if use_fused and not collect:
             p = blk["pw"]
@@ -104,6 +109,9 @@ def forward_i8(
         y = qops.pointwise_i8(y, p["w"], p["b"], p["m"], p["six_q"], relu6)
         if collect:
             acts[f"block{i:02d}_pw"] = y
+
+    if num_blocks is not None:  # truncated prefix entry: blocks only, no head
+        return y
 
     pooled = qops.avgpool_i8(y)
     if collect:

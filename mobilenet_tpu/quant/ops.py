@@ -28,6 +28,11 @@ def requantize(acc_i32: jax.Array, m: jax.Array, six_q, relu6: bool = True) -> j
     v = jnp.maximum(v, 0.0)
     if relu6:
         v = jnp.minimum(v, jnp.float32(six_q))
+        if float(six_q) < 127.5:
+            # In-domain ReLU6 bounds round(v) to [0, 127] (six_q is 127.0 for
+            # the fixed 6/127 hidden scale): the final clip is provably
+            # redundant — fewer VPU ops per element, bit-identical.
+            return jnp.round(v).astype(jnp.int8)
     r = jnp.round(v)  # round-half-to-even, matches nearbyintf
     return jnp.clip(r, -128, 127).astype(jnp.int8)
 

@@ -31,12 +31,33 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.pallas_dw import _should_interpret
 
 
-def _requant(acc_i32, m_vec, six_q, relu6):
+# Stride-2 even-column selection strategy (A/B-measurable; see
+# ops/pallas_block.py S2_MXU_SUBSAMPLE): True = free lane-merge + K-zero-
+# padded s8 pointwise weight instead of the f32 accumulator reshape-gather.
+# Default TRUE for int8 — measured 12.18 vs 12.40 ms/batch-256 e2e at 1.0-224
+# (interleaved medians, tools/ab_s2.py): the i8 gather costs more than the
+# full-width requant. The bf16 twin measured the OPPOSITE (gather wins there).
+S2_MXU_SUBSAMPLE = True
+
+
+def _requant_f32(acc_i32, m_vec, six_q, relu6):
+    """Requant value in f32 (rounded + bounded); caller reshapes in f32 and
+    casts to int8 LAST — Mosaic shape-casts of 8-bit vectors are a relayout
+    on (32,128) int8 tiles (see quant/pallas_block_packed_i8.py)."""
     v = acc_i32.astype(jnp.float32) * m_vec.astype(jnp.float32)
     v = jnp.maximum(v, 0.0)
     if relu6:
         v = jnp.minimum(v, six_q)
-    return jnp.clip(jnp.round(v), -128, 127).astype(jnp.int8)
+        if six_q < 127.5:
+            # In-domain ReLU6 already bounds round(v) to [0, 127] (six_q is
+            # 127.0 for the fixed 6/127 hidden scale): the final clip is
+            # provably redundant, bit-identical.
+            return jnp.round(v)
+    return jnp.clip(jnp.round(v), -128, 127)
+
+
+def _requant(acc_i32, m_vec, six_q, relu6):
+    return _requant_f32(acc_i32, m_vec, six_q, relu6).astype(jnp.int8)
 
 
 def _round_up(x, m):
@@ -77,6 +98,7 @@ def pick_tiles_i8(n: int, h_out: int, wdim: int, cin: int, cout: int,
 def _kernel(
     x_ref, dww_ref, dwb_ref, dwm_ref, pww_ref, pwb_ref, pwm_ref, o_ref, s_ref,
     *, th, w_out, stride, relu6, g, bn, wdim, dw_six_q, pw_six_q,
+    mxu_subsample=False,
 ):
     i = pl.program_id(1)
     is_first_step = jnp.logical_and(pl.program_id(0) == 0, i == 0)
@@ -142,9 +164,29 @@ def _kernel(
             r = pairs[:, dy // 2 : dy // 2 + th, dy % 2]
             for dx in range(3):
                 acc_f = acc_f + r[:, :, dx : dx + w_full, :] * dww_ref[dy, dx, :].astype(jnp.float32)
+        if mxu_subsample:
+            # requant at full width (odd columns are finite garbage the zero
+            # K-rows annihilate); lane-merge (W,C)->(W/2,2C) is free; f32
+            # reshape before the i8 cast (i8 shape-casts relayout).
+            acc_f = acc_f + dwb_ref[0].astype(jnp.float32)
+            mid = _requant_f32(acc_f, dwm_ref[0], dw_six_q, relu6).reshape(
+                bn * th * w_out, 2 * c_in).astype(jnp.int8)
+            out32 = jax.lax.dot_general(
+                mid, pww_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            out32 = out32 + pwb_ref[0].astype(jnp.int32)
+            o_ref[...] = _requant(out32, pwm_ref[0], pw_six_q, relu6).reshape(
+                bn, th, w_out, -1)
+            return
         acc = acc_f.reshape(bn, th, w_out, 2, c_in)[:, :, :, 0, :]
 
     acc = acc + dwb_ref[0].astype(jnp.float32)
+    # Cast-before-reshape here is deliberate (opposite of the packed kernels):
+    # these reshapes only merge/split MAJOR dims (lane dim stays cout), which
+    # is free for i8 — and reshaping the f32 value instead was measured 1.4 ms
+    # SLOWER across B2-12 (broke the requant->store fusion).
     mid_i8 = _requant(acc, dwm_ref[0], dw_six_q, relu6)
 
     # --- int8 MXU pointwise + requant --------------------------------------
@@ -159,12 +201,30 @@ def _kernel(
         bn, th, w_out, -1)
 
 
+def separable_block_i8(
+    x_i8, dw_w_i8, dw_bias_i32, dw_m, pw_w_i8, pw_bias_i32, pw_m,
+    stride, dw_six_q, pw_six_q, relu6=True, *,
+    block_h=None, block_n=None, interpret=None, mxu_subsample=None,
+):
+    """Fused int8 block. mxu_subsample=None resolves the module default
+    S2_MXU_SUBSAMPLE at call time (outside the jitted impl so it keys the
+    jit cache)."""
+    if mxu_subsample is None:
+        mxu_subsample = S2_MXU_SUBSAMPLE
+    return _separable_block_i8_impl(
+        x_i8, dw_w_i8, dw_bias_i32, dw_m, pw_w_i8, pw_bias_i32, pw_m,
+        stride, dw_six_q, pw_six_q, relu6,
+        block_h=block_h, block_n=block_n, interpret=interpret,
+        mxu_subsample=bool(mxu_subsample),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("stride", "dw_six_q", "pw_six_q", "relu6", "block_h",
-                     "block_n", "interpret"),
+                     "block_n", "interpret", "mxu_subsample"),
 )
-def separable_block_i8(
+def _separable_block_i8_impl(
     x_i8: jax.Array,        # (N, H, W, Cin) int8
     dw_w_i8: jax.Array,     # (3, 3, 1, Cin)
     dw_bias_i32: jax.Array,
@@ -180,6 +240,7 @@ def separable_block_i8(
     block_h: Optional[int] = None,
     block_n: Optional[int] = None,
     interpret: Optional[bool] = None,
+    mxu_subsample: bool = False,
 ) -> jax.Array:
     if interpret is None:
         interpret = _should_interpret()
@@ -217,10 +278,15 @@ def separable_block_i8(
             x_index = lambda b_, i: (
                 b_ * bn, jnp.minimum(i * 2 * th, h - (2 * th + 2)), 0, 0)
 
+    sub = bool(mxu_subsample) and stride == 2
     kernel = functools.partial(
         _kernel, th=th, w_out=w_out, stride=stride, relu6=relu6, g=g, bn=bn,
-        wdim=wdim, dw_six_q=dw_six_q, pw_six_q=pw_six_q,
+        wdim=wdim, dw_six_q=dw_six_q, pw_six_q=pw_six_q, mxu_subsample=sub,
     )
+    if sub:
+        pw_arg = jnp.concatenate([pw_w_i8, jnp.zeros_like(pw_w_i8)], axis=0)
+    else:
+        pw_arg = pw_w_i8
 
     return pl.pallas_call(
         kernel,
@@ -234,7 +300,7 @@ def separable_block_i8(
             pl.BlockSpec((3, 3, cin), lambda b_, i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cin), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cin), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cin, cout), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(pw_arg.shape, lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -248,6 +314,6 @@ def separable_block_i8(
         interpret=interpret,
     )(
         x_i8, dw_w_i8.reshape(3, 3, cin), dw_bias_i32.reshape(1, cin),
-        dw_m.reshape(1, cin), pw_w_i8, pw_bias_i32.reshape(1, cout),
+        dw_m.reshape(1, cin), pw_arg, pw_bias_i32.reshape(1, cout),
         pw_m.reshape(1, cout),
     )

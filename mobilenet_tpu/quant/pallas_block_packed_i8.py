@@ -24,12 +24,28 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.pallas_dw import _should_interpret
 
 
-def _requant(acc_i32, m_vec, six_q, relu6):
+def _requant_f32(acc_i32, m_vec, six_q, relu6):
+    """Requant value in f32 (already rounded + bounded to int8 range).
+
+    The int8 CAST is deliberately left to the caller so any reshape happens
+    on the f32 value first: Mosaic shape-casts of 8-bit vectors (e.g. the
+    (M, R*Cout) -> (BN, TH, out_cols, 128) lane regroup at the store) are a
+    relayout on (32,128) int8 tiles — reshape in f32, cast last.
+    """
     v = acc_i32.astype(jnp.float32) * m_vec.astype(jnp.float32)
     v = jnp.maximum(v, 0.0)
     if relu6:
         v = jnp.minimum(v, six_q)
-    return jnp.clip(jnp.round(v), -128, 127).astype(jnp.int8)
+        if six_q < 127.5:
+            # In-domain ReLU6 already bounds round(v) to [0, 127] (six_q is
+            # 127.0 for the fixed 6/127 hidden scale): the final clip is
+            # provably redundant, bit-identical.
+            return jnp.round(v)
+    return jnp.clip(jnp.round(v), -128, 127)
+
+
+def _requant(acc_i32, m_vec, six_q, relu6):
+    return _requant_f32(acc_i32, m_vec, six_q, relu6).astype(jnp.int8)
 
 
 def _shift_cols(v, direction):
@@ -88,16 +104,17 @@ def _s1_kernel(x_ref, dww_ref, dwb_ref, dwm_ref, pww_ref, pwb_ref, pwm_ref,
         for dx in range(3):
             acc = acc + taps[dx][:, dy : dy + th] * dww_ref[dy, dx, :].astype(jnp.float32)
     acc = acc + dwb_ref[0].astype(jnp.float32)
-    mid = _requant(acc, dwm_ref[0], dw_six_q, relu6)
+    mid = _requant_f32(acc, dwm_ref[0], dw_six_q, relu6).reshape(
+        bn * th * w4, 128).astype(jnp.int8)
 
     out32 = jax.lax.dot_general(
-        mid.reshape(bn * th * w4, 128), pww_ref[...],
+        mid, pww_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
     out32 = out32 + pwb_ref[0].astype(jnp.int32)
-    o_ref[...] = _requant(out32, pwm_ref[0], pw_six_q, relu6).reshape(
-        bn, th, out_cols, 128)
+    o_ref[...] = _requant_f32(out32, pwm_ref[0], pw_six_q, relu6).reshape(
+        bn, th, out_cols, 128).astype(jnp.int8)
 
 
 def _s2_kernel(x_ref, dww_ref, dwb_ref, dwm_ref, pww_ref, pwb_ref, pwm_ref,
@@ -140,16 +157,17 @@ def _s2_kernel(x_ref, dww_ref, dwb_ref, dwm_ref, pww_ref, pwb_ref, pwm_ref,
                 :, dy // 2 : dy // 2 + th, dy % 2]
             acc = acc + t * dww_ref[dy, dx, :].astype(jnp.float32)
     acc = acc[:, :, 0:w4, :] + dwb_ref[0].astype(jnp.float32)
-    mid = _requant(acc, dwm_ref[0], dw_six_q, relu6)
+    mid = _requant_f32(acc, dwm_ref[0], dw_six_q, relu6).reshape(
+        bn * th * w4, 128).astype(jnp.int8)
 
     out32 = jax.lax.dot_general(
-        mid.reshape(bn * th * w4, 128), pww_ref[...],
+        mid, pww_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
     out32 = out32 + pwb_ref[0].astype(jnp.int32)
-    o_ref[...] = _requant(out32, pwm_ref[0], pw_six_q, relu6).reshape(
-        bn, th, out_cols, 128)
+    o_ref[...] = _requant_f32(out32, pwm_ref[0], pw_six_q, relu6).reshape(
+        bn, th, out_cols, 128).astype(jnp.int8)
 
 
 def _common_call(kernel_fn, x_packed, stride, args, *, th, bn, g, th_in, w4,

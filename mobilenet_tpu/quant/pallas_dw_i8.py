@@ -24,6 +24,11 @@ def _requant_val(acc, m_vec, six_q, relu6):
     v = jnp.maximum(v, 0.0)
     if relu6:
         v = jnp.minimum(v, six_q)
+        if six_q < 127.5:
+            # In-domain ReLU6 already bounds round(v) to [0, 127] (six_q is
+            # 127.0 for the fixed 6/127 hidden scale): the final clip is
+            # provably redundant — 2 fewer VPU ops per element, bit-identical.
+            return jnp.round(v).astype(jnp.int8)
     return jnp.clip(jnp.round(v), -128, 127).astype(jnp.int8)
 
 

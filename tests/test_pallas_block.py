@@ -14,7 +14,8 @@ from mobilenet_tpu.oracle import numpy_ref
 import jax
 
 
-def _case(rng, n, h, cin, cout, stride, block_h=None, block_n=None):
+def _case(rng, n, h, cin, cout, stride, block_h=None, block_n=None,
+          mxu_subsample=None):
     x = rng.uniform(-1, 1, (n, h, h, cin)).astype(np.float32)
     dw_w = rng.normal(0, 0.5, (3, 3, 1, cin)).astype(np.float32)
     dw_b = rng.normal(0, 0.2, (cin,)).astype(np.float32)
@@ -24,6 +25,7 @@ def _case(rng, n, h, cin, cout, stride, block_h=None, block_n=None):
         jnp.asarray(x), jnp.asarray(dw_w), jnp.asarray(dw_b),
         jnp.asarray(pw_w), jnp.asarray(pw_b), stride, True,
         block_h=block_h, block_n=block_n, interpret=True,
+        mxu_subsample=mxu_subsample,
     )
     mid = numpy_ref.depthwise_ref(x, dw_w, stride, dw_b, True)
     ref = numpy_ref.pointwise_ref(mid, pw_w, pw_b, True)
@@ -57,6 +59,14 @@ def test_two_row_tiles_edge(rng):
     # g == 2 exercises top+bottom branches with no middle branch.
     _case(rng, 1, 16, 32, 32, 1, block_h=8)
     _case(rng, 1, 16, 32, 32, 2, block_h=4)
+
+
+@pytest.mark.parametrize("n,h,cin,cout", [(2, 112, 64, 128), (1, 28, 256, 512),
+                                          (1, 16, 32, 32)])
+def test_s2_mxu_subsample_vs_oracle(rng, n, h, cin, cout):
+    """Stride-2 even-column selection via the K-zero-padded MXU weight must
+    match the oracle exactly like the gather variant does."""
+    _case(rng, n, h, cin, cout, 2, mxu_subsample=True)
 
 
 def test_full_model_fused_routing_matches_xla():

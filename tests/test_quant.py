@@ -100,6 +100,15 @@ def test_fused_i8_block_exact(setup, rng):
             interpret=True,
         )
         np.testing.assert_array_equal(np.asarray(got), ref)
+        if stride == 2:
+            # MXU even-column selection variant must stay EXACT too.
+            got2 = separable_block_i8(
+                jnp.asarray(xi), jnp.asarray(d.w_i8), jnp.asarray(d.bias_i32),
+                jnp.asarray(d.m), jnp.asarray(p.w_i8), jnp.asarray(p.bias_i32),
+                jnp.asarray(p.m), stride, float(d.six_q), float(p.six_q), True,
+                interpret=True, mxu_subsample=True,
+            )
+            np.testing.assert_array_equal(np.asarray(got2), ref)
 
 
 def test_fused_i8_full_model_exact(setup):

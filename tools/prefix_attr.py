@@ -1,0 +1,127 @@
+"""Prefix-differenced segment attribution on the real chip.
+
+Standalone jits of single layers mislead through the tunnel (~1.5-2.5 ms fixed
+per-call overhead, docs/design.md SS5), so per-segment time is measured by
+compiling PREFIXES of the network (preprocess+conv1+blocks[0:k]) and
+differencing consecutive prefixes. Each prefix reduces its output to one
+scalar in-graph (forces all compute; keeps the fetch fence tiny through the
+tunnel).
+
+Usage (one process holds the TPU; each prefix costs a remote compile):
+  python tools/prefix_attr.py --prefixes 0,1,2,6,13,full          # bf16
+  python tools/prefix_attr.py --int8 --prefixes 0,1,2,6,13,full   # int8
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_entries(args, prefixes):
+    from mobilenet_tpu import ModelConfig
+    from mobilenet_tpu.checkpoints import fold_bn, init_params, to_device
+    from mobilenet_tpu.ops import preprocess as prep
+
+    cfg = ModelConfig(alpha=args.alpha, resolution=args.res,
+                      compute_dtype="bfloat16")
+    folded = fold_bn(init_params(cfg, seed=0), eps=cfg.bn_eps)
+    entries = {}
+    if args.int8:
+        from mobilenet_tpu.quant import ops as qops
+        from mobilenet_tpu.quant.model import (_as_device_tree, forward_i8,
+                                               quantize_for_device)
+        from mobilenet_tpu.quant.quantize import ACT_IN_SCALE
+
+        dev = _as_device_tree(quantize_for_device(folded, cfg))
+        for k in prefixes:
+            nb = None if k == "full" else int(k)
+
+            def fn(images_u8, nb=nb):
+                x = prep.preprocess(images_u8, cfg.resolution, jnp.float32)
+                x_i8 = qops.quantize_input_dev(x, ACT_IN_SCALE)
+                y = forward_i8(dev, x_i8, cfg, use_fused=True, num_blocks=nb)
+                return jnp.sum(y.astype(jnp.float32)).reshape(1)
+
+            entries[k] = jax.jit(fn)
+    else:
+        from mobilenet_tpu.checkpoints.padding import needs_padding, pad_channels
+        from mobilenet_tpu.models import mobilenet_v1
+
+        if needs_padding(folded):
+            folded = pad_channels(folded)
+        params = to_device(folded, dtype=jnp.bfloat16)
+        for k in prefixes:
+            nb = None if k == "full" else int(k)
+
+            def fn(images_u8, nb=nb):
+                x = prep.preprocess(images_u8, cfg.resolution, jnp.bfloat16)
+                y = mobilenet_v1.forward(params, x, cfg, dw_backend="fused",
+                                         num_blocks=nb)
+                return jnp.sum(y.astype(jnp.float32)).reshape(1)
+
+            entries[k] = jax.jit(fn)
+    return cfg, entries
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--alpha", type=float, default=1.0)
+    ap.add_argument("--res", type=int, default=224)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--prefixes", default="0,1,2,6,13,full",
+                    help="comma list of block counts (0 = conv1 only) + 'full'")
+    args = ap.parse_args()
+
+    prefixes = [p if p == "full" else int(p)
+                for p in args.prefixes.split(",")]
+    cfg, entries = build_entries(args, prefixes)
+
+    rng = np.random.default_rng(0)
+    img = jax.device_put(jnp.asarray(rng.integers(
+        0, 256, (args.batch, args.res, args.res, 3), dtype=np.uint8)))
+
+    results = {}
+    for k, fn in entries.items():
+        t_c = time.perf_counter()
+        _ = np.asarray(fn(img))  # compile + warm (fetch-fenced)
+        compile_s = time.perf_counter() - t_c
+        _ = np.asarray(fn(img))
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            out = fn(img)
+        _ = np.asarray(out)
+        ms = (time.perf_counter() - t0) / args.steps * 1e3
+        results[k] = ms
+        print(f"prefix {k!s:>5}: {ms:8.3f} ms/batch   (compile+warm {compile_s:.1f}s)",
+              flush=True)
+
+    keys = list(results)
+    print("\nsegment deltas (ms/batch):")
+    prev = 0.0
+    for i, k in enumerate(keys):
+        label = f"conv1+pre" if k == 0 else (
+            f"head(pool/fc/softmax)" if k == "full" else
+            f"blocks[{keys[i-1] if i else 0}:{k})")
+        print(f"  {label:>22}: {results[k] - prev:8.3f}")
+        prev = results[k]
+    full = results.get("full")
+    if full is not None:
+        ips = args.batch / (full / 1e3)
+        print(f"\nfull: {full:.3f} ms/batch -> {ips:,.0f} img/s "
+              f"({'int8' if args.int8 else 'bf16'}, batch {args.batch})")
+    print(json.dumps({"dtype": "int8" if args.int8 else "bf16",
+                      "batch": args.batch, "ms": results}))
+
+
+if __name__ == "__main__":
+    main()
