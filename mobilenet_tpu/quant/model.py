@@ -50,7 +50,10 @@ def forward_i8(
     collect: bool = False,
     num_blocks=None,
 ):
-    """x_i8: (N, H, W, 3) int8 at s_in = 1/127. Returns float32 logits.
+    """x_i8: (N, H, W, 3) quantized input at s_in = 1/127 — int8, or bfloat16
+    holding the same integers (the production stem path; conv1 consumes bf16
+    on the MXU either way and the results are bit-identical).
+    Returns float32 logits.
     num_blocks: run only conv1 + the first num_blocks blocks and return that
     int8 activation (tools/prefix_attr.py segment attribution)."""
     from .quantize import ACT_IN_SCALE  # noqa: PLC0415
@@ -205,8 +208,11 @@ def make_int8_infer(q: QuantizedParams, config: ModelConfig, *,
 
     def infer(images_u8):
         x = prep.preprocess(images_u8, config.resolution, jnp.float32)
-        x_i8 = qops.quantize_input_dev(x, ACT_IN_SCALE)
-        return forward_i8(dev, x_i8, config, use_pallas_dw=use_pallas_dw,
+        # Quantize straight into bf16 integer values: the stem conv consumes
+        # bf16 on the MXU, so an int8 intermediate would only buy two
+        # relayouts (see quantize_input_dev). Bit-identical integers.
+        x_q = qops.quantize_input_dev(x, ACT_IN_SCALE, out_dtype=jnp.bfloat16)
+        return forward_i8(dev, x_q, config, use_pallas_dw=use_pallas_dw,
                           use_fused=use_fused)
 
     if mesh is None:

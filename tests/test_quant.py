@@ -211,3 +211,30 @@ def test_int8_channel_padding_exact_logits(rng):
     got = np.asarray(jax.jit(
         lambda v: forward_i8(padded, v, cfg, use_fused=True))(x_i8))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_bf16_quantized_input_bit_identical(setup):
+    """The production stem path quantizes straight into bf16 integer values
+    (quantize_input_dev(out_dtype=bfloat16)) — logits must be BIT-IDENTICAL
+    to the int8-input path, fused and unfused."""
+    from mobilenet_tpu.quant.model import _as_device_tree, forward_i8
+    from mobilenet_tpu.quant.quantize import ACT_IN_SCALE
+
+    cfg, folded, q, x = setup
+    dev = _as_device_tree(q)
+    xj = jnp.asarray(x)
+    q_i8 = np.asarray(jax.jit(
+        lambda v: qops.quantize_input_dev(v, ACT_IN_SCALE))(xj))
+    q_bf = np.asarray(jax.jit(
+        lambda v: qops.quantize_input_dev(v, ACT_IN_SCALE,
+                                          out_dtype=jnp.bfloat16))(xj))
+    np.testing.assert_array_equal(q_i8.astype(np.float32),
+                                  q_bf.astype(np.float32))
+    for fused in (False, True):
+        ref = np.asarray(jax.jit(
+            lambda v: forward_i8(dev, v, cfg, use_fused=fused))(
+                jnp.asarray(q_i8)))
+        got = np.asarray(jax.jit(
+            lambda v: forward_i8(dev, v, cfg, use_fused=fused))(
+                jnp.asarray(q_bf)))
+        np.testing.assert_array_equal(ref, got)

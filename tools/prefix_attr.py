@@ -46,8 +46,9 @@ def build_entries(args, prefixes):
 
             def fn(images_u8, nb=nb):
                 x = prep.preprocess(images_u8, cfg.resolution, jnp.float32)
-                x_i8 = qops.quantize_input_dev(x, ACT_IN_SCALE)
-                y = forward_i8(dev, x_i8, cfg, use_fused=True, num_blocks=nb)
+                x_q = qops.quantize_input_dev(x, ACT_IN_SCALE,
+                                              out_dtype=jnp.bfloat16)
+                y = forward_i8(dev, x_q, cfg, use_fused=True, num_blocks=nb)
                 return jnp.sum(y.astype(jnp.float32)).reshape(1)
 
             entries[k] = jax.jit(fn)
