@@ -40,6 +40,18 @@ def _as_device_tree(q: QuantizedParams) -> Dict[str, Any]:
     }
 
 
+# Dense fused blocks whose OUTPUT spatial side is <= this carry their
+# requantized integers as bf16 between blocks (exact for |v| <= 127): the
+# consumer skips the i8 -> i32 -> f32 window widen (a relayout on (32,128)
+# int8 tiles) and the producer skips the i8 store, for 2x the HBM bytes on
+# that boundary. Measured on v5e (1.0-224 batch-256, tools/ab_carry.py
+# interleaved medians): a WASH — 12.12 ms (off) vs 12.13 (<=14) vs 12.15
+# (<=28) vs 12.31 (all dense) — the i8 widen fuses into the window pipeline
+# and costs nothing, while carried windows double scratch DMA bytes. Default
+# OFF; kept as a tested option + tool (bit-identical either way).
+BF16_CARRY_MAX_HW = 0
+
+
 def forward_i8(
     dev: Dict[str, Any],
     x_i8: jax.Array,
@@ -49,6 +61,7 @@ def forward_i8(
     use_fused: bool = False,
     collect: bool = False,
     num_blocks=None,
+    bf16_carry_max_hw: int = None,
 ):
     """x_i8: (N, H, W, 3) quantized input at s_in = 1/127 — int8, or bfloat16
     holding the same integers (the production stem path; conv1 consumes bf16
@@ -95,9 +108,16 @@ def forward_i8(
             else:
                 from .pallas_block_i8 import separable_block_i8  # noqa: PLC0415
 
+                carry = (BF16_CARRY_MAX_HW if bf16_carry_max_hw is None
+                         else bf16_carry_max_hw)
+                out_dtype = (
+                    jnp.bfloat16
+                    if carry and y.shape[1] // stride <= carry
+                    else jnp.int8
+                )
                 y = separable_block_i8(
                     y, d["w"], d["b"], d["m"], p["w"], p["b"], p["m"], stride,
-                    d["six_q"], p["six_q"], relu6,
+                    d["six_q"], p["six_q"], relu6, out_dtype=out_dtype,
                 )
             continue
         if use_pallas_dw:

@@ -112,11 +112,17 @@ def conv1_i8(x_i8: jax.Array, w_i8: jax.Array, bias_i32: jax.Array,
 
 
 def avgpool_i8(x_i8: jax.Array) -> jax.Array:
-    """Global average pool in the quantized domain: int32 sum, exact float32
-    mean, round-half-even back to int8 (same scale)."""
+    """Global average pool in the quantized domain: exact integer sum, exact
+    float32 mean, round-half-even back to int8 (same scale). Accepts int8 or
+    bf16-carried integers (quant/model.py BF16_CARRY_MAX_HW)."""
     n, h, w, c = x_i8.shape
-    acc = jnp.sum(x_i8.astype(jnp.int32), axis=(1, 2))
-    v = acc.astype(jnp.float32) * jnp.float32(1.0 / (h * w))
+    if x_i8.dtype == jnp.int8:
+        acc = jnp.sum(x_i8.astype(jnp.int32), axis=(1, 2)).astype(jnp.float32)
+    else:
+        # bf16-carried integers: h*w*127 stays far below 2^24, so f32
+        # accumulation yields the same integer sum as i32.
+        acc = jnp.sum(x_i8.astype(jnp.float32), axis=(1, 2))
+    v = acc * jnp.float32(1.0 / (h * w))
     return jnp.clip(jnp.round(v), -128, 127).astype(jnp.int8)
 
 

@@ -56,8 +56,8 @@ def _requant_f32(acc_i32, m_vec, six_q, relu6):
     return jnp.clip(jnp.round(v), -128, 127)
 
 
-def _requant(acc_i32, m_vec, six_q, relu6):
-    return _requant_f32(acc_i32, m_vec, six_q, relu6).astype(jnp.int8)
+def _requant(acc_i32, m_vec, six_q, relu6, dtype=jnp.int8):
+    return _requant_f32(acc_i32, m_vec, six_q, relu6).astype(dtype)
 
 
 def _round_up(x, m):
@@ -147,8 +147,12 @@ def _kernel(
     # far below 2^24: f32 FMAs yield the same integers as i32 arithmetic in
     # any order (measured speed parity with i32 on the VPU; kept for
     # structural unity with the float kernels).
-    # (Mosaic can't cast i8->f32 directly; widen through i32.)
-    sv = s_ref[...].astype(jnp.int32).astype(jnp.float32)
+    # (Mosaic can't cast i8->f32 directly; widen through i32. bf16-carried
+    # inputs — same integers stored as bf16 — skip the i8 widen entirely.)
+    sv = s_ref[...]
+    if sv.dtype == jnp.int8:
+        sv = sv.astype(jnp.int32)
+    sv = sv.astype(jnp.float32)
     c_in = sv.shape[-1]
     if stride == 1:
         acc = jnp.zeros((bn, th, w_out, c_in), jnp.float32)
@@ -177,8 +181,8 @@ def _kernel(
                 preferred_element_type=jnp.int32,
             )
             out32 = out32 + pwb_ref[0].astype(jnp.int32)
-            o_ref[...] = _requant(out32, pwm_ref[0], pw_six_q, relu6).reshape(
-                bn, th, w_out, -1)
+            o_ref[...] = _requant(out32, pwm_ref[0], pw_six_q, relu6,
+                                  o_ref.dtype).reshape(bn, th, w_out, -1)
             return
         acc = acc_f.reshape(bn, th, w_out, 2, c_in)[:, :, :, 0, :]
 
@@ -197,35 +201,44 @@ def _kernel(
         preferred_element_type=jnp.int32,
     )
     out32 = out32 + pwb_ref[0].astype(jnp.int32)
-    o_ref[...] = _requant(out32, pwm_ref[0], pw_six_q, relu6).reshape(
-        bn, th, w_out, -1)
+    o_ref[...] = _requant(out32, pwm_ref[0], pw_six_q, relu6,
+                          o_ref.dtype).reshape(bn, th, w_out, -1)
 
 
 def separable_block_i8(
     x_i8, dw_w_i8, dw_bias_i32, dw_m, pw_w_i8, pw_bias_i32, pw_m,
     stride, dw_six_q, pw_six_q, relu6=True, *,
     block_h=None, block_n=None, interpret=None, mxu_subsample=None,
+    out_dtype=jnp.int8,
 ):
     """Fused int8 block. mxu_subsample=None resolves the module default
     S2_MXU_SUBSAMPLE at call time (outside the jitted impl so it keys the
-    jit cache)."""
+    jit cache).
+
+    bf16 carriage: x may be int8 OR bfloat16 holding the same integers, and
+    out_dtype=bfloat16 stores the requantized integers as bf16 (exact for
+    |v| <= 127). Carried blocks skip the i8 -> i32 -> f32 window widen (a
+    relayout on (32,128) int8 tiles) and the i8 output store, at 2x the HBM
+    bytes on that boundary — a win for the small-spatial back half of the
+    network. Bit-identical integers either way.
+    """
     if mxu_subsample is None:
         mxu_subsample = S2_MXU_SUBSAMPLE
     return _separable_block_i8_impl(
         x_i8, dw_w_i8, dw_bias_i32, dw_m, pw_w_i8, pw_bias_i32, pw_m,
         stride, dw_six_q, pw_six_q, relu6,
         block_h=block_h, block_n=block_n, interpret=interpret,
-        mxu_subsample=bool(mxu_subsample),
+        mxu_subsample=bool(mxu_subsample), out_dtype=out_dtype,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("stride", "dw_six_q", "pw_six_q", "relu6", "block_h",
-                     "block_n", "interpret", "mxu_subsample"),
+                     "block_n", "interpret", "mxu_subsample", "out_dtype"),
 )
 def _separable_block_i8_impl(
-    x_i8: jax.Array,        # (N, H, W, Cin) int8
+    x_i8: jax.Array,        # (N, H, W, Cin) int8 or bf16-carried integers
     dw_w_i8: jax.Array,     # (3, 3, 1, Cin)
     dw_bias_i32: jax.Array,
     dw_m: jax.Array,
@@ -241,6 +254,7 @@ def _separable_block_i8_impl(
     block_n: Optional[int] = None,
     interpret: Optional[bool] = None,
     mxu_subsample: bool = False,
+    out_dtype=jnp.int8,
 ) -> jax.Array:
     if interpret is None:
         interpret = _should_interpret()
@@ -263,7 +277,7 @@ def _separable_block_i8_impl(
 
     if stride == 1:
         th_in = th if g == 1 else th + 2
-        scratch = pltpu.VMEM((bn, th + 2, wdim + 2, cin), jnp.int8)
+        scratch = pltpu.VMEM((bn, th + 2, wdim + 2, cin), x_i8.dtype)
         if g == 1:
             x_index = lambda b_, i: (b_ * bn, 0, 0, 0)
         else:
@@ -271,7 +285,7 @@ def _separable_block_i8_impl(
                 b_ * bn, jnp.clip(i * th - 1, 0, h - (th + 2)), 0, 0)
     else:
         th_in = 2 * th if g == 1 else 2 * th + 2
-        scratch = pltpu.VMEM((bn, 2 * th + 2, wdim + 2, cin), jnp.int8)
+        scratch = pltpu.VMEM((bn, 2 * th + 2, wdim + 2, cin), x_i8.dtype)
         if g == 1:
             x_index = lambda b_, i: (b_ * bn, 0, 0, 0)
         else:
@@ -309,7 +323,7 @@ def _separable_block_i8_impl(
             lambda b_, i: (b_, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, cout), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, cout), out_dtype),
         scratch_shapes=[scratch],
         interpret=interpret,
     )(

@@ -238,3 +238,52 @@ def test_bf16_quantized_input_bit_identical(setup):
             lambda v: forward_i8(dev, v, cfg, use_fused=fused))(
                 jnp.asarray(q_bf)))
         np.testing.assert_array_equal(ref, got)
+
+
+def test_dense_block_bf16_carriage_exact(setup, rng):
+    """bf16-carried dense blocks (int8 integers stored as bf16 between
+    blocks) must be BIT-IDENTICAL to the i8-carried baseline, for every
+    (stride, in_dtype, out_dtype) combination."""
+    from mobilenet_tpu.quant.pallas_block_i8 import separable_block_i8
+
+    cfg, folded, q, x = setup
+    b = q.blocks[5]  # cin = cout (stride-1-compatible shapes)
+    d, p = b["dw"], b["pw"]
+    cin = d.w_i8.shape[-1]
+    xi = rng.integers(0, 128, (2, 8, 8, cin)).astype(np.int8)
+    for stride in (1, 2):
+        ref = np.asarray(separable_block_i8(
+            jnp.asarray(xi), jnp.asarray(d.w_i8), jnp.asarray(d.bias_i32),
+            jnp.asarray(d.m), jnp.asarray(p.w_i8), jnp.asarray(p.bias_i32),
+            jnp.asarray(p.m), stride, float(d.six_q), float(p.six_q), True,
+            interpret=True))
+        for in_bf in (False, True):
+            for out_bf in (False, True):
+                if not (in_bf or out_bf):
+                    continue
+                xin = (jnp.asarray(xi).astype(jnp.bfloat16) if in_bf
+                       else jnp.asarray(xi))
+                got = np.asarray(separable_block_i8(
+                    xin, jnp.asarray(d.w_i8), jnp.asarray(d.bias_i32),
+                    jnp.asarray(d.m), jnp.asarray(p.w_i8),
+                    jnp.asarray(p.bias_i32), jnp.asarray(p.m), stride,
+                    float(d.six_q), float(p.six_q), True, interpret=True,
+                    out_dtype=jnp.bfloat16 if out_bf else jnp.int8,
+                )).astype(np.float32)
+                np.testing.assert_array_equal(ref.astype(np.float32), got)
+
+
+def test_forward_bf16_carriage_exact(setup):
+    """Full fused forward with bf16 carriage enabled == carriage off,
+    bit-for-bit (logits)."""
+    from mobilenet_tpu.quant.model import _as_device_tree, forward_i8
+
+    cfg, folded, q, x = setup
+    dev = _as_device_tree(q)
+    xi = jnp.asarray(quantize_input(x))
+    ref = np.asarray(jax.jit(lambda v: forward_i8(
+        dev, v, cfg, use_fused=True, bf16_carry_max_hw=0))(xi))
+    for carry in (28, 1000):
+        got = np.asarray(jax.jit(lambda v: forward_i8(
+            dev, v, cfg, use_fused=True, bf16_carry_max_hw=carry))(xi))
+        np.testing.assert_array_equal(ref, got)

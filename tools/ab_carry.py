@@ -1,0 +1,97 @@
+"""Interleaved A/B of bf16-carried int8 activations between dense blocks.
+
+Carried blocks store requantized integers as bf16 (exact for |v| <= 127):
+the consumer skips the i8 -> i32 -> f32 window widen (a relayout on (32,128)
+int8 tiles) and the producer skips the i8 store, at 2x the HBM bytes on that
+boundary. The threshold is the block's OUTPUT spatial side:
+  0    = carriage off (i8 everywhere, round-1 behavior)
+  14   = carry the 14^2/7^2 stretch only (B6..B12)
+  28   = + the 28^2 blocks (B4..B5)
+  1000 = every dense block (B2.. at 56^2 too)
+
+Measures the FULL int8 network e2e, interleaving rounds and reporting
+medians (standalone micro-benches mislead through the tunnel).
+
+Usage: python tools/ab_carry.py [--batch 256] [--steps 15] [--carries 0,14,28,1000]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=15)
+    ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--carries", default="0,14,28,1000")
+    ap.add_argument("--alpha", type=float, default=1.0)
+    ap.add_argument("--res", type=int, default=224)
+    args = ap.parse_args()
+
+    from mobilenet_tpu import ModelConfig
+    from mobilenet_tpu.checkpoints import fold_bn, init_params
+    from mobilenet_tpu.ops import preprocess as prep
+    from mobilenet_tpu.quant import ops as qops
+    from mobilenet_tpu.quant.model import (_as_device_tree, forward_i8,
+                                           quantize_for_device)
+    from mobilenet_tpu.quant.quantize import ACT_IN_SCALE
+
+    cfg = ModelConfig(alpha=args.alpha, resolution=args.res,
+                      compute_dtype="bfloat16")
+    folded = fold_bn(init_params(cfg, seed=0), eps=cfg.bn_eps)
+    dev = _as_device_tree(quantize_for_device(folded, cfg))
+
+    entries = {}
+    for carry in [int(c) for c in args.carries.split(",")]:
+
+        def fn(u8, carry=carry):
+            x = prep.preprocess(u8, cfg.resolution, jnp.float32)
+            x_q = qops.quantize_input_dev(x, ACT_IN_SCALE,
+                                          out_dtype=jnp.bfloat16)
+            y = forward_i8(dev, x_q, cfg, use_fused=True,
+                           bf16_carry_max_hw=carry)
+            return jnp.sum(y).reshape(1)
+
+        entries[carry] = jax.jit(fn)
+
+    rng = np.random.default_rng(0)
+    img = jax.device_put(jnp.asarray(rng.integers(
+        0, 256, (args.batch, args.res, args.res, 3), dtype=np.uint8)))
+
+    outs = {}
+    for label, fn in entries.items():
+        t0 = time.perf_counter()
+        outs[label] = float(np.asarray(fn(img))[0])  # compile + warm
+        print(f"carry={label}: compile+warm {time.perf_counter()-t0:.1f}s",
+              flush=True)
+    vals = list(outs.values())
+    agree = all(np.isclose(v, vals[0], rtol=0, atol=0) for v in vals)
+    print(f"outputs: {outs}  bit_agree={agree}", flush=True)
+
+    times = {k: [] for k in entries}
+    for r in range(args.rounds):
+        for label, fn in entries.items():
+            _ = np.asarray(fn(img))
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                out = fn(img)
+            _ = np.asarray(out)
+            times[label].append((time.perf_counter() - t0) / args.steps * 1e3)
+    for label, ts in times.items():
+        med = float(np.median(ts))
+        ips = args.batch / med * 1e3
+        print(f"carry<={label:>4}: median {med:7.3f} ms/batch -> {ips:,.0f} "
+              f"img/s  (rounds: {[round(t, 2) for t in ts]})")
+
+
+if __name__ == "__main__":
+    main()

@@ -25,16 +25,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_entries(args, prefixes):
+def build_entries(args, prefixes, int8=None):
     from mobilenet_tpu import ModelConfig
     from mobilenet_tpu.checkpoints import fold_bn, init_params, to_device
     from mobilenet_tpu.ops import preprocess as prep
 
+    if int8 is None:
+        int8 = args.int8
     cfg = ModelConfig(alpha=args.alpha, resolution=args.res,
                       compute_dtype="bfloat16")
     folded = fold_bn(init_params(cfg, seed=0), eps=cfg.bn_eps)
     entries = {}
-    if args.int8:
+    if int8:
         from mobilenet_tpu.quant import ops as qops
         from mobilenet_tpu.quant.model import (_as_device_tree, forward_i8,
                                                quantize_for_device)
@@ -79,12 +81,18 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--compare", action="store_true",
+                    help="measure bf16 AND int8 prefixes interleaved in one "
+                         "process; report the per-segment int8-bf16 gap")
+    ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--prefixes", default="0,1,2,6,13,full",
                     help="comma list of block counts (0 = conv1 only) + 'full'")
     args = ap.parse_args()
 
     prefixes = [p if p == "full" else int(p)
                 for p in args.prefixes.split(",")]
+    if args.compare:
+        return compare(args, prefixes)
     cfg, entries = build_entries(args, prefixes)
 
     rng = np.random.default_rng(0)
@@ -122,6 +130,55 @@ def main():
               f"({'int8' if args.int8 else 'bf16'}, batch {args.batch})")
     print(json.dumps({"dtype": "int8" if args.int8 else "bf16",
                       "batch": args.batch, "ms": results}))
+
+
+def compare(args, prefixes):
+    """Interleaved bf16-vs-int8 per-prefix measurement (one process — the
+    tunnel adds +-1 ms/batch BETWEEN processes, which swamps segment gaps)."""
+    _, e_bf = build_entries(args, prefixes, int8=False)
+    _, e_i8 = build_entries(args, prefixes, int8=True)
+
+    rng = np.random.default_rng(0)
+    img = jax.device_put(jnp.asarray(rng.integers(
+        0, 256, (args.batch, args.res, args.res, 3), dtype=np.uint8)))
+
+    pairs = [(k, d, fns[k]) for k in prefixes
+             for d, fns in (("bf16", e_bf), ("int8", e_i8))]
+    for k, d, fn in pairs:
+        t0 = time.perf_counter()
+        _ = np.asarray(fn(img))
+        print(f"compile {d} prefix {k!s:>5}: {time.perf_counter()-t0:5.1f}s",
+              flush=True)
+
+    times = {(k, d): [] for k, d, _ in pairs}
+    for r in range(args.rounds):
+        for k, d, fn in pairs:
+            _ = np.asarray(fn(img))
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                out = fn(img)
+            _ = np.asarray(out)
+            times[(k, d)].append(
+                (time.perf_counter() - t0) / args.steps * 1e3)
+
+    med = {kd: float(np.median(ts)) for kd, ts in times.items()}
+    print(f"\n{'segment':>22} | {'bf16':>8} | {'int8':>8} | {'gap':>7}")
+    prev_bf = prev_i8 = 0.0
+    for i, k in enumerate(prefixes):
+        label = ("conv1+pre" if k == 0 else
+                 "head(pool/fc/softmax)" if k == "full" else
+                 f"blocks[{prefixes[i-1] if i else 0}:{k})")
+        d_bf = med[(k, "bf16")] - prev_bf
+        d_i8 = med[(k, "int8")] - prev_i8
+        print(f"{label:>22} | {d_bf:8.3f} | {d_i8:8.3f} | {d_i8-d_bf:+7.3f}")
+        prev_bf, prev_i8 = med[(k, "bf16")], med[(k, "int8")]
+    if "full" in prefixes:
+        fb, fi = med[("full", "bf16")], med[("full", "int8")]
+        print(f"\nfull: bf16 {fb:.3f} ms ({args.batch/fb*1e3:,.0f} img/s)  "
+              f"int8 {fi:.3f} ms ({args.batch/fi*1e3:,.0f} img/s)  "
+              f"gap {fi-fb:+.3f} ms")
+    print(json.dumps({"batch": args.batch,
+                      "ms": {f"{k}/{d}": v for (k, d), v in med.items()}}))
 
 
 if __name__ == "__main__":
