@@ -115,14 +115,21 @@ def _run_blocks(params, y, config, routing, relu6, acts=None, start: int = 0,
                 and (y.shape[2] * cin) % 128 == 0 and (128 // cin) * cout % 128 == 0
             ):
                 # narrow-channel layer: lane-packed variant (full occupancy)
+                from ..ops import pallas_block_packed_mxu as pbm  # noqa: PLC0415
                 from ..ops.pallas_block_packed import (  # noqa: PLC0415
                     pack, separable_block_packed, unpack,
                 )
 
-                yp = separable_block_packed(
-                    pack(y, cin), blk["dw"]["w"], blk["dw"]["b"],
-                    blk["pw"]["w"], blk["pw"]["b"], cin, cout, relu6,
-                )
+                if pbm.DW_MXU_S1_F:
+                    yp = pbm.separable_block_packed_mxu(
+                        pack(y, cin), blk["dw"]["w"], blk["dw"]["b"],
+                        blk["pw"]["w"], blk["pw"]["b"], cin, cout, 1, relu6,
+                    )
+                else:
+                    yp = separable_block_packed(
+                        pack(y, cin), blk["dw"]["w"], blk["dw"]["b"],
+                        blk["pw"]["w"], blk["pw"]["b"], cin, cout, relu6,
+                    )
                 y = unpack(yp, cout)
             elif (
                 stride == 2 and cin < 128 and 128 % cin == 0
@@ -133,17 +140,22 @@ def _run_blocks(params, y, config, routing, relu6, acts=None, start: int = 0,
                 # packed stride-2: the s2 stencil as 3 packed taps (one
                 # identity + two lane rolls); odd-pixel lanes dropped by the
                 # kron-selection pointwise weights
+                from ..ops import pallas_block_packed_mxu as pbm  # noqa: PLC0415
                 from ..ops.pallas_block_packed import (  # noqa: PLC0415
                     pack, separable_block_packed_s2, unpack,
                 )
 
-                y = unpack(
-                    separable_block_packed_s2(
+                if pbm.DW_MXU_S2_F:
+                    yp = pbm.separable_block_packed_mxu(
+                        pack(y, cin), blk["dw"]["w"], blk["dw"]["b"],
+                        blk["pw"]["w"], blk["pw"]["b"], cin, cout, 2, relu6,
+                    )
+                else:
+                    yp = separable_block_packed_s2(
                         pack(y, cin), blk["dw"]["w"], blk["dw"]["b"],
                         blk["pw"]["w"], blk["pw"]["b"], cin, cout, relu6,
-                    ),
-                    cout,
-                )
+                    )
+                y = unpack(yp, cout)
             else:
                 from ..ops.pallas_block import separable_block_pallas  # noqa: PLC0415
 

@@ -93,13 +93,17 @@ def forward_i8(
                 else (r % 2 == 0 and (r // 2) * cout % 128 == 0 and y.shape[1] % 2 == 0)
             )
             if packed_ok:
+                from ..ops import pallas_block_packed_mxu as pbm  # noqa: PLC0415
                 from ..ops.pallas_block_packed import pack, unpack  # noqa: PLC0415
                 from .pallas_block_packed_i8 import (  # noqa: PLC0415
                     separable_block_packed_i8,
                 )
 
+                mxu = (pbm.DW_MXU_S1_I8 if stride == 1 else pbm.DW_MXU_S2_I8)
+                kern = (pbm.separable_block_packed_i8_mxu if mxu
+                        else separable_block_packed_i8)
                 y = unpack(
-                    separable_block_packed_i8(
+                    kern(
                         pack(y, cin), d["w"], d["b"], d["m"], p["w"], p["b"],
                         p["m"], cin, cout, stride, d["six_q"], p["six_q"], relu6,
                     ),
