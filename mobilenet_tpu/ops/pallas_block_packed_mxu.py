@@ -162,6 +162,8 @@ def _mxu_kernel_f(x_ref, a_ref, dwb_ref, pww_ref, pwb_ref, o_ref, s_ref,
     m = bn * th * w4
     acc = jnp.zeros((m, 128), jnp.float32)
     n_s = 3 if stride == 1 else 2
+    prec = (jax.lax.Precision.HIGHEST if pww_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     for dy in range(3):
         for s in range(n_s):
             if stride == 1:
@@ -169,15 +171,15 @@ def _mxu_kernel_f(x_ref, a_ref, dwb_ref, pww_ref, pwb_ref, o_ref, s_ref,
             else:
                 rows = s_ref[...].reshape(bn, th + 1, 2, w4 + 1, 128)
                 sl = rows[:, dy // 2 : dy // 2 + th, dy % 2, s : s + w4, :]
+            # HIGHEST for f32 operands: the MXU's default bf16 passes cost
+            # ~e-2 absolute error (hw-measured), failing the fp32 gate.
             acc = acc + jnp.dot(
                 sl.reshape(m, 128), a_ref[dy, s],
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
 
     y = _act(acc + dwb_ref[0].astype(jnp.float32), relu6)
     y2 = y.astype(pww_ref.dtype)
-    prec = (jax.lax.Precision.HIGHEST if pww_ref.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
     out = jnp.dot(y2, pww_ref[...], preferred_element_type=jnp.float32,
                   precision=prec)
     out = _act(out + pwb_ref[0].astype(jnp.float32), relu6)

@@ -115,6 +115,26 @@ def main(quick: bool = False, only: str = ""):
             jnp.asarray(pw_w), jnp.asarray(pw_b), cin, cout, True), cout)
         check(f"packed_s2_block h={h} {cin}->{cout}", got, ref, 3e-5)
 
+    # --- MXU-matmul depthwise packed blocks (experimental, default-off) -----
+    from mobilenet_tpu.ops.pallas_block_packed_mxu import (
+        separable_block_packed_mxu,
+    )
+
+    rng = rng_for("packed_mxu")
+    for (h, cin, cout, s) in ([(112, 32, 64, 1), (112, 64, 128, 2)]
+                              if want("packed_mxu") else []):
+        x = rng.uniform(-1, 1, (2, h, h, cin)).astype(np.float32)
+        dw_w = rng.normal(0, 0.5, (3, 3, 1, cin)).astype(np.float32)
+        dw_b = rng.normal(0, 0.2, (cin,)).astype(np.float32)
+        pw_w = rng.normal(0, 0.3, (cin, cout)).astype(np.float32)
+        pw_b = rng.normal(0, 0.2, (cout,)).astype(np.float32)
+        ref = numpy_ref.pointwise_ref(
+            numpy_ref.depthwise_ref(x, dw_w, s, dw_b, True), pw_w, pw_b, True)
+        got = unpack(separable_block_packed_mxu(
+            pack(jnp.asarray(x), cin), jnp.asarray(dw_w), jnp.asarray(dw_b),
+            jnp.asarray(pw_w), jnp.asarray(pw_b), cin, cout, s, True), cout)
+        check(f"packed_mxu h={h} {cin}->{cout} s={s}", got, ref, 3e-5)
+
     # --- stem+block0 mega-kernel (normalize+conv1+dw+pw in one call) --------
     from mobilenet_tpu.ops.pallas_stem_b0 import stem_block0_fused
 
@@ -193,6 +213,35 @@ def main(quick: bool = False, only: str = ""):
                   f"{'exact' if exact else 'MISMATCH'}", flush=True)
             if not exact:
                 failures.append(f"i8_packed b{bi}")
+
+    # --- MXU-dw packed int8 blocks (EXACT; experimental, default-off) -------
+    if want("i8_packed_mxu"):
+        rng = rng_for("i8_packed_mxu")
+        from mobilenet_tpu.ops.pallas_block_packed import pack as _pack, unpack as _unpack
+        from mobilenet_tpu.ops.pallas_block_packed_mxu import (
+            separable_block_packed_i8_mxu,
+        )
+
+        cfgp = ModelConfig(alpha=1.0, resolution=224)
+        qp = quantize(fold_bn(init_params(cfgp, 3), eps=cfgp.bn_eps), cfgp)
+        for bi, stride, h in ((0, 1, 112), (1, 2, 112)):
+            d, p = qp.blocks[bi]["dw"], qp.blocks[bi]["pw"]
+            c = d.w_i8.shape[-1]
+            xi = rng.integers(-127, 128, (2, h, h, c)).astype(np.int8)
+            mid = qoracle.dw3x3_i8(xi, d.w_i8, d.bias_i32, d.m, d.six_q, stride)
+            ref = qoracle.pw_i8(mid, p.w_i8, p.bias_i32, p.m, p.six_q)
+            cout = p.w_i8.shape[1]
+            got = _unpack(separable_block_packed_i8_mxu(
+                _pack(jnp.asarray(xi), c), jnp.asarray(d.w_i8),
+                jnp.asarray(d.bias_i32), jnp.asarray(d.m), jnp.asarray(p.w_i8),
+                jnp.asarray(p.bias_i32), jnp.asarray(p.m), c, cout, stride,
+                float(d.six_q), float(p.six_q), True), cout)
+            n_checks[0] += 1
+            exact = np.array_equal(np.asarray(got), ref)
+            print(f"[{'OK ' if exact else 'FAIL'}] i8_packed_mxu b{bi} s={stride}: "
+                  f"{'exact' if exact else 'MISMATCH'}", flush=True)
+            if not exact:
+                failures.append(f"i8_packed_mxu b{bi}")
 
     # --- int8 XLA-fallback dw (EXACT; XLA grouped conv was NOT bit-reliable
     # on TPU — this guards the explicit-tap replacement, docs/design.md) ----
