@@ -278,7 +278,10 @@ def _separable_block_impl(
             x_index = lambda b_, i: (
                 b_ * bn, jnp.minimum(i * 2 * th, h - (2 * th + 2)), 0, 0)
 
-    sub = bool(mxu_subsample) and stride == 2
+    # The lane-merge (W, C) -> (W/2, 2C) at the accumulator is a pure lane
+    # regroup ONLY when C is a multiple of 128; otherwise Mosaic rejects the
+    # shape cast on hw (hit at alpha=0.75: cin=192 dense s2 blocks).
+    sub = bool(mxu_subsample) and stride == 2 and cin % 128 == 0
     kernel = functools.partial(
         _block_kernel, th=th, w_out=w_out, stride=stride, relu6=relu6,
         out_dtype=x.dtype, g=g, bn=bn, wdim=wdim, mxu_subsample=sub,

@@ -292,7 +292,11 @@ def _separable_block_i8_impl(
             x_index = lambda b_, i: (
                 b_ * bn, jnp.minimum(i * 2 * th, h - (2 * th + 2)), 0, 0)
 
-    sub = bool(mxu_subsample) and stride == 2
+    # The f32 lane-merge (W, C) -> (W/2, 2C) is a pure lane regroup ONLY when
+    # C is a multiple of 128; Mosaic rejects the shape cast on hw otherwise
+    # (hit at alpha=0.75: cin=192 dense s2 blocks — interpret mode accepts
+    # the cast, so only the hw tier catches it).
+    sub = bool(mxu_subsample) and stride == 2 and cin % 128 == 0
     kernel = functools.partial(
         _kernel, th=th, w_out=w_out, stride=stride, relu6=relu6, g=g, bn=bn,
         wdim=wdim, dw_six_q=dw_six_q, pw_six_q=pw_six_q, mxu_subsample=sub,

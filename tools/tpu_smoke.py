@@ -187,6 +187,31 @@ def main(quick: bool = False, only: str = ""):
         if not exact:
             failures.append(f"i8_fused b{bi}")
 
+    # non-multiple-of-128 dense s2 (alpha=0.75 cin=192): the mxu_subsample
+    # lane-merge is illegal there and must gate off — Mosaic rejected the
+    # shape cast on hw while interpret mode accepted it (regression check).
+    if want("i8_fused"):
+        c192 = 192
+        xi = rng.integers(-127, 128, (2, 16, 16, c192)).astype(np.int8)
+        w = rng.integers(-64, 64, (3, 3, 1, c192)).astype(np.int8)
+        b = rng.integers(-5000, 5000, (c192,)).astype(np.int32)
+        mm = rng.uniform(0.001, 0.01, (c192,)).astype(np.float32)
+        pw = rng.integers(-64, 64, (c192, 128)).astype(np.int8)
+        pb = rng.integers(-5000, 5000, (128,)).astype(np.int32)
+        pm = rng.uniform(0.001, 0.01, (128,)).astype(np.float32)
+        mid = qoracle.dw3x3_i8(xi, w, b, mm, np.float32(127.0), 2)
+        ref = qoracle.pw_i8(mid, pw, pb, pm, np.float32(127.0))
+        got = separable_block_i8(
+            jnp.asarray(xi), jnp.asarray(w), jnp.asarray(b), jnp.asarray(mm),
+            jnp.asarray(pw), jnp.asarray(pb), jnp.asarray(pm), 2, 127.0,
+            127.0, True)
+        n_checks[0] += 1
+        exact = np.array_equal(np.asarray(got), ref)
+        print(f"[{'OK ' if exact else 'FAIL'}] i8_fused_block c192 s=2: "
+              f"{'exact' if exact else 'MISMATCH'}", flush=True)
+        if not exact:
+            failures.append("i8_fused c192")
+
     # --- packed int8 blocks (EXACT; covers the f32-tap rewrite) -------------
     if want("i8_packed"):
         rng = rng_for("i8_packed")
@@ -264,6 +289,48 @@ def main(quick: bool = False, only: str = ""):
                   f"{'exact' if exact else 'MISMATCH'}", flush=True)
             if not exact:
                 failures.append(f"i8_dw_xla s{stride}c{c}")
+
+    # --- int8 input quantization into bf16 (EXACT on chip) ------------------
+    # The production stem path quantizes straight into bf16 integer values;
+    # validate on hw that (a) the integers match the i8 store and (b) the
+    # full fused forward is bit-identical from either input.
+    if want("i8_input_bf16"):
+        rng = rng_for("i8_input_bf16")
+        from mobilenet_tpu.ops import preprocess as prep
+        from mobilenet_tpu.quant import ops as qops3
+        from mobilenet_tpu.quant.model import (_as_device_tree, forward_i8,
+                                               quantize_for_device)
+        from mobilenet_tpu.quant.quantize import ACT_IN_SCALE
+
+        cfgq = ModelConfig(alpha=1.0, resolution=224)
+        devq = _as_device_tree(quantize_for_device(
+            fold_bn(init_params(cfgq, 3), eps=cfgq.bn_eps), cfgq))
+        u8 = jnp.asarray(rng.integers(0, 256, (8, 224, 224, 3), dtype=np.uint8))
+
+        def q_fn(u8, dt):
+            return qops3.quantize_input_dev(
+                prep.preprocess(u8, cfgq.resolution, jnp.float32),
+                ACT_IN_SCALE, out_dtype=dt)
+
+        q_i8 = np.asarray(jax.jit(lambda v: q_fn(v, jnp.int8))(u8), np.float32)
+        q_bf = np.asarray(jax.jit(lambda v: q_fn(v, jnp.bfloat16))(u8), np.float32)
+        n_checks[0] += 1
+        ok_q = np.array_equal(q_i8, q_bf)
+        print(f"[{'OK ' if ok_q else 'FAIL'}] i8_input_bf16 quantize: "
+              f"{'exact' if ok_q else 'MISMATCH'}", flush=True)
+        if not ok_q:
+            failures.append("i8_input_bf16 quantize")
+
+        f_i8 = np.asarray(jax.jit(lambda v: forward_i8(
+            devq, q_fn(v, jnp.int8), cfgq, use_fused=True))(u8))
+        f_bf = np.asarray(jax.jit(lambda v: forward_i8(
+            devq, q_fn(v, jnp.bfloat16), cfgq, use_fused=True))(u8))
+        n_checks[0] += 1
+        ok_f = np.array_equal(f_i8, f_bf)
+        print(f"[{'OK ' if ok_f else 'FAIL'}] i8_input_bf16 forward: "
+              f"{'exact' if ok_f else 'MISMATCH'}", flush=True)
+        if not ok_f:
+            failures.append("i8_input_bf16 forward")
 
     if not n_checks[0]:
         print(f"SMOKE FAIL: --only {only!r} matched no checks", flush=True)
