@@ -218,3 +218,63 @@ def import_keras_h5(path: str, config: ModelConfig) -> Params:
             "b": np.asarray(preds["bias:0"]),
         }
     return params
+
+
+def import_tf_slim(path: str, config: ModelConfig) -> Params:
+    """Convert a TF-slim MobileNet-V1 checkpoint into our pytree.
+
+    TF-slim checkpoints are the canonical pretrained-weight source for the
+    FPGA-port genre (SURVEY.md SS2 C9 / SS7 "TF-slim checkpoints, the usual
+    source for FPGA ports, are ReLU6"). Variable naming
+    (tensorflow/models research/slim mobilenet_v1.py):
+
+        MobilenetV1/Conv2d_0/weights                       (3,3,3,C1)
+        MobilenetV1/Conv2d_0/BatchNorm/{gamma,beta,moving_mean,moving_variance}
+        MobilenetV1/Conv2d_{i}_depthwise/depthwise_weights (3,3,C,1)
+        MobilenetV1/Conv2d_{i}_depthwise/BatchNorm/...
+        MobilenetV1/Conv2d_{i}_pointwise/weights           (1,1,Cin,Cout)
+        MobilenetV1/Conv2d_{i}_pointwise/BatchNorm/...
+        MobilenetV1/Logits/Conv2d_1c_1x1/{weights,biases}  (1,1,Cf,1001)
+
+    Slim classifiers carry 1001 classes (index 0 = background); when
+    config.num_classes == 1000 the background column is dropped, the standard
+    ImageNet mapping. `path` is the checkpoint PREFIX (as for
+    tf.train.load_checkpoint), e.g. ".../mobilenet_v1_1.0_224.ckpt".
+    Gated: needs tensorflow on disk (CPU build suffices; reader only).
+    """
+    from tensorflow.python.training import py_checkpoint_reader  # noqa: PLC0415
+
+    r = py_checkpoint_reader.NewCheckpointReader(path)
+
+    def t(name):
+        return np.asarray(r.get_tensor(f"MobilenetV1/{name}"), np.float32)
+
+    def bn_of(scope):
+        return {
+            "gamma": t(f"{scope}/BatchNorm/gamma"),
+            "beta": t(f"{scope}/BatchNorm/beta"),
+            "mean": t(f"{scope}/BatchNorm/moving_mean"),
+            "var": t(f"{scope}/BatchNorm/moving_variance"),
+        }
+
+    params: Params = {
+        "conv1": {"w": t("Conv2d_0/weights"), "bn": bn_of("Conv2d_0")},
+        "blocks": [],
+    }
+    for i in range(1, 14):
+        dw_k = t(f"Conv2d_{i}_depthwise/depthwise_weights")  # (3,3,C,1)
+        pw_k = t(f"Conv2d_{i}_pointwise/weights")  # (1,1,Cin,Cout)
+        params["blocks"].append(
+            {
+                "dw": {"w": dw_k.transpose(0, 1, 3, 2),
+                       "bn": bn_of(f"Conv2d_{i}_depthwise")},
+                "pw": {"w": pw_k[0, 0],
+                       "bn": bn_of(f"Conv2d_{i}_pointwise")},
+            }
+        )
+    fc_w = t("Logits/Conv2d_1c_1x1/weights")[0, 0]  # (Cf, 1001 or 1000)
+    fc_b = t("Logits/Conv2d_1c_1x1/biases")
+    if fc_w.shape[1] == config.num_classes + 1:
+        fc_w, fc_b = fc_w[:, 1:], fc_b[1:]  # drop slim's background class
+    params["fc"] = {"w": fc_w, "b": fc_b}
+    return params

@@ -287,7 +287,18 @@ def cmd_export(args):
     from .quant import quantize
 
     cfg = ModelConfig(alpha=args.alpha, resolution=args.res)
-    raw = load_npz(args.ckpt) if args.ckpt else init_params(cfg, seed=args.seed)
+    if getattr(args, "from_keras", None):
+        from .checkpoints.io import import_keras_h5
+
+        raw = import_keras_h5(args.from_keras, cfg)
+    elif getattr(args, "from_tf_slim", None):
+        from .checkpoints.io import import_tf_slim
+
+        raw = import_tf_slim(args.from_tf_slim, cfg)
+    elif args.ckpt:
+        raw = load_npz(args.ckpt)
+    else:
+        raw = init_params(cfg, seed=args.seed)
     folded = fold_bn(raw, eps=cfg.bn_eps)
     q = quantize(folded, cfg)
 
@@ -379,6 +390,10 @@ def main(argv=None):
 
     sp = sub.add_parser("export")
     sp.add_argument("--out", default="checkpoints_out")
+    sp.add_argument("--from-keras", metavar="H5",
+                    help="convert a keras MobileNet .h5 checkpoint")
+    sp.add_argument("--from-tf-slim", metavar="CKPT_PREFIX",
+                    help="convert a TF-slim MobilenetV1 checkpoint prefix")
     common(sp, 1)
     sp.set_defaults(fn=cmd_export)
 
