@@ -433,12 +433,17 @@ def _select_backend(backend: str) -> None:
         jax.config.update("jax_platforms", "cpu")
         return
     # backend == "tpu": require a TPU-like platform to be configured/present.
+    # An explicitly-configured non-TPU platform (e.g. JAX_PLATFORMS=cpu, or
+    # pytest's conftest) is treated as authoritative rather than probed:
+    # auto-detecting would INITIALIZE a backend as a side effect, which is
+    # irreversible for the rest of the process.
     if current in tpu_platforms or current is None and any(
         d.platform in tpu_platforms for d in jax.devices()
     ):
         return
     raise SystemExit(
-        f"--backend tpu: no TPU platform available (jax_platforms={current!r})"
+        f"--backend tpu: no TPU platform available (jax_platforms={current!r};"
+        " unset JAX_PLATFORMS or run from a fresh process to auto-detect)"
     )
 
 

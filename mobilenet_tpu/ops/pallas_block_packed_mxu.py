@@ -110,22 +110,26 @@ def build_tap_matrices(dw_w, cin: int, r: int, stride: int, dtype):
 
 
 # ---------------------------------------------------------------------------
-# float / bf16 kernels
+# shared kernel pieces (float and int8 bodies differ only in epilogues)
 # ---------------------------------------------------------------------------
 
 
-def _mxu_kernel_f(x_ref, a_ref, dwb_ref, pww_ref, pwb_ref, o_ref, s_ref,
-                  *, th, w4, stride, relu6, out_dtype, g, bn, out_cols):
-    i = pl.program_id(1)
+def _fill_scratch(s_ref, x_ref, i, *, g, th, w4, stride):
+    """Copy the input window into the zero-bordered scratch.
+
+    Data columns: [1, w4] for stride 1 (zero col-group borders both sides),
+    [0, w4) for stride 2 (right border only — TF-SAME pads 0 left / 1 right).
+    Row halos follow the same clamped-window pattern as the VPU kernels; the
+    col borders are zeroed once at the first grid step and never rewritten.
+    """
     is_first_step = jnp.logical_and(pl.program_id(0) == 0, i == 0)
 
     @pl.when(is_first_step)
     def _():
         s_ref[...] = jnp.zeros_like(s_ref)
 
-    # --- fill data columns (col borders stay zero forever) -----------------
     if stride == 1:
-        cl, ch = 1, w4 + 1  # data cols [1, w4]; zero borders at 0 and w4+1
+        cl, ch = 1, w4 + 1
         if g == 1:
             s_ref[:, 1 : th + 1, cl:ch, :] = x_ref[...]
         else:
@@ -145,7 +149,7 @@ def _mxu_kernel_f(x_ref, a_ref, dwb_ref, pww_ref, pwb_ref, o_ref, s_ref,
                 s_ref[:, th + 1 : th + 2, cl:ch, :] = jnp.zeros_like(
                     s_ref[:, th + 1 : th + 2, cl:ch, :])
     else:
-        cl, ch = 0, w4  # data cols [0, w4); zero border at w4 (right only)
+        cl, ch = 0, w4
         if g == 1:
             s_ref[:, 0 : 2 * th, cl:ch, :] = x_ref[...]
         else:
@@ -159,11 +163,16 @@ def _mxu_kernel_f(x_ref, a_ref, dwb_ref, pww_ref, pwb_ref, o_ref, s_ref,
                 s_ref[:, 2 * th : 2 * th + 2, cl:ch, :] = jnp.zeros_like(
                     s_ref[:, 2 * th : 2 * th + 2, cl:ch, :])
 
+
+def _dw_mxu(s_ref, a_ref, *, th, w4, stride, bn, acc_dtype, prec=None):
+    """The 9 (s1) / 6 (s2) tap matmuls, accumulated in acc_dtype.
+
+    prec=HIGHEST for f32 operands: the MXU's default bf16 passes cost ~e-2
+    absolute error (hw-measured), failing the fp32 gate.
+    """
     m = bn * th * w4
-    acc = jnp.zeros((m, 128), jnp.float32)
+    acc = jnp.zeros((m, 128), acc_dtype)
     n_s = 3 if stride == 1 else 2
-    prec = (jax.lax.Precision.HIGHEST if pww_ref.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
     for dy in range(3):
         for s in range(n_s):
             if stride == 1:
@@ -171,12 +180,73 @@ def _mxu_kernel_f(x_ref, a_ref, dwb_ref, pww_ref, pwb_ref, o_ref, s_ref,
             else:
                 rows = s_ref[...].reshape(bn, th + 1, 2, w4 + 1, 128)
                 sl = rows[:, dy // 2 : dy // 2 + th, dy % 2, s : s + w4, :]
-            # HIGHEST for f32 operands: the MXU's default bf16 passes cost
-            # ~e-2 absolute error (hw-measured), failing the fp32 gate.
-            acc = acc + jnp.dot(
+            acc = acc + jax.lax.dot_general(
                 sl.reshape(m, 128), a_ref[dy, s],
-                preferred_element_type=jnp.float32, precision=prec,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=acc_dtype, precision=prec,
             )
+    return acc
+
+
+def _plan(n, h, h_out, w4, stride, est, block_h, block_n):
+    """(th, bn, g, th_in, scratch_rows, x_index) under the scoped-VMEM model
+    `est(bn, th)` — identical policy for both dtypes (whole-image row tiles
+    for stride 1, 16-row output tiles for stride 2)."""
+    cap = int(16.3 * 2**20)
+    if block_h is None:
+        if stride == 1:
+            th = h_out
+            while th > 1 and (h_out % th or est(1, th) > cap):
+                th -= 1
+        else:
+            th = min(h_out, 16)
+            while h_out % th:
+                th -= 1
+    else:
+        th = block_h
+        while h_out % th:
+            th -= 1
+    bn = block_n or 1
+    if block_n is None:
+        while (bn * 2 <= n and n % (bn * 2) == 0 and bn * th * w4 < 256
+               and est(bn * 2, th) < cap):
+            bn *= 2
+    while n % bn:
+        bn -= 1
+    g = h_out // th
+
+    if stride == 1:
+        th_in = th if g == 1 else th + 2
+        scratch_rows = th + 2
+        if g == 1:
+            x_index = lambda b_, i: (b_ * bn, 0, 0, 0)
+        else:
+            x_index = lambda b_, i: (
+                b_ * bn, jnp.clip(i * th - 1, 0, h - (th + 2)), 0, 0)
+    else:
+        th_in = 2 * th if g == 1 else 2 * th + 2
+        scratch_rows = 2 * th + 2
+        if g == 1:
+            x_index = lambda b_, i: (b_ * bn, 0, 0, 0)
+        else:
+            x_index = lambda b_, i: (
+                b_ * bn, jnp.minimum(i * 2 * th, h - (2 * th + 2)), 0, 0)
+    return th, bn, g, th_in, scratch_rows, x_index
+
+
+# ---------------------------------------------------------------------------
+# float / bf16 kernels
+# ---------------------------------------------------------------------------
+
+
+def _mxu_kernel_f(x_ref, a_ref, dwb_ref, pww_ref, pwb_ref, o_ref, s_ref,
+                  *, th, w4, stride, relu6, out_dtype, g, bn, out_cols):
+    _fill_scratch(s_ref, x_ref, pl.program_id(1), g=g, th=th, w4=w4,
+                  stride=stride)
+    prec = (jax.lax.Precision.HIGHEST if pww_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    acc = _dw_mxu(s_ref, a_ref, th=th, w4=w4, stride=stride, bn=bn,
+                  acc_dtype=jnp.float32, prec=prec)
 
     y = _act(acc + dwb_ref[0].astype(jnp.float32), relu6)
     y2 = y.astype(pww_ref.dtype)
@@ -232,45 +302,8 @@ def separable_block_packed_mxu(
         return (3 * u_win * itm + 2 * u_out * itm + u_mid * itm
                 + (u_win + 2 * u_mid + u_out) * 4)
 
-    cap = int(16.3 * 2**20)
-    if block_h is None:
-        if stride == 1:
-            th = h_out
-            while th > 1 and (h_out % th or est(1, th) > cap):
-                th -= 1
-        else:
-            th = min(h_out, 16)
-            while h_out % th:
-                th -= 1
-    else:
-        th = block_h
-        while h_out % th:
-            th -= 1
-    bn = block_n or 1
-    if block_n is None:
-        while (bn * 2 <= n and n % (bn * 2) == 0 and bn * th * w4 < 256
-               and est(bn * 2, th) < cap):
-            bn *= 2
-    while n % bn:
-        bn -= 1
-    g = h_out // th
-
-    if stride == 1:
-        th_in = th if g == 1 else th + 2
-        scratch_rows = th + 2
-        if g == 1:
-            x_index = lambda b_, i: (b_ * bn, 0, 0, 0)
-        else:
-            x_index = lambda b_, i: (
-                b_ * bn, jnp.clip(i * th - 1, 0, h - (th + 2)), 0, 0)
-    else:
-        th_in = 2 * th if g == 1 else 2 * th + 2
-        scratch_rows = 2 * th + 2
-        if g == 1:
-            x_index = lambda b_, i: (b_ * bn, 0, 0, 0)
-        else:
-            x_index = lambda b_, i: (
-                b_ * bn, jnp.minimum(i * 2 * th, h - (2 * th + 2)), 0, 0)
+    th, bn, g, th_in, scratch_rows, x_index = _plan(
+        n, h, h_out, w4, stride, est, block_h, block_n)
 
     a = build_tap_matrices(dw_w, cin, r, stride, x_packed.dtype)
     if stride == 1:
@@ -330,62 +363,10 @@ def _mxu_kernel_i8(x_ref, a_ref, dwb_ref, dwm_ref, pww_ref, pwb_ref, pwm_ref,
                    dw_six_q, pw_six_q):
     from ..quant.pallas_block_packed_i8 import _requant_f32  # noqa: PLC0415
 
-    i = pl.program_id(1)
-    is_first_step = jnp.logical_and(pl.program_id(0) == 0, i == 0)
-
-    @pl.when(is_first_step)
-    def _():
-        s_ref[...] = jnp.zeros_like(s_ref)
-
-    cl, ch = (1, w4 + 1) if stride == 1 else (0, w4)
-    if stride == 1:
-        if g == 1:
-            s_ref[:, 1 : th + 1, cl:ch, :] = x_ref[...]
-        else:
-            @pl.when(i == 0)
-            def _():
-                s_ref[:, 1 : th + 2, cl:ch, :] = x_ref[:, 0 : th + 1]
-                s_ref[:, 0:1, cl:ch, :] = jnp.zeros_like(s_ref[:, 0:1, cl:ch, :])
-
-            if g > 2:
-                @pl.when(jnp.logical_and(i > 0, i < g - 1))
-                def _():
-                    s_ref[:, 0 : th + 2, cl:ch, :] = x_ref[...]
-
-            @pl.when(i == g - 1)
-            def _():
-                s_ref[:, 0 : th + 1, cl:ch, :] = x_ref[:, 1 : th + 2]
-                s_ref[:, th + 1 : th + 2, cl:ch, :] = jnp.zeros_like(
-                    s_ref[:, th + 1 : th + 2, cl:ch, :])
-    else:
-        if g == 1:
-            s_ref[:, 0 : 2 * th, cl:ch, :] = x_ref[...]
-        else:
-            @pl.when(i < g - 1)
-            def _():
-                s_ref[:, 0 : 2 * th + 2, cl:ch, :] = x_ref[...]
-
-            @pl.when(i == g - 1)
-            def _():
-                s_ref[:, 0 : 2 * th, cl:ch, :] = x_ref[:, 2 : 2 * th + 2]
-                s_ref[:, 2 * th : 2 * th + 2, cl:ch, :] = jnp.zeros_like(
-                    s_ref[:, 2 * th : 2 * th + 2, cl:ch, :])
-
-    m = bn * th * w4
-    acc = jnp.zeros((m, 128), jnp.int32)
-    n_s = 3 if stride == 1 else 2
-    for dy in range(3):
-        for s in range(n_s):
-            if stride == 1:
-                sl = s_ref[:, dy : dy + th, s : s + w4, :]
-            else:
-                rows = s_ref[...].reshape(bn, th + 1, 2, w4 + 1, 128)
-                sl = rows[:, dy // 2 : dy // 2 + th, dy % 2, s : s + w4, :]
-            acc = acc + jax.lax.dot_general(
-                sl.reshape(m, 128), a_ref[dy, s],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
+    _fill_scratch(s_ref, x_ref, pl.program_id(1), g=g, th=th, w4=w4,
+                  stride=stride)
+    acc = _dw_mxu(s_ref, a_ref, th=th, w4=w4, stride=stride, bn=bn,
+                  acc_dtype=jnp.int32)
 
     acc = acc + dwb_ref[0].astype(jnp.int32)
     mid = _requant_f32(acc, dwm_ref[0], dw_six_q, relu6).astype(jnp.int8)
@@ -464,45 +445,8 @@ def separable_block_packed_i8_mxu(
         u_out = bn_ * th_ * out_cols * 128
         return (3 * u_win + 2 * u_out + u_mid) + (2 * u_mid + u_out) * 4
 
-    cap = int(16.3 * 2**20)
-    if block_h is None:
-        if stride == 1:
-            th = h_out
-            while th > 1 and (h_out % th or est(1, th) > cap):
-                th -= 1
-        else:
-            th = min(h_out, 16)
-            while h_out % th:
-                th -= 1
-    else:
-        th = block_h
-        while h_out % th:
-            th -= 1
-    bn = block_n or 1
-    if block_n is None:
-        while (bn * 2 <= n and n % (bn * 2) == 0 and bn * th * w4 < 256
-               and est(bn * 2, th) < cap):
-            bn *= 2
-    while n % bn:
-        bn -= 1
-    g = h_out // th
-
-    if stride == 1:
-        th_in = th if g == 1 else th + 2
-        scratch_rows = th + 2
-        if g == 1:
-            x_index = lambda b_, i: (b_ * bn, 0, 0, 0)
-        else:
-            x_index = lambda b_, i: (
-                b_ * bn, jnp.clip(i * th - 1, 0, h - (th + 2)), 0, 0)
-    else:
-        th_in = 2 * th if g == 1 else 2 * th + 2
-        scratch_rows = 2 * th + 2
-        if g == 1:
-            x_index = lambda b_, i: (b_ * bn, 0, 0, 0)
-        else:
-            x_index = lambda b_, i: (
-                b_ * bn, jnp.minimum(i * 2 * th, h - (2 * th + 2)), 0, 0)
+    th, bn, g, th_in, scratch_rows, x_index = _plan(
+        n, h, h_out, w4, stride, est, block_h, block_n)
 
     a = build_tap_matrices(dw_w_i8, cin, r, stride, jnp.int8)
     pww = jnp.kron(sel, pw_w_i8)  # (128, pw_lanes)

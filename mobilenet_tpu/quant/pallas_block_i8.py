@@ -29,6 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.pallas_dw import _should_interpret
+from .pallas_block_packed_i8 import _requant_f32  # single requant definition
 
 
 # Stride-2 even-column selection strategy (A/B-measurable; see
@@ -38,22 +39,6 @@ from ..ops.pallas_dw import _should_interpret
 # (interleaved medians, tools/ab_s2.py): the i8 gather costs more than the
 # full-width requant. The bf16 twin measured the OPPOSITE (gather wins there).
 S2_MXU_SUBSAMPLE = True
-
-
-def _requant_f32(acc_i32, m_vec, six_q, relu6):
-    """Requant value in f32 (rounded + bounded); caller reshapes in f32 and
-    casts to int8 LAST — Mosaic shape-casts of 8-bit vectors are a relayout
-    on (32,128) int8 tiles (see quant/pallas_block_packed_i8.py)."""
-    v = acc_i32.astype(jnp.float32) * m_vec.astype(jnp.float32)
-    v = jnp.maximum(v, 0.0)
-    if relu6:
-        v = jnp.minimum(v, six_q)
-        if six_q < 127.5:
-            # In-domain ReLU6 already bounds round(v) to [0, 127] (six_q is
-            # 127.0 for the fixed 6/127 hidden scale): the final clip is
-            # provably redundant, bit-identical.
-            return jnp.round(v)
-    return jnp.clip(jnp.round(v), -128, 127)
 
 
 def _requant(acc_i32, m_vec, six_q, relu6, dtype=jnp.int8):

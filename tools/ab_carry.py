@@ -1,16 +1,17 @@
 """Interleaved A/B of bf16-carried int8 activations between dense blocks.
 
 Carried blocks store requantized integers as bf16 (exact for |v| <= 127):
-the consumer skips the i8 -> i32 -> f32 window widen (a relayout on (32,128)
-int8 tiles) and the producer skips the i8 store, at 2x the HBM bytes on that
-boundary. The threshold is the block's OUTPUT spatial side:
+the consumer skips the i8 -> i32 -> f32 window widen and the producer skips
+the i8 store, at 2x the HBM bytes on that boundary. The threshold is the
+block's OUTPUT spatial side:
   0    = carriage off (i8 everywhere, round-1 behavior)
   14   = carry the 14^2/7^2 stretch only (B6..B12)
   28   = + the 28^2 blocks (B4..B5)
   1000 = every dense block (B2.. at 56^2 too)
 
-Measures the FULL int8 network e2e, interleaving rounds and reporting
-medians (standalone micro-benches mislead through the tunnel).
+Measured on v5e (1.0-224 batch-256): a WASH — 12.12 (off) / 12.13 / 12.15 /
+12.31 ms — the widen fuses into the window pipeline (docs/design.md SS5).
+Kept as the reproduction harness; default routing stays off.
 
 Usage: python tools/ab_carry.py [--batch 256] [--steps 15] [--carries 0,14,28,1000]
 """
@@ -18,13 +19,14 @@ Usage: python tools/ab_carry.py [--batch 256] [--steps 15] [--carries 0,14,28,10
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from _bench_common import compile_and_report, interleave_bench, make_batch
 
 
 def main():
@@ -61,36 +63,14 @@ def main():
                            bf16_carry_max_hw=carry)
             return jnp.sum(y).reshape(1)
 
-        entries[carry] = jax.jit(fn)
+        entries[f"carry<={carry}"] = jax.jit(fn)
 
-    rng = np.random.default_rng(0)
-    img = jax.device_put(jnp.asarray(rng.integers(
-        0, 256, (args.batch, args.res, args.res, 3), dtype=np.uint8)))
-
-    outs = {}
-    for label, fn in entries.items():
-        t0 = time.perf_counter()
-        outs[label] = float(np.asarray(fn(img))[0])  # compile + warm
-        print(f"carry={label}: compile+warm {time.perf_counter()-t0:.1f}s",
-              flush=True)
+    img = make_batch(args.batch, args.res)
+    outs = compile_and_report(entries, img)
     vals = list(outs.values())
-    agree = all(np.isclose(v, vals[0], rtol=0, atol=0) for v in vals)
+    agree = all(v == vals[0] for v in vals)
     print(f"outputs: {outs}  bit_agree={agree}", flush=True)
-
-    times = {k: [] for k in entries}
-    for r in range(args.rounds):
-        for label, fn in entries.items():
-            _ = np.asarray(fn(img))
-            t0 = time.perf_counter()
-            for _ in range(args.steps):
-                out = fn(img)
-            _ = np.asarray(out)
-            times[label].append((time.perf_counter() - t0) / args.steps * 1e3)
-    for label, ts in times.items():
-        med = float(np.median(ts))
-        ips = args.batch / med * 1e3
-        print(f"carry<={label:>4}: median {med:7.3f} ms/batch -> {ips:,.0f} "
-              f"img/s  (rounds: {[round(t, 2) for t in ts]})")
+    interleave_bench(entries, img, args.batch, args.steps, args.rounds)
 
 
 if __name__ == "__main__":

@@ -1,9 +1,8 @@
 """Interleaved A/B: bf16 fused network vs int8 fused network, ONE process.
 
-Cross-process comparisons through the TPU tunnel carry +-1 ms/batch of
-run-to-run variance — this interleaves the two full e2e entries (uint8 in,
-reduced scalar out) round-robin and reports medians, so the int8-vs-bf16 gap
-is measured under identical conditions (VERDICT.md next-round item 2).
+Measures the true int8-vs-bf16 gap under identical conditions (VERDICT.md
+round-1 item 2); see docs/design.md SS3.4 for the measured result and the
+structural account of the residual gap.
 
 Usage: python tools/ab_dtype.py [--batch 256] [--steps 15] [--rounds 5]
 """
@@ -11,13 +10,13 @@ Usage: python tools/ab_dtype.py [--batch 256] [--steps 15] [--rounds 5]
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
+from _bench_common import compile_and_report, interleave_bench, make_batch
 
 
 def main():
@@ -59,32 +58,9 @@ def main():
         return jnp.sum(y).reshape(1)
 
     entries = {"bf16": jax.jit(fn_bf16), "int8": jax.jit(fn_i8)}
-
-    rng = np.random.default_rng(0)
-    img = jax.device_put(jnp.asarray(rng.integers(
-        0, 256, (args.batch, args.res, args.res, 3), dtype=np.uint8)))
-
-    for label, fn in entries.items():
-        t0 = time.perf_counter()
-        _ = np.asarray(fn(img))
-        print(f"{label}: compile+warm {time.perf_counter()-t0:.1f}s", flush=True)
-
-    times = {k: [] for k in entries}
-    for r in range(args.rounds):
-        for label, fn in entries.items():
-            _ = np.asarray(fn(img))
-            t0 = time.perf_counter()
-            for _ in range(args.steps):
-                out = fn(img)
-            _ = np.asarray(out)
-            times[label].append((time.perf_counter() - t0) / args.steps * 1e3)
-    meds = {}
-    for label, ts in times.items():
-        med = float(np.median(ts))
-        meds[label] = med
-        ips = args.batch / med * 1e3
-        print(f"{label:>5}: median {med:7.3f} ms/batch -> {ips:,.0f} img/s  "
-              f"(rounds: {[round(t, 2) for t in ts]})")
+    img = make_batch(args.batch, args.res)
+    compile_and_report(entries, img)
+    meds = interleave_bench(entries, img, args.batch, args.steps, args.rounds)
     print(f"int8/bf16 speed ratio: {meds['bf16'] / meds['int8']:.3f} "
           f"(>1 means int8 is faster)")
 

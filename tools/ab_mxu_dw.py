@@ -7,13 +7,16 @@ Variants (full-network e2e, interleaved medians):
   mxu_s2   — stride-2 packed blocks on the MXU, s1 on VPU
   mxu_both — both on the MXU
 
+Measured on v5e (1.0-224 batch-256): VPU wins both dtypes — bf16
+14.24/11.07 ms (mxu s1/s2) vs 10.91 (vpu); int8 14.73/12.14 vs 12.02
+(docs/design.md SS5). Kept as the reproduction harness.
+
 Usage: python tools/ab_mxu_dw.py [--int8] [--batch 256] [--steps 15]
 """
 
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -21,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _bench_common import compile_and_report, interleave_bench, make_batch
 
 VARIANTS = {
     "vpu": (False, False),
@@ -52,17 +56,23 @@ def main():
     folded = fold_bn(init_params(cfg, seed=0), eps=cfg.bn_eps)
 
     entries = {}
+    if args.int8:
+        from mobilenet_tpu.quant import ops as qops
+        from mobilenet_tpu.quant.model import (_as_device_tree, forward_i8,
+                                               quantize_for_device)
+        from mobilenet_tpu.quant.quantize import ACT_IN_SCALE
+
+        dev = _as_device_tree(quantize_for_device(folded, cfg))
+    else:
+        from mobilenet_tpu.models import mobilenet_v1
+
+        fold_bf = pad_channels(folded) if needs_padding(folded) else folded
+        params = to_device(fold_bf, dtype=jnp.bfloat16)
+
     for name in args.variants.split(","):
         s1, s2 = VARIANTS[name]
         if args.int8:
-            from mobilenet_tpu.quant import ops as qops
-            from mobilenet_tpu.quant.model import (_as_device_tree, forward_i8,
-                                                   quantize_for_device)
-            from mobilenet_tpu.quant.quantize import ACT_IN_SCALE
-
-            dev = _as_device_tree(quantize_for_device(folded, cfg))
-
-            def fn(u8, dev=dev, s1=s1, s2=s2):
+            def fn(u8, s1=s1, s2=s2):
                 pbm.DW_MXU_S1_I8, pbm.DW_MXU_S2_I8 = s1, s2  # trace-time
                 x = prep.preprocess(u8, cfg.resolution, jnp.float32)
                 x_q = qops.quantize_input_dev(x, ACT_IN_SCALE,
@@ -70,12 +80,7 @@ def main():
                 y = forward_i8(dev, x_q, cfg, use_fused=True)
                 return jnp.sum(y).reshape(1)
         else:
-            from mobilenet_tpu.models import mobilenet_v1
-
-            fold_bf = pad_channels(folded) if needs_padding(folded) else folded
-            params = to_device(fold_bf, dtype=jnp.bfloat16)
-
-            def fn(u8, params=params, s1=s1, s2=s2):
+            def fn(u8, s1=s1, s2=s2):
                 pbm.DW_MXU_S1_F, pbm.DW_MXU_S2_F = s1, s2
                 x = prep.preprocess(u8, cfg.resolution, jnp.bfloat16)
                 y = mobilenet_v1.forward(params, x, cfg, dw_backend="fused")
@@ -83,34 +88,13 @@ def main():
 
         entries[name] = jax.jit(fn)
 
-    rng = np.random.default_rng(0)
-    img = jax.device_put(jnp.asarray(rng.integers(
-        0, 256, (args.batch, args.res, args.res, 3), dtype=np.uint8)))
-
-    outs = {}
-    for label, fn in entries.items():
-        t0 = time.perf_counter()
-        outs[label] = float(np.asarray(fn(img))[0])
-        print(f"{label}: compile+warm {time.perf_counter()-t0:.1f}s", flush=True)
+    img = make_batch(args.batch, args.res)
+    outs = compile_and_report(entries, img)
     base = outs[next(iter(outs))]
     tol = 0 if args.int8 else 1e-3
     agree = all(np.isclose(v, base, rtol=tol, atol=tol) for v in outs.values())
     print(f"outputs: {outs}  agree={agree}", flush=True)
-
-    times = {k: [] for k in entries}
-    for r in range(args.rounds):
-        for label, fn in entries.items():
-            _ = np.asarray(fn(img))
-            t0 = time.perf_counter()
-            for _ in range(args.steps):
-                out = fn(img)
-            _ = np.asarray(out)
-            times[label].append((time.perf_counter() - t0) / args.steps * 1e3)
-    for label, ts in times.items():
-        med = float(np.median(ts))
-        ips = args.batch / med * 1e3
-        print(f"{label:>9}: median {med:7.3f} ms/batch -> {ips:,.0f} img/s  "
-              f"(rounds: {[round(t, 2) for t in ts]})")
+    interleave_bench(entries, img, args.batch, args.steps, args.rounds)
 
 
 if __name__ == "__main__":

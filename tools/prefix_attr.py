@@ -118,9 +118,7 @@ def main():
     print("\nsegment deltas (ms/batch):")
     prev = 0.0
     for i, k in enumerate(keys):
-        label = f"conv1+pre" if k == 0 else (
-            f"head(pool/fc/softmax)" if k == "full" else
-            f"blocks[{keys[i-1] if i else 0}:{k})")
+        label = _segment_label(keys, i, k)
         print(f"  {label:>22}: {results[k] - prev:8.3f}")
         prev = results[k]
     full = results.get("full")
@@ -130,6 +128,19 @@ def main():
               f"({'int8' if args.int8 else 'bf16'}, batch {args.batch})")
     print(json.dumps({"dtype": "int8" if args.int8 else "bf16",
                       "batch": args.batch, "ms": results}))
+
+
+def _segment_label(keys, i, k):
+    """Delta label for prefix k differenced against the PREVIOUS key. The
+    first delta always includes the stem (prefixes are cumulative), so when
+    the list doesn't start at 0 the label says so."""
+    if k == 0:
+        return "conv1+pre"
+    if k == "full":
+        return "head(pool/fc/softmax)"
+    if i == 0:
+        return f"pre+conv1+blocks[0:{k})"
+    return f"blocks[{keys[i-1]}:{k})"
 
 
 def compare(args, prefixes):
@@ -165,9 +176,7 @@ def compare(args, prefixes):
     print(f"\n{'segment':>22} | {'bf16':>8} | {'int8':>8} | {'gap':>7}")
     prev_bf = prev_i8 = 0.0
     for i, k in enumerate(prefixes):
-        label = ("conv1+pre" if k == 0 else
-                 "head(pool/fc/softmax)" if k == "full" else
-                 f"blocks[{prefixes[i-1] if i else 0}:{k})")
+        label = _segment_label(prefixes, i, k)
         d_bf = med[(k, "bf16")] - prev_bf
         d_i8 = med[(k, "int8")] - prev_i8
         print(f"{label:>22} | {d_bf:8.3f} | {d_i8:8.3f} | {d_i8-d_bf:+7.3f}")
