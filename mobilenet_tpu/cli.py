@@ -408,7 +408,13 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.backend:
         _select_backend(args.backend)
-    args.fn(args)
+    try:
+        args.fn(args)
+    except (FileNotFoundError, ValueError) as e:
+        # User-input errors (bad image/ckpt path, off-grid alpha/resolution)
+        # get a clean one-line exit instead of a traceback; everything else
+        # (kernel/device errors) still surfaces in full.
+        raise SystemExit(f"mobilenet_tpu {args.cmd}: {e}") from e
 
 
 def _select_backend(backend: str) -> None:

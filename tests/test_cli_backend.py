@@ -38,3 +38,19 @@ def test_backend_cpu_routes_in_fresh_process():
     stats = json.loads(out.stdout.strip().splitlines()[-1])
     assert stats["backend"] == "cpu"
     assert stats["images_per_sec"] > 0
+
+
+@pytest.mark.parametrize(
+    "argv,match",
+    [
+        (["--backend", "cpu", "classify", "/tmp/definitely_missing.jpg",
+          "--alpha", "0.25", "--res", "64"], "classify"),
+        (["--backend", "cpu", "bench", "--alpha", "0.3", "--res", "64",
+          "--batch", "2", "--steps", "1"], "alpha must be one of"),
+    ],
+)
+def test_user_input_errors_exit_cleanly(argv, match):
+    """Bad image paths / off-grid configs exit with a one-line message, not
+    a traceback (SystemExit carries the cause)."""
+    with pytest.raises(SystemExit, match=match):
+        cli.main(argv)
