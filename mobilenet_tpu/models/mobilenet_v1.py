@@ -97,15 +97,59 @@ def forward(
     return logits
 
 
+def _chain_runs(params, config, routing, min_run: int = 3):
+    """Maximal runs of >= min_run consecutive fused stride-1 C->C dense
+    blocks (the 14^2 stretch) eligible for the systolic chain kernel.
+    Returns {start_index: run_length}."""
+    runs = {}
+    i, n = 0, len(config.block_strides)
+    while i < n:
+        blk = params["blocks"][i]
+        cin, cout = blk["pw"]["w"].shape
+        ok = (routing[i] == "fused" and config.block_strides[i] == 1
+              and cin == cout and cin >= 128)
+        if not ok:
+            i += 1
+            continue
+        j = i + 1
+        while j < n and routing[j] == "fused" and config.block_strides[j] == 1 \
+                and params["blocks"][j]["pw"]["w"].shape == (cin, cout):
+            j += 1
+        if j - i >= min_run:
+            runs[i] = j - i
+        i = j
+    return runs
+
+
 def _run_blocks(params, y, config, routing, relu6, acts=None, start: int = 0,
                 stop: Optional[int] = None):
     """The 13 dw/pw blocks, from block `start`, per-block backend routing."""
     collect = acts is not None
+    from ..ops import pallas_chain_systolic as pcs  # noqa: PLC0415
+
+    chain_runs = (
+        _chain_runs(params, config, routing)
+        if pcs.CHAIN_SYSTOLIC_F and not collect and stop is None else {}
+    )
+    skip_until = start
     for i, (blk, stride) in enumerate(zip(params["blocks"], config.block_strides)):
-        if i < start:
+        if i < start or i < skip_until:
             continue
         if stop is not None and i >= stop:
             break
+        if i in chain_runs:
+            run = chain_runs[i]
+            blks = params["blocks"][i : i + run]
+            y = pcs.chain_systolic(
+                y,
+                jnp.stack([b["dw"]["w"].reshape(3, 3, -1) for b in blks]),
+                jnp.stack([b["dw"]["b"] for b in blks]),
+                jnp.stack([b["pw"]["w"] for b in blks]),
+                jnp.stack([b["pw"]["b"] for b in blks]),
+                relu6,
+            )
+            skip_until = i + run
+            continue
         backend = routing[i]
         if backend == "fused" and not collect:
             cin = y.shape[-1]
