@@ -119,16 +119,30 @@ def cmd_verify(args):
 def cmd_bench(args):
     if getattr(args, "int8", False):
         return _bench_int8(args)
+    import contextlib
+
     import jax
 
     pipe = _build_pipeline(args)
-    stats = pipe.benchmark(batch_size=args.batch, steps=args.steps)
+    # --profile wraps the timed loop in a device trace (SURVEY.md SS5: the
+    # OpenCL-event-profiling analog); view with XProf/TensorBoard/Perfetto.
+    profile_dir = getattr(args, "profile", None)
+    if profile_dir:
+        from .utils.profiling import trace as _trace
+
+        ctx = _trace(profile_dir)
+    else:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        stats = pipe.benchmark(batch_size=args.batch, steps=args.steps)
     stats.update(
         variant=pipe.config.variant_name(),
         dtype=str(np.dtype(pipe.dtype).name),
         use_pallas_dw=pipe.use_pallas_dw,
         backend=jax.default_backend(),
     )
+    if profile_dir:
+        stats["profile_dir"] = profile_dir
     print(json.dumps(stats))
 
 
@@ -364,6 +378,9 @@ def main(argv=None):
     sp.add_argument("--steps", type=int, default=40)
     sp.add_argument("--int8", action="store_true",
                     help="benchmark the INT8 fixed-point path")
+    sp.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a device trace of the timed loop to DIR "
+                         "(XProf/TensorBoard/Perfetto)")
     common(sp)
     sp.set_defaults(fn=cmd_bench)
 

@@ -75,3 +75,25 @@ def test_autotune_backend_cpu():
         ModelConfig(alpha=0.25, resolution=128), batch_size=2, steps=1)
     assert best in DW_BACKENDS
     assert results[best] > 0
+
+
+def test_bench_profile_flag(tmp_path):
+    """cli bench --profile captures a trace directory (SURVEY SS5 tracing)."""
+    import json
+    import os
+
+    from mobilenet_tpu import cli
+
+    prof = str(tmp_path / "trace")
+    out_lines = []
+    import builtins
+    real_print = builtins.print
+    try:
+        builtins.print = lambda *a, **k: out_lines.append(" ".join(map(str, a)))
+        cli.main(["--backend", "cpu", "bench", "--alpha", "0.25", "--res", "64",
+                  "--batch", "2", "--steps", "1", "--profile", prof])
+    finally:
+        builtins.print = real_print
+    stats = json.loads(out_lines[-1])
+    assert stats["profile_dir"] == prof
+    assert os.path.isdir(prof) and os.listdir(prof)  # trace files written

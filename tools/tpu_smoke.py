@@ -135,6 +135,28 @@ def main(quick: bool = False, only: str = ""):
             jnp.asarray(pw_w), jnp.asarray(pw_b), cin, cout, s, True), cout)
         check(f"packed_mxu h={h} {cin}->{cout} s={s}", got, ref, 3e-5)
 
+    # --- systolic chain kernel (K pipelined blocks, default-off) ------------
+    from mobilenet_tpu.ops.pallas_chain_systolic import chain_systolic
+
+    rng = rng_for("chain_sys")
+    for (n, h, c, k) in ([(4, 14, 512, 5), (6, 7, 256, 4)]
+                         if want("chain_sys") else []):
+        x = rng.uniform(-1, 1, (n, h, h, c)).astype(np.float32)
+        dw_ws = rng.normal(0, 0.4, (k, 3, 3, c)).astype(np.float32)
+        dw_bs = rng.normal(0, 0.2, (k, c)).astype(np.float32)
+        pw_ws = (rng.normal(0, 1.0, (k, c, c)) / np.sqrt(c)).astype(np.float32)
+        pw_bs = rng.normal(0, 0.2, (k, c)).astype(np.float32)
+        ref = x
+        for kk in range(k):
+            ref = numpy_ref.pointwise_ref(
+                numpy_ref.depthwise_ref(ref, dw_ws[kk].reshape(3, 3, 1, c), 1,
+                                        dw_bs[kk], True),
+                pw_ws[kk], pw_bs[kk], True)
+        got = chain_systolic(
+            jnp.asarray(x), jnp.asarray(dw_ws), jnp.asarray(dw_bs),
+            jnp.asarray(pw_ws), jnp.asarray(pw_bs), True)
+        check(f"chain_sys n={n} h={h} c={c} k={k}", got, ref, 1e-4)
+
     # --- stem+block0 mega-kernel (normalize+conv1+dw+pw in one call) --------
     from mobilenet_tpu.ops.pallas_stem_b0 import stem_block0_fused
 
