@@ -89,3 +89,32 @@ def test_tcp_concurrent_clients_and_malformed_frames(pipe):
     assert mixed[1]["id"] == "wrong-shape" and "error" in mixed[1]
     assert mixed[2]["id"] is None and "error" in mixed[2]
     assert mixed[3]["id"] == "ok-after" and len(mixed[3]["top"]) == 5
+
+
+def test_tcp_int8_pipeline_roundtrip():
+    """The TCP front end serves the INT8 fixed-point pipeline too (the
+    reference served its quantized path multi-stream — SURVEY.md SS2 C7/C12):
+    a valid frame returns top-k probs, and the result matches the pipeline's
+    direct run_batch output."""
+    from mobilenet_tpu.quant.model import Int8Pipeline
+
+    qpipe = Int8Pipeline(ModelConfig(alpha=0.25, resolution=RES), seed=0)
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (RES, RES, 3), dtype=np.uint8)
+    direct = qpipe.run_batch(img[None])[0]
+
+    async def run():
+        server = MicroBatchServer(qpipe, max_batch=4, max_delay_ms=5)
+        await server.start()
+        srv = await make_tcp_server(server, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        async with srv:
+            (resp,) = await _roundtrip(port, [_frame("q1", img)])
+        await server.close()
+        return resp
+
+    resp = asyncio.run(run())
+    assert resp["id"] == "q1" and "error" not in resp
+    top_cls, top_p = resp["top"][0]
+    assert top_cls == int(np.argmax(direct))
+    np.testing.assert_allclose(top_p, float(direct.max()), rtol=1e-5)
