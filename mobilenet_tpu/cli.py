@@ -116,6 +116,33 @@ def cmd_verify(args):
     sys.exit(1)
 
 
+def cmd_eval(args):
+    """End-to-end top-1 agreement vs the golden CPU oracle (the reference's
+    accuracy acceptance check, BASELINE.json:5 / SURVEY.md §4). Exit 1 when
+    agreement falls below --min-agreement."""
+    from .config import ModelConfig
+    from .runtime.eval import evaluate_agreement, load_dir_images, synth_images
+
+    cfg = ModelConfig(alpha=args.alpha, resolution=args.res,
+                      compute_dtype=args.dtype)
+    if args.dir:
+        images = load_dir_images(args.dir)
+    else:
+        images = synth_images(cfg, args.n, args.seed + 1)
+    params = None
+    if getattr(args, "ckpt", None):
+        from .checkpoints import load_npz
+
+        params = load_npz(args.ckpt)
+    report = evaluate_agreement(
+        cfg, images, params=params, seed=args.seed,
+        int8=getattr(args, "int8", False), oracle=args.oracle,
+        batch_size=args.batch, top_k=args.top_k,
+    )
+    print(json.dumps(report))
+    sys.exit(0 if report["top1_agreement"] >= args.min_agreement else 1)
+
+
 def cmd_bench(args):
     if getattr(args, "int8", False):
         return _bench_int8(args)
@@ -373,6 +400,20 @@ def main(argv=None):
     sp.add_argument("--oracle", default="cpp", choices=["cpp", "numpy"])
     common(sp, 2)
     sp.set_defaults(fn=cmd_verify)
+
+    sp = sub.add_parser("eval")
+    sp.add_argument("--dir", default=None,
+                    help="directory of images to evaluate (default: synthetic)")
+    sp.add_argument("--n", type=int, default=32,
+                    help="synthetic image count when --dir is not given")
+    sp.add_argument("--top-k", type=int, default=5)
+    sp.add_argument("--int8", action="store_true",
+                    help="evaluate the INT8 fixed-point path")
+    sp.add_argument("--oracle", default="numpy", choices=["cpp", "numpy"])
+    sp.add_argument("--min-agreement", type=float, default=1.0,
+                    help="exit 1 below this top-1 agreement fraction")
+    common(sp, 16)
+    sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("bench")
     sp.add_argument("--steps", type=int, default=40)

@@ -1,0 +1,153 @@
+"""End-to-end accuracy agreement gate: device pipeline vs golden CPU oracle.
+
+The reference's system-level acceptance check was top-1 accuracy *identical
+to the CPU reference* on sample images (SURVEY.md §4 "Accuracy check",
+BASELINE.json:5). The per-layer gates (`cli verify`) cover numerics layer by
+layer; this module covers the same contract end to end, at the granularity a
+user cares about: for every evaluated image, does the device pipeline pick
+the same class as the golden CPU model?
+
+Images may come from disk (any PIL-decodable files, any sizes — the device
+path resizes on device) or be synthesized at the model's native resolution.
+Per-shape jit entries mirror the per-bitstream compile model: images are
+grouped by decoded shape and batched within each group.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..config import ModelConfig
+from ..ops import preprocess as prep
+
+
+def _topk_rows(scores: np.ndarray, k: int) -> np.ndarray:
+    return np.argsort(-scores, axis=-1)[:, :k]
+
+
+def synth_images(config: ModelConfig, n: int, seed: int) -> List[np.ndarray]:
+    """Seeded random uint8 images at native resolution (no-network stand-in
+    for sample ImageNet images, SURVEY.md §0)."""
+    rng = np.random.default_rng(seed)
+    res = config.resolution
+    return [rng.integers(0, 256, (res, res, 3), dtype=np.uint8)
+            for _ in range(n)]
+
+
+def load_dir_images(path: str) -> List[np.ndarray]:
+    """Decode every PIL-readable file under `path` (sorted for determinism)."""
+    import os
+
+    from ..ops.preprocess import decode_image_host
+
+    images = []
+    for name in sorted(os.listdir(path)):
+        full = os.path.join(path, name)
+        if not os.path.isfile(full):
+            continue
+        try:
+            images.append(decode_image_host(full))
+        except Exception:
+            continue  # non-image file in the directory
+    if not images:
+        raise ValueError(f"no decodable images found under {path!r}")
+    return images
+
+
+def _oracle_scores(folded, batch_u8: np.ndarray, config: ModelConfig, *,
+                   int8: bool, oracle: str) -> np.ndarray:
+    """Golden logits for a uint8 batch, preprocessed identically to the
+    device path (resize isn't an oracle layer — SURVEY.md §3.4)."""
+    x = np.asarray(prep.preprocess(batch_u8, config.resolution, np.float32))
+    if int8:
+        from ..quant import quantize, quantize_input
+        from ..quant import oracle as qoracle
+
+        q = quantize(folded, config)
+        x_i8 = quantize_input(x)
+        if oracle == "cpp":
+            from ..quant.verify import _cpp_forward_all
+
+            logits, _ = _cpp_forward_all(q, x_i8, config)
+        else:
+            logits, _ = qoracle.forward_all(q, x_i8, config)
+        return np.asarray(logits, np.float32)
+    if oracle == "cpp":
+        from .. import cpu_ref
+
+        logits, _ = cpu_ref.forward_all(folded, x, config)
+    else:
+        from ..oracle import numpy_ref
+
+        logits, _ = numpy_ref.forward_all(folded, x, config)
+    return np.asarray(logits, np.float32)
+
+
+def evaluate_agreement(
+    config: ModelConfig,
+    images: Sequence[np.ndarray],
+    *,
+    params: Optional[Dict[str, Any]] = None,
+    seed: int = 0,
+    int8: bool = False,
+    oracle: str = "numpy",
+    batch_size: int = 16,
+    top_k: int = 5,
+) -> Dict[str, Any]:
+    """Run every image through the device pipeline AND the golden oracle;
+    report top-1 / top-k agreement. `images`: HWC uint8 arrays, any sizes."""
+    from ..checkpoints import fold_bn, init_params
+
+    folded = params if params is not None else fold_bn(
+        init_params(config, seed=seed), eps=config.bn_eps)
+
+    if int8:
+        from ..quant.model import Int8Pipeline
+
+        pipe = Int8Pipeline(config, params=folded)
+    else:
+        from .pipeline import InferencePipeline
+
+        pipe = InferencePipeline(config, params=folded)
+
+    n = len(images)
+    dev_top = np.zeros((n, top_k), np.int64)
+    ora_top = np.zeros((n, top_k), np.int64)
+
+    # Group by decoded shape: one jit entry per input shape (the per-
+    # bitstream compile analog), batches within each group.
+    by_shape: Dict[tuple, List[int]] = {}
+    for i, img in enumerate(images):
+        by_shape.setdefault(img.shape, []).append(i)
+
+    for shape, idxs in by_shape.items():
+        for start in range(0, len(idxs), batch_size):
+            chunk = idxs[start:start + batch_size]
+            batch = np.stack([images[i] for i in chunk])
+            probs = pipe.run_batch(batch)
+            dev_top[chunk] = _topk_rows(probs, top_k)
+            golden = _oracle_scores(folded, batch, config,
+                                    int8=int8, oracle=oracle)
+            ora_top[chunk] = _topk_rows(golden, top_k)
+
+    top1_match = dev_top[:, 0] == ora_top[:, 0]
+    # Fraction of the oracle's top-k set the device also ranks in its top-k
+    # (order-insensitive: ULP-level ties may swap neighboring ranks).
+    topk_overlap = np.array([
+        len(set(dev_top[i]) & set(ora_top[i])) / top_k for i in range(n)
+    ])
+    mismatches = [
+        {"index": int(i), "device_top1": int(dev_top[i, 0]),
+         "oracle_top1": int(ora_top[i, 0])}
+        for i in np.nonzero(~top1_match)[0]
+    ]
+    return {
+        "n_images": n,
+        "top1_agreement": round(float(top1_match.mean()), 4),
+        f"top{top_k}_overlap": round(float(topk_overlap.mean()), 4),
+        "dtype": "int8" if int8 else config.compute_dtype,
+        "oracle": oracle,
+        "mismatches": mismatches,
+    }
