@@ -367,7 +367,7 @@ def cmd_serve(args):
     serve_main(
         alpha=args.alpha, res=args.res, dtype=args.dtype,
         streams=args.streams, port=args.port, seed=args.seed,
-        int8=getattr(args, "int8", False),
+        int8=getattr(args, "int8", False), dp=args.dp,
     )
 
 
@@ -460,6 +460,9 @@ def main(argv=None):
     sp.add_argument("--port", type=int, default=8000)
     sp.add_argument("--int8", action="store_true",
                     help="serve the INT8 fixed-point path")
+    sp.add_argument("--dp", type=int, default=1,
+                    help="data-parallel width: shard micro-batches over a "
+                         "dp-device mesh (1 = single chip)")
     common(sp, 32)
     sp.set_defaults(fn=cmd_serve)
 

@@ -218,18 +218,31 @@ async def selftest(server: MicroBatchServer, streams: int = 64,
 
 
 def serve_main(alpha: float, res: int, dtype: str, streams: int, port: int,
-               seed: int = 0, selftest_only: bool = True, int8: bool = False):
+               seed: int = 0, selftest_only: bool = True, int8: bool = False,
+               dp: int = 1):
+    """`dp`: data-parallel width — batches shard over a `dp`-device mesh
+    (ICI collectives via shard_map; params replicated). 1 = single chip,
+    the contract configuration."""
     cfg = ModelConfig(alpha=alpha, resolution=res, compute_dtype=dtype)
+    mesh = None
+    if dp > 1:
+        from ..parallel.mesh import make_mesh
+
+        if streams % dp != 0:
+            raise ValueError(
+                f"--streams ({streams}) must be a multiple of --dp ({dp}): "
+                "the padded micro-batch shards evenly over the mesh")
+        mesh = make_mesh(dp, model_parallel=1)
     if int8:
         # Quantized serving — the reference's multi-stream mode ran its
         # fixed-point FPGA pipeline (SURVEY.md SS2 C7/C12).
         from ..quant.model import Int8Pipeline
 
-        pipe = Int8Pipeline(cfg, seed=seed)
+        pipe = Int8Pipeline(cfg, seed=seed, mesh=mesh)
     else:
         from .pipeline import InferencePipeline
 
-        pipe = InferencePipeline(cfg, seed=seed)
+        pipe = InferencePipeline(cfg, seed=seed, mesh=mesh)
 
     async def run():
         server = MicroBatchServer(pipe, max_batch=streams)

@@ -86,3 +86,60 @@ def test_int8_serving_selftest():
     stats = asyncio.run(run())
     assert stats["requests"] == 32
     assert stats["errors"] == 0
+
+
+def test_dp_serving_over_mesh():
+    """Data-parallel serving: a mesh-backed pipeline behind the micro-batcher
+    (the multi-chip analog of the reference's multi-stream mode). Results
+    must match the single-device pipeline on the same requests."""
+    from mobilenet_tpu.parallel.mesh import make_mesh
+
+    cfg = ModelConfig(alpha=0.25, resolution=64, compute_dtype="float32")
+    mesh = make_mesh(8, model_parallel=1)
+    dp_pipe = InferencePipeline(cfg, seed=0, mesh=mesh)
+    ref_pipe = InferencePipeline(cfg, seed=0)
+    img = np.random.default_rng(3).integers(0, 256, (64, 64, 3), dtype=np.uint8)
+
+    async def run():
+        server = MicroBatchServer(dp_pipe, max_batch=8, max_delay_ms=2.0)
+        await server.start()
+        top = await server.submit(img)
+        stats = await selftest(server, streams=16, requests_per_stream=2)
+        await server.close()
+        return top, stats
+
+    top, stats = asyncio.run(run())
+    assert stats["errors"] == 0
+    want = ref_pipe.classify(img)
+    assert [c for c, _ in top] == [c for c, _ in want]
+
+
+def test_dp_serving_int8_over_mesh():
+    from mobilenet_tpu.parallel.mesh import make_mesh
+    from mobilenet_tpu.quant.model import Int8Pipeline
+
+    cfg = ModelConfig(alpha=0.25, resolution=64)
+    mesh = make_mesh(8, model_parallel=1)
+    dp_pipe = Int8Pipeline(cfg, seed=0, mesh=mesh)
+    ref_pipe = Int8Pipeline(cfg, seed=0)
+    img = np.random.default_rng(4).integers(0, 256, (64, 64, 3), dtype=np.uint8)
+
+    async def run():
+        server = MicroBatchServer(dp_pipe, max_batch=8, max_delay_ms=2.0)
+        await server.start()
+        top = await server.submit(img)
+        await server.close()
+        return top
+
+    top = asyncio.run(run())
+    # int8 is exact integer arithmetic: DP sharding must not change anything.
+    probs = ref_pipe.run_batch(img[None])[0]
+    idx = np.argsort(-probs)[:5]
+    assert [c for c, _ in top] == [int(i) for i in idx]
+
+
+def test_serve_main_streams_dp_mismatch():
+    from mobilenet_tpu.runtime.serving import serve_main
+
+    with pytest.raises(ValueError, match="multiple of --dp"):
+        serve_main(alpha=0.25, res=64, dtype="float32", streams=6, port=0, dp=4)
