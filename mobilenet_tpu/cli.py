@@ -216,6 +216,17 @@ def _int8_throughput(cfg, batch, steps, seed, ckpt=None, latency=True):
         out = infer(img)
     sync(out)
     dt = time.perf_counter() - t0
+    # The fetch fence is one fixed tunnel RTT inside the window — extend the
+    # window on short (small-config) runs until it amortizes below ~2%
+    # (mirrors InferencePipeline.benchmark's min_window_s logic).
+    min_window_s = 1.5 if jax.default_backend() == "tpu" else 0.0
+    if min_window_s and dt < min_window_s:
+        steps = min(int(steps * np.ceil(min_window_s / max(dt, 1e-3))), 4000)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = infer(img)
+        sync(out)
+        dt = time.perf_counter() - t0
     stats = {
         "variant": cfg.variant_name(),
         "dtype": "int8",
