@@ -66,6 +66,20 @@ def autotune_backend(
         for _ in range(steps):
             out = entry(pipe.params, img)
         sync(out)
-        results[backend] = steps * batch_size / (time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        # The fence is a constant additive RTT, so candidate ORDERING is
+        # fence-proof — but extend short windows anyway so the reported
+        # magnitudes match bench/sweep (fence amortized below ~2%).
+        min_window_s = 1.5 if jax.default_backend() == "tpu" else 0.0
+        if min_window_s and dt < min_window_s:
+            n = min(int(steps * np.ceil(min_window_s / max(dt, 1e-3))), 4000)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = entry(pipe.params, img)
+            sync(out)
+            dt = time.perf_counter() - t0
+            results[backend] = n * batch_size / dt
+        else:
+            results[backend] = steps * batch_size / dt
     best = max(results, key=results.get)
     return best, results
