@@ -211,22 +211,9 @@ def _int8_throughput(cfg, batch, steps, seed, ckpt=None, latency=True):
     for _ in range(3):
         out = infer(img)
     sync(out)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = infer(img)
-    sync(out)
-    dt = time.perf_counter() - t0
-    # The fetch fence is one fixed tunnel RTT inside the window — extend the
-    # window on short (small-config) runs until it amortizes below ~2%
-    # (mirrors InferencePipeline.benchmark's min_window_s logic).
-    min_window_s = 1.5 if jax.default_backend() == "tpu" else 0.0
-    if min_window_s and dt < min_window_s:
-        steps = min(int(steps * np.ceil(min_window_s / max(dt, 1e-3))), 4000)
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            out = infer(img)
-        sync(out)
-        dt = time.perf_counter() - t0
+    from .utils.timing import fenced_window
+
+    dt, steps = fenced_window(lambda: infer(img), sync, steps)
     stats = {
         "variant": cfg.variant_name(),
         "dtype": "int8",
@@ -285,8 +272,14 @@ def cmd_autotune(args):
 
     cfg = ModelConfig(alpha=args.alpha, resolution=args.res,
                       compute_dtype=args.dtype)
+    params = None
+    if getattr(args, "ckpt", None):
+        from .checkpoints import load_npz
+
+        params = load_npz(args.ckpt)
     best, results = autotune_backend(cfg, batch_size=args.batch,
-                                     steps=args.steps, seed=args.seed)
+                                     steps=args.steps, seed=args.seed,
+                                     params=params)
     print(json.dumps({
         "variant": cfg.variant_name(),
         "best": best,
@@ -375,10 +368,15 @@ def cmd_export(args):
 def cmd_serve(args):
     from .runtime.serving import serve_main
 
+    params = None
+    if getattr(args, "ckpt", None):
+        from .checkpoints import load_npz
+
+        params = load_npz(args.ckpt)
     serve_main(
         alpha=args.alpha, res=args.res, dtype=args.dtype,
         streams=args.streams, port=args.port, seed=args.seed,
-        int8=getattr(args, "int8", False), dp=args.dp,
+        int8=getattr(args, "int8", False), dp=args.dp, params=params,
     )
 
 
@@ -424,7 +422,11 @@ def main(argv=None):
     sp.add_argument("--min-agreement", type=float, default=1.0,
                     help="exit 1 below this top-1 agreement fraction")
     common(sp, 16)
-    sp.set_defaults(fn=cmd_eval)
+    # The gate compares against a float32 oracle with a default threshold of
+    # 1.0 — run the device side in float32 too (like verify). A bf16 eval is
+    # legal but should pair with a sub-1.0 --min-agreement: near-tie logits
+    # can flip top-1 within bf16 rounding.
+    sp.set_defaults(fn=cmd_eval, dtype="float32")
 
     sp = sub.add_parser("bench")
     sp.add_argument("--steps", type=int, default=40)

@@ -15,7 +15,6 @@ the full network with fetch-fenced timing, never per-kernel.
 
 from __future__ import annotations
 
-import time
 from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
@@ -29,6 +28,7 @@ def autotune_backend(
     steps: int = 10,
     candidates: Optional[Sequence[str]] = None,
     seed: int = 0,
+    params=None,
 ) -> Tuple[str, Dict[str, float]]:
     """Measure e2e img/s for each candidate dw backend; return
     (best_backend, {backend: images_per_sec}).
@@ -56,30 +56,19 @@ def autotune_backend(
 
     results: Dict[str, float] = {}
     for backend in candidates:
-        pipe = InferencePipeline(config, seed=seed, dw_backend=backend)
+        pipe = InferencePipeline(config, seed=seed, dw_backend=backend,
+                                 params=params)
         entry = pipe._entry("probs_u8")
         sync(entry(pipe.params, img))  # compile + warm
         for _ in range(2):
             out = entry(pipe.params, img)
         sync(out)
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            out = entry(pipe.params, img)
-        sync(out)
-        dt = time.perf_counter() - t0
         # The fence is a constant additive RTT, so candidate ORDERING is
         # fence-proof — but extend short windows anyway so the reported
         # magnitudes match bench/sweep (fence amortized below ~2%).
-        min_window_s = 1.5 if jax.default_backend() == "tpu" else 0.0
-        if min_window_s and dt < min_window_s:
-            n = min(int(steps * np.ceil(min_window_s / max(dt, 1e-3))), 4000)
-            t0 = time.perf_counter()
-            for _ in range(n):
-                out = entry(pipe.params, img)
-            sync(out)
-            dt = time.perf_counter() - t0
-            results[backend] = n * batch_size / dt
-        else:
-            results[backend] = steps * batch_size / dt
+        from ..utils.timing import fenced_window
+
+        dt, n = fenced_window(lambda: entry(pipe.params, img), sync, steps)
+        results[backend] = n * batch_size / dt
     best = max(results, key=results.get)
     return best, results

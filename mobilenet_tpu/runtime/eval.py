@@ -56,16 +56,17 @@ def load_dir_images(path: str) -> List[np.ndarray]:
     return images
 
 
-def _oracle_scores(folded, batch_u8: np.ndarray, config: ModelConfig, *,
+def _oracle_scores(folded, q, batch_u8: np.ndarray, config: ModelConfig, *,
                    int8: bool, oracle: str) -> np.ndarray:
     """Golden logits for a uint8 batch, preprocessed identically to the
-    device path (resize isn't an oracle layer — SURVEY.md §3.4)."""
+    device path (resize isn't an oracle layer — SURVEY.md §3.4). `q` is the
+    pre-quantized weight set for the int8 path (quantized ONCE by the
+    caller, not per batch)."""
     x = np.asarray(prep.preprocess(batch_u8, config.resolution, np.float32))
     if int8:
-        from ..quant import quantize, quantize_input
+        from ..quant import quantize_input
         from ..quant import oracle as qoracle
 
-        q = quantize(folded, config)
         x_i8 = quantize_input(x)
         if oracle == "cpp":
             from ..quant.verify import _cpp_forward_all
@@ -103,10 +104,16 @@ def evaluate_agreement(
     folded = params if params is not None else fold_bn(
         init_params(config, seed=seed), eps=config.bn_eps)
 
+    q = None
     if int8:
         from ..quant.model import Int8Pipeline
 
         pipe = Int8Pipeline(config, params=folded)
+        from ..quant import quantize
+
+        # Quantize once for the oracle side (the device side quantizes
+        # internally at pipeline construction; both derive from `folded`).
+        q = quantize(folded, config)
     else:
         from .pipeline import InferencePipeline
 
@@ -126,9 +133,15 @@ def evaluate_agreement(
         for start in range(0, len(idxs), batch_size):
             chunk = idxs[start:start + batch_size]
             batch = np.stack([images[i] for i in chunk])
-            probs = pipe.run_batch(batch)
+            if len(chunk) < batch_size and len(idxs) > batch_size:
+                # Pad the trailing partial chunk so the group reuses its one
+                # compiled (shape, batch) entry — a fresh entry is a 30-60 s
+                # remote compile on the tunneled TPU.
+                pad = np.repeat(batch[:1], batch_size - len(chunk), axis=0)
+                batch = np.concatenate([batch, pad])
+            probs = pipe.run_batch(batch)[: len(chunk)]
             dev_top[chunk] = _topk_rows(probs, top_k)
-            golden = _oracle_scores(folded, batch, config,
+            golden = _oracle_scores(folded, q, batch[: len(chunk)], config,
                                     int8=int8, oracle=oracle)
             ora_top[chunk] = _topk_rows(golden, top_k)
 

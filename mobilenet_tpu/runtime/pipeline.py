@@ -235,24 +235,12 @@ class InferencePipeline:
         for _ in range(warmup):
             out = entry(self.params, dev_batch)
         sync(out)
-        if min_window_s is None:
-            # The fetch fence costs one fixed tunnel RTT (~30 ms here) INSIDE
-            # the timed window; keep the window long enough that it is noise.
-            min_window_s = 1.5 if jax.default_backend() == "tpu" else 0.0
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            out = entry(self.params, dev_batch)
-        sync(out)
-        dt = time.perf_counter() - t0
-        if min_window_s and dt < min_window_s:
-            # Probe window too short (small configs run ~1 ms/batch): scale
-            # the step count so the fixed fence cost amortizes below ~2%.
-            steps = min(int(steps * np.ceil(min_window_s / max(dt, 1e-3))), 4000)
-            t0 = time.perf_counter()
-            for _ in range(steps):
-                out = entry(self.params, dev_batch)
-            sync(out)
-            dt = time.perf_counter() - t0
+        from ..utils.timing import fenced_window
+
+        probe_steps = steps
+        dt, steps = fenced_window(
+            lambda: entry(self.params, dev_batch), sync, steps,
+            min_window_s=min_window_s)
         imgs = steps * batch_size
 
         # --- end-to-end including host->HBM transfer, double-buffered:
@@ -261,7 +249,10 @@ class InferencePipeline:
         # host->device link is a network tunnel (~0.2 GB/s), so this number is
         # transfer-bound; on machine-local v5e DMA it converges to the compute
         # number.
-        e2e_steps = max(4, steps // 8)
+        # e2e is TRANSFER-bound (each step ships the batch through the
+        # host->HBM link), so it sizes from the caller's probe step count,
+        # not the fence-amortization-extended one.
+        e2e_steps = max(4, probe_steps // 8)
         batch_d = jax.device_put(host_batches[0], device)
         out = entry(self.params, batch_d)
         t0 = time.perf_counter()

@@ -219,7 +219,7 @@ async def selftest(server: MicroBatchServer, streams: int = 64,
 
 def serve_main(alpha: float, res: int, dtype: str, streams: int, port: int,
                seed: int = 0, selftest_only: bool = True, int8: bool = False,
-               dp: int = 1):
+               dp: int = 1, params=None):
     """`dp`: data-parallel width — batches shard over a `dp`-device mesh
     (ICI collectives via shard_map; params replicated). 1 = single chip,
     the contract configuration."""
@@ -238,11 +238,11 @@ def serve_main(alpha: float, res: int, dtype: str, streams: int, port: int,
         # fixed-point FPGA pipeline (SURVEY.md SS2 C7/C12).
         from ..quant.model import Int8Pipeline
 
-        pipe = Int8Pipeline(cfg, seed=seed, mesh=mesh)
+        pipe = Int8Pipeline(cfg, seed=seed, mesh=mesh, params=params)
     else:
         from .pipeline import InferencePipeline
 
-        pipe = InferencePipeline(cfg, seed=seed, mesh=mesh)
+        pipe = InferencePipeline(cfg, seed=seed, mesh=mesh, params=params)
 
     async def run():
         server = MicroBatchServer(pipe, max_batch=streams)

@@ -64,7 +64,10 @@ def main() -> int:
     failures = 0
     for pair in args.configs.split(","):
         alpha, res = pair.split(":")
-        cfg = ModelConfig(alpha=float(alpha), resolution=int(res))
+        # bfloat16 matches how the bf16 sweep artifact was recorded
+        # (cmd_sweep's default dtype); the int8 path quantizes internally.
+        cfg = ModelConfig(alpha=float(alpha), resolution=int(res),
+                          compute_dtype="bfloat16")
         if args.int8:
             row = _int8_throughput(cfg, args.batch, args.steps, 0, latency=False)
             fresh = row["images_per_sec"]
