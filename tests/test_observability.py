@@ -97,3 +97,36 @@ def test_bench_profile_flag(tmp_path):
     stats = json.loads(out_lines[-1])
     assert stats["profile_dir"] == prof
     assert os.path.isdir(prof) and os.listdir(prof)  # trace files written
+
+
+def test_fenced_window_extends_short_windows():
+    from mobilenet_tpu.utils.timing import fenced_window
+
+    calls = []
+
+    def step():
+        calls.append(1)
+        return len(calls)
+
+    dt, steps = fenced_window(step, lambda o: o, 2, min_window_s=0.0)
+    assert steps == 2 and len(calls) == 2
+    calls.clear()
+    # A ~1 ms/step workload against a 50 ms minimum window must scale up.
+    import time as _t
+
+    def slow_step():
+        calls.append(1)
+        _t.sleep(0.001)
+        return len(calls)
+
+    dt, steps = fenced_window(slow_step, lambda o: o, 2, min_window_s=0.05)
+    assert steps > 2
+    assert dt >= 0.04
+
+
+def test_fenced_window_caps_steps():
+    from mobilenet_tpu.utils.timing import fenced_window
+
+    dt, steps = fenced_window(lambda: 0, lambda o: o, 2,
+                              min_window_s=10.0, max_steps=16)
+    assert steps == 16
