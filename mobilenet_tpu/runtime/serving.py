@@ -34,6 +34,7 @@ class ServerStats:
     requests: int = 0
     batches: int = 0
     errors: int = 0
+    retries: int = 0
     batch_fill: float = 0.0
 
 
@@ -46,11 +47,20 @@ class MicroBatchServer:
         max_batch: int = 64,
         max_delay_ms: float = 3.0,
         request_timeout_s: float = 30.0,
+        device_retries: int = 1,
+        retry_backoff_s: float = 0.5,
     ):
+        """`device_retries`: how many times a failed device dispatch is
+        retried (with `retry_backoff_s` sleep) before the batch's requests
+        fail. Covers transient device errors — e.g. this platform's
+        FailedPrecondition storm after another process crashed the chip —
+        without retrying per-request (bad inputs still fail fast)."""
         self.pipeline = pipeline
         self.max_batch = max_batch
         self.max_delay_ms = max_delay_ms
         self.request_timeout_s = request_timeout_s
+        self.device_retries = device_retries
+        self.retry_backoff_s = retry_backoff_s
         self.queue: asyncio.Queue = asyncio.Queue()
         self.stats = ServerStats()
         self._executor = ThreadPoolExecutor(max_workers=1)  # one device stream
@@ -119,7 +129,15 @@ class MicroBatchServer:
             return self.pipeline.run_batch(images)
 
         try:
-            probs = await loop.run_in_executor(self._executor, run)
+            for attempt in range(self.device_retries + 1):
+                try:
+                    probs = await loop.run_in_executor(self._executor, run)
+                    break
+                except Exception:
+                    if attempt == self.device_retries:
+                        raise
+                    self.stats.retries += 1
+                    await asyncio.sleep(self.retry_backoff_s)
         except Exception as e:
             for i in valid:
                 fut = batch[i][2]

@@ -143,3 +143,69 @@ def test_serve_main_streams_dp_mismatch():
 
     with pytest.raises(ValueError, match="multiple of --dp"):
         serve_main(alpha=0.25, res=64, dtype="float32", streams=6, port=0, dp=4)
+
+
+def test_device_retry_recovers_transient_failure():
+    """A transient device error (e.g. the chip's FailedPrecondition storm)
+    is retried; requests succeed on the second attempt."""
+
+    class FlakyPipeline:
+        def __init__(self, inner):
+            self._inner = inner
+            self._fails = 0  # armed after the server's warm-up call
+            self.config = inner.config
+
+        def run_batch(self, images):
+            if self._fails > 0:
+                self._fails -= 1
+                raise RuntimeError("FAILED_PRECONDITION: device halted")
+            return self._inner.run_batch(images)
+
+    cfg = ModelConfig(alpha=0.25, resolution=64, compute_dtype="float32")
+    flaky = FlakyPipeline(InferencePipeline(cfg, seed=0))
+    img = np.zeros((64, 64, 3), np.uint8)
+
+    async def run():
+        server = MicroBatchServer(flaky, max_batch=4, max_delay_ms=1.0,
+                                  retry_backoff_s=0.01)
+        flaky._fails = 1
+        await server.start()
+        top = await server.submit(img)
+        stats = server.stats
+        await server.close()
+        return top, stats
+
+    top, stats = asyncio.run(run())
+    assert len(top) == 5
+    assert stats.retries == 1
+    assert stats.errors == 0
+
+
+def test_device_retry_exhaustion_fails_requests():
+    class DeadPipeline:
+        def __init__(self, cfg):
+            self.config = cfg
+            self.dead = False  # armed after the server's warm-up call
+
+        def run_batch(self, images):
+            if self.dead:
+                raise RuntimeError("FAILED_PRECONDITION: device halted")
+            return np.zeros((len(images), 1000), np.float32)
+
+    cfg = ModelConfig(alpha=0.25, resolution=64, compute_dtype="float32")
+    img = np.zeros((64, 64, 3), np.uint8)
+
+    async def run():
+        dead = DeadPipeline(cfg)
+        server = MicroBatchServer(dead, max_batch=4,
+                                  max_delay_ms=1.0, retry_backoff_s=0.01)
+        dead.dead = True
+        await server.start()
+        with pytest.raises(RuntimeError, match="FAILED_PRECONDITION"):
+            await server.submit(img)
+        stats = server.stats
+        await server.close()
+        return stats
+
+    stats = asyncio.run(run())
+    assert stats.errors == 1
