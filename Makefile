@@ -1,7 +1,7 @@
 # Build/validate flow (reference analog: C11, the SDAccel Makefile tiers —
 # SURVEY.md SS2/SS4): sw_emu -> tests (CPU interpret), hw -> tpu_smoke + bench.
 
-.PHONY: test oracle verify smoke bench sweep clean
+.PHONY: test oracle verify eval smoke bench sweep regress clean
 
 oracle:            ## build the native C++ golden oracle
 	python -c "from mobilenet_tpu import cpu_ref; print(cpu_ref.build(force=True))"
@@ -13,6 +13,10 @@ verify:            ## per-layer golden gates (fp32 tolerance + int8 exact)
 	python -m mobilenet_tpu.cli --backend cpu verify --alpha 0.25 --res 128
 	python -m mobilenet_tpu.cli --backend cpu verify --alpha 0.25 --res 128 --int8
 
+eval:              ## end-to-end top-1 agreement gate vs the golden CPU model
+	python -m mobilenet_tpu.cli --backend cpu eval --alpha 0.25 --res 128 --n 16
+	python -m mobilenet_tpu.cli --backend cpu eval --alpha 0.25 --res 128 --n 16 --int8
+
 smoke:             ## hw tier: all Pallas kernel families on the real TPU
 	python tools/tpu_smoke.py
 
@@ -20,7 +24,11 @@ bench:             ## the driver contract metric (one JSON line, real TPU)
 	python bench.py
 
 sweep:             ## full alpha x resolution grid (real TPU, slow)
-	python -m mobilenet_tpu.cli sweep --steps 15
+	python -m mobilenet_tpu.cli sweep --steps 40
+
+regress:           ## fresh measurement vs recorded sweep artifacts (real TPU)
+	python tools/regress.py --configs 1.0:224
+	python tools/regress.py --configs 1.0:224 --int8
 
 clean:
 	rm -f mobilenet_tpu/cpu_ref/libcpuref.so
