@@ -15,10 +15,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _device_latency_ms(pipe, cfg, chain_len: int) -> float:
-    """Device-true batch-1 forward latency: chain_len data-dependent forwards
-    inside one jit (each consumes a scalar from the previous output, forcing
-    strict serialization), timed around a single dispatch+fetch so the
-    per-call tunnel overhead divides by chain_len. dw_backend='xla' is the
+    """Device-true batch-1 forward latency by DIFFERENCED scan chains.
+
+    A chain of K data-dependent forwards inside one jit serializes K true
+    forwards, but the timed fetch still carries one fixed tunnel RTT — so
+    dt/K overstates latency by RTT/K (0.56 ms at K=50 against a ~0.13 ms
+    forward!). Timing chains of K and 4K and differencing cancels the RTT
+    exactly: latency = (dt_4K - dt_K) / 3K. dw_backend='xla' is the
     measured-fastest batch-1 routing on v5e (docs/design.md SS5)."""
     import time
 
@@ -30,25 +33,32 @@ def _device_latency_ms(pipe, cfg, chain_len: int) -> float:
 
     params, dtype = pipe.params, pipe.dtype
 
-    def chain(x):
-        def body(carry, _):
-            probs = mobilenet_v1.predict_probs(
-                params, carry, cfg, dw_backend="xla")
-            nxt = carry * (1.0 + 1e-6 * jnp.sum(probs).astype(carry.dtype))
-            return nxt, jnp.argmax(probs)
-        return jax.lax.scan(body, x, None, length=chain_len)
+    def make(length):
+        def chain(x):
+            def body(carry, _):
+                probs = mobilenet_v1.predict_probs(
+                    params, carry, cfg, dw_backend="xla")
+                nxt = carry * (1.0 + 1e-6 * jnp.sum(probs).astype(carry.dtype))
+                return nxt, jnp.argmax(probs)
+            return jax.lax.scan(body, x, None, length=length)
+        return jax.jit(chain)
 
-    fn = jax.jit(chain)
     x = jnp.asarray(
         np.random.default_rng(0).uniform(-1, 1, (1, cfg.resolution,
                                                   cfg.resolution, 3)), dtype)
-    _ = np.asarray(fn(x)[1])  # compile + warm (fetch-fenced)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = np.asarray(fn(x)[1])
-        best = min(best, time.perf_counter() - t0)
-    return best / chain_len * 1e3
+
+    def best_of(fn, reps=3):
+        _ = np.asarray(fn(x)[1])  # compile + warm (fetch-fenced)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = np.asarray(fn(x)[1])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt_short = best_of(make(chain_len))
+    dt_long = best_of(make(4 * chain_len))
+    return max(dt_long - dt_short, 0.0) / (3 * chain_len) * 1e3
 
 
 def main():
@@ -67,7 +77,7 @@ def main():
 
     # "auto" routing (measured fastest on v5e): fused dw+pw Pallas blocks at
     # throughput batches (13.9k vs 6.2k img/s all-XLA), XLA ops for the
-    # batch-1 latency entry (0.66 ms vs 0.87 ms device time). CPU uses XLA.
+    # batch-1 latency entry (0.14 ms vs 0.17 ms device time). CPU uses XLA.
     dw_backend = "auto" if on_tpu else "xla"
     pipe = InferencePipeline(cfg, seed=0, dw_backend=dw_backend)
     # Best of 3 timing windows (compile caches across calls): the TPU here
@@ -90,8 +100,8 @@ def main():
         # Two latency numbers on purpose: p50_latency_ms includes one
         # host<->device round trip (through the tunnel here, ~30ms RTT);
         # device_p50_latency_ms is the on-chip batch-1 forward time, measured
-        # as a chain of data-dependent forwards inside ONE jit so per-call
-        # dispatch amortizes away (tools/latency_probe.py method).
+        # as DIFFERENCED chains of data-dependent forwards inside one jit so
+        # both dispatch and fence RTT cancel (tools/latency_probe.py method).
         "device_p50_latency_ms": round(device_p50, 3),
         "p50_latency_ms": round(stats["p50_latency_ms"], 3),
         "p99_latency_ms": round(stats["p99_latency_ms"], 3),

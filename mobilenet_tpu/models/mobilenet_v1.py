@@ -31,7 +31,7 @@ def _routing(config: ModelConfig, use_pallas_dw, dw_backend, batch: int):
 
     "auto": measured on v5e — fused Pallas blocks win at throughput batches
     (13.9k vs 6.2k img/s at 256) but XLA wins the batch-1 latency entry
-    (0.66 ms vs 0.87 ms device time), so route by the traced batch size.
+    (0.14 ms vs 0.17 ms device time, RTT-cancelled), so route by batch size.
     """
     n = len(config.block_strides)
     if dw_backend is None:

@@ -81,7 +81,10 @@ def main():
               flush=True)
 
     keys = list(results)
-    print("\nsegment deltas (ms):")
+    print(f"\n(absolute prefix numbers include the fence RTT / {K} "
+          "(~0.14 ms at K=200 here); the DELTAS below are RTT-free — "
+          "use tools/latency_probe.py for RTT-cancelled absolutes)")
+    print("segment deltas (ms):")
     for a, b in zip(keys, keys[1:]):
         print(f"  {a:>5} -> {b:>5}: {results[b] - results[a]:+7.4f}")
 

@@ -1,8 +1,10 @@
-"""True single-image device latency: 50 data-dependent forwards inside ONE
-jit, so per-call host/tunnel overhead amortizes away (SURVEY.md SS7: 'p50
-single-image latency' needs a batch-1 entry; through the tunnel the RTT
-dominates a single call). Covers bf16 (fused + xla routing) and the int8
-fixed-point path."""
+"""True single-image device latency by DIFFERENCED scan chains: K
+data-dependent forwards inside one jit serialize K real forwards, but the
+timed fetch still carries one fixed tunnel RTT — dt/K overstates latency by
+RTT/K (0.56 ms at K=50 against a ~0.13 ms forward). Chains of K and 4K are
+timed and differenced, cancelling the RTT exactly:
+latency = (dt_4K - dt_K) / 3K. Covers bf16 (fused + xla routing) and the
+int8 fixed-point path."""
 import sys, os, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
@@ -12,13 +14,21 @@ from mobilenet_tpu.models import mobilenet_v1
 
 K = 50
 
-def _measure(label, fn, x):
-    out = fn(x); _ = np.asarray(out[1])
-    t0 = time.perf_counter()
-    out = fn(x); _ = np.asarray(out[1])
-    dt_total = time.perf_counter() - t0
-    print(f"batch-1 device latency ({label}): {dt_total / K * 1e3:.3f} ms "
-          f"(chain of {K}, total {dt_total*1e3:.1f} ms incl one RTT)",
+def _measure(label, make_fn, x):
+    def best_of(fn, reps=3):
+        _ = np.asarray(fn(x)[1])  # compile + warm (fetch-fenced)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = np.asarray(fn(x)[1])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt_short = best_of(make_fn(K))
+    dt_long = best_of(make_fn(4 * K))
+    ms = max(dt_long - dt_short, 0.0) / (3 * K) * 1e3
+    print(f"batch-1 device latency ({label}): {ms:.4f} ms "
+          f"(differenced chains of {K} and {4*K}; RTT cancelled)",
           flush=True)
 
 def main():
@@ -26,15 +36,17 @@ def main():
     folded = fold_bn(init_params(cfg, 0), eps=cfg.bn_eps)
     for dw_backend, dt in [("fused", jnp.bfloat16), ("xla", jnp.bfloat16)]:
         params = to_device(folded, dtype=dt)
-        def chain(x, dw_backend=dw_backend):
-            def body(carry, _):
-                probs = mobilenet_v1.predict_probs(params, carry, cfg, dw_backend=dw_backend)
-                # scalar data dependency: forces strict serialization
-                nxt = carry * (1.0 + 1e-6 * jnp.sum(probs).astype(carry.dtype))
-                return nxt, jnp.argmax(probs)
-            return jax.lax.scan(body, x, None, length=K)
+        def make(length, dw_backend=dw_backend):
+            def chain(x):
+                def body(carry, _):
+                    probs = mobilenet_v1.predict_probs(params, carry, cfg, dw_backend=dw_backend)
+                    # scalar data dependency: forces strict serialization
+                    nxt = carry * (1.0 + 1e-6 * jnp.sum(probs).astype(carry.dtype))
+                    return nxt, jnp.argmax(probs)
+                return jax.lax.scan(body, x, None, length=length)
+            return jax.jit(chain)
         x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (1, 224, 224, 3)), dt)
-        _measure(dw_backend, jax.jit(chain), x)
+        _measure(dw_backend, make, x)
 
     # int8 fixed-point path: the quantized network on the same chained-
     # forward method (uint8 carry perturbed via the argmax class index).
@@ -46,19 +58,21 @@ def main():
 
     dev = _as_device_tree(quantize_for_device(folded, cfg))
     for fused, label in [(True, "int8 fused"), (False, "int8 xla")]:
-        def chain_i8(u8, fused=fused):
-            def body(carry, _):
-                x = prep.preprocess(carry, cfg.resolution, jnp.float32)
-                x_q = qops.quantize_input_dev(x, ACT_IN_SCALE,
-                                              out_dtype=jnp.bfloat16)
-                logits = forward_i8(dev, x_q, cfg, use_fused=fused)
-                cls = jnp.argmax(logits)
-                nxt = jnp.clip(carry + cls.astype(jnp.uint8) % 2, 0, 255)
-                return nxt, cls
-            return jax.lax.scan(body, u8, None, length=K)
+        def make_i8(length, fused=fused):
+            def chain_i8(u8):
+                def body(carry, _):
+                    x = prep.preprocess(carry, cfg.resolution, jnp.float32)
+                    x_q = qops.quantize_input_dev(x, ACT_IN_SCALE,
+                                                  out_dtype=jnp.bfloat16)
+                    logits = forward_i8(dev, x_q, cfg, use_fused=fused)
+                    cls = jnp.argmax(logits)
+                    nxt = jnp.clip(carry + cls.astype(jnp.uint8) % 2, 0, 255)
+                    return nxt, cls
+                return jax.lax.scan(body, u8, None, length=length)
+            return jax.jit(chain_i8)
         u8 = jnp.asarray(np.random.default_rng(0).integers(
             0, 256, (1, 224, 224, 3), dtype=np.uint8))
-        _measure(label, jax.jit(chain_i8), u8)
+        _measure(label, make_i8, u8)
 
 if __name__ == "__main__":
     main()
