@@ -31,5 +31,5 @@ regress:           ## fresh measurement vs recorded sweep artifacts (real TPU)
 	python tools/regress.py --configs 1.0:224 --int8
 
 clean:
-	rm -f mobilenet_tpu/cpu_ref/libcpuref.so
+	rm -f mobilenet_tpu/cpu_ref/libcpuref.so mobilenet_tpu/native_io/libnativeio.so
 	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true

@@ -1,0 +1,131 @@
+// Native image decode for the host side of the pipeline (reference C10
+// analog, SURVEY.md §2: the reference decoded/preprocessed images in host
+// C/C++ — OpenCV/stb-style. Here decode happens in C++ against libjpeg and
+// libpng; resize + normalize + layout stay ON DEVICE in the jitted graph,
+// SURVEY.md §3.4).
+//
+// C ABI (ctypes-bound from native_io/__init__.py):
+//   mnv1_decode_image(path, &out, &h, &w) -> 0 on success
+//     out: malloc'd H*W*3 uint8 RGB (caller frees via mnv1_free)
+//   mnv1_free(ptr)
+//
+// Supported: baseline+progressive JPEG (any libjpeg colorspace -> RGB),
+// 8/16-bit gray/palette/RGB/RGBA PNG (alpha dropped, 16-bit scaled to 8).
+
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <csetjmp>
+
+#include <jpeglib.h>
+#include <png.h>
+
+extern "C" {
+
+struct mnv1_jpeg_err {
+    jpeg_error_mgr mgr;
+    jmp_buf jump;
+};
+
+static void mnv1_jpeg_error_exit(j_common_ptr cinfo) {
+    mnv1_jpeg_err* err = reinterpret_cast<mnv1_jpeg_err*>(cinfo->err);
+    longjmp(err->jump, 1);
+}
+
+static int decode_jpeg(FILE* f, unsigned char** out, int* h, int* w) {
+    jpeg_decompress_struct cinfo;
+    mnv1_jpeg_err jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = mnv1_jpeg_error_exit;
+    unsigned char* buf = nullptr;
+    if (setjmp(jerr.jump)) {  // any libjpeg fatal error lands here
+        jpeg_destroy_decompress(&cinfo);
+        free(buf);
+        return 2;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_stdio_src(&cinfo, f);
+    jpeg_read_header(&cinfo, TRUE);
+    cinfo.out_color_space = JCS_RGB;  // libjpeg converts gray/YCbCr/CMYK
+    jpeg_start_decompress(&cinfo);
+    const int H = cinfo.output_height, W = cinfo.output_width;
+    buf = static_cast<unsigned char*>(malloc(static_cast<size_t>(H) * W * 3));
+    if (!buf) { jpeg_destroy_decompress(&cinfo); return 3; }
+    while (cinfo.output_scanline < cinfo.output_height) {
+        unsigned char* row = buf + static_cast<size_t>(cinfo.output_scanline) * W * 3;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    *out = buf; *h = H; *w = W;
+    return 0;
+}
+
+static int decode_png(FILE* f, unsigned char** out, int* h, int* w) {
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING,
+                                             nullptr, nullptr, nullptr);
+    if (!png) return 2;
+    png_infop info = png_create_info_struct(png);
+    if (!info) { png_destroy_read_struct(&png, nullptr, nullptr); return 2; }
+    unsigned char* buf = nullptr;
+    png_bytep* rows = nullptr;
+    if (setjmp(png_jmpbuf(png))) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        free(buf); free(rows);
+        return 2;
+    }
+    png_init_io(png, f);
+    png_read_info(png, info);
+    // Normalize every layout to 8-bit RGB.
+    png_set_palette_to_rgb(png);
+    png_set_expand_gray_1_2_4_to_8(png);
+    if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+    png_set_strip_16(png);
+    png_set_strip_alpha(png);
+    png_set_gray_to_rgb(png);
+    png_read_update_info(png, info);
+    const int H = png_get_image_height(png, info);
+    const int W = png_get_image_width(png, info);
+    if (png_get_rowbytes(png, info) != static_cast<size_t>(W) * 3) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        return 4;  // normalization above should make this impossible
+    }
+    buf = static_cast<unsigned char*>(malloc(static_cast<size_t>(H) * W * 3));
+    rows = static_cast<png_bytep*>(malloc(sizeof(png_bytep) * H));
+    if (!buf || !rows) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        free(buf); free(rows);
+        return 3;
+    }
+    for (int y = 0; y < H; y++)
+        rows[y] = buf + static_cast<size_t>(y) * W * 3;
+    png_read_image(png, rows);
+    png_read_end(png, nullptr);
+    png_destroy_read_struct(&png, &info, nullptr);
+    free(rows);
+    *out = buf; *h = H; *w = W;
+    return 0;
+}
+
+// 0 ok; 1 open/format error; 2 decode error; 3 oom; 4 unexpected layout
+int mnv1_decode_image(const char* path, unsigned char** out, int* h, int* w) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return 1;
+    unsigned char magic[8] = {0};
+    size_t n = fread(magic, 1, 8, f);
+    rewind(f);
+    int rc;
+    if (n >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
+        rc = decode_jpeg(f, out, h, w);
+    } else if (n >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
+        rc = decode_png(f, out, h, w);
+    } else {
+        rc = 1;
+    }
+    fclose(f);
+    return rc;
+}
+
+void mnv1_free(unsigned char* ptr) { free(ptr); }
+
+}  // extern "C"

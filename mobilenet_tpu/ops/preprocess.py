@@ -40,10 +40,22 @@ def preprocess(images_u8: jax.Array, resolution: int, dtype=jnp.float32) -> jax.
     return x.astype(dtype)
 
 
-def decode_image_host(path: str):
-    """Host-side decode (PIL) -> uint8 HWC RGB numpy array. The only host
-    stage, mirroring SURVEY.md SS7 'decode on host'."""
+def decode_image_host(path: str, backend: str = "auto"):
+    """Host-side decode -> uint8 HWC RGB numpy array. The only host stage,
+    mirroring SURVEY.md SS7 'decode on host'.
+
+    backend: "native" = the C++ libjpeg/libpng decoder (native_io/ — the
+    reference's C10 preprocessing was host C/C++), "pil" = PIL, "auto" =
+    native when it builds on this machine, PIL otherwise."""
     import numpy as np  # noqa: PLC0415
+
+    if backend not in ("auto", "native", "pil"):
+        raise ValueError(f"unknown decode backend {backend!r}")
+    if backend != "pil":
+        from .. import native_io  # noqa: PLC0415
+
+        if backend == "native" or native_io.available():
+            return native_io.decode_image(path)
     from PIL import Image  # noqa: PLC0415
 
     with Image.open(path) as im:

@@ -1,0 +1,76 @@
+"""Native C++ image decoder (native_io/, reference C10 analog).
+
+The reference decoded images in host C/C++; here decode.cpp wraps the
+system libjpeg/libpng. PNG is lossless so the native decode must match PIL
+bit-for-bit; JPEG goes through the same libjpeg family, also exact here.
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from mobilenet_tpu import native_io
+from mobilenet_tpu.ops.preprocess import decode_image_host
+
+pytestmark = pytest.mark.skipif(
+    not native_io.available(), reason="native decoder does not build here")
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(11)
+
+
+@pytest.mark.parametrize("mode,shape", [
+    ("RGB", (37, 53, 3)),
+    ("RGBA", (20, 30, 4)),   # alpha dropped
+    ("L", (25, 31)),         # gray expanded to RGB
+])
+def test_png_matches_pil_exactly(tmp_path, rng, mode, shape):
+    arr = rng.integers(0, 256, shape, dtype=np.uint8)
+    path = tmp_path / "t.png"
+    Image.fromarray(arr, mode=mode).save(path)
+    nat = native_io.decode_image(str(path))
+    pil = np.asarray(Image.open(path).convert("RGB"))
+    assert nat.dtype == np.uint8 and nat.shape == pil.shape
+    np.testing.assert_array_equal(nat, pil)
+
+
+def test_jpeg_matches_pil(tmp_path, rng):
+    arr = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    path = tmp_path / "t.jpg"
+    Image.fromarray(arr).save(path, quality=90)
+    nat = native_io.decode_image(str(path))
+    pil = np.asarray(Image.open(path).convert("RGB"))
+    # Same libjpeg family underneath; allow a tiny IDCT-variant margin.
+    assert nat.shape == pil.shape
+    assert np.abs(nat.astype(int) - pil.astype(int)).max() <= 1
+
+
+def test_error_paths(tmp_path):
+    with pytest.raises(ValueError, match="native decode failed"):
+        native_io.decode_image(str(tmp_path / "missing.png"))
+    garbage = tmp_path / "garbage.bin"
+    garbage.write_bytes(b"notanimage" * 10)
+    with pytest.raises(ValueError, match="unrecognized format"):
+        native_io.decode_image(str(garbage))
+    # Truncated PNG: valid signature, corrupt body.
+    img = tmp_path / "trunc.png"
+    arr = np.zeros((32, 32, 3), np.uint8)
+    Image.fromarray(arr).save(img)
+    img.write_bytes(img.read_bytes()[:40])
+    with pytest.raises(ValueError):
+        native_io.decode_image(str(img))
+
+
+def test_decode_image_host_backends(tmp_path, rng):
+    arr = rng.integers(0, 256, (30, 40, 3), dtype=np.uint8)
+    path = tmp_path / "t.png"
+    Image.fromarray(arr).save(path)
+    nat = decode_image_host(str(path), backend="native")
+    pil = decode_image_host(str(path), backend="pil")
+    auto = decode_image_host(str(path))
+    np.testing.assert_array_equal(nat, pil)
+    np.testing.assert_array_equal(auto, pil)
+    with pytest.raises(ValueError, match="unknown decode backend"):
+        decode_image_host(str(path), backend="opencv")
