@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -143,23 +144,26 @@ def cmd_eval(args):
     sys.exit(0 if report["top1_agreement"] >= args.min_agreement else 1)
 
 
-def cmd_bench(args):
-    if getattr(args, "int8", False):
-        return _bench_int8(args)
+def _profile_ctx(args):
+    """--profile DIR wraps the timed loop in a device trace (SURVEY.md SS5:
+    the OpenCL-event-profiling analog); view with XProf/TensorBoard/Perfetto."""
     import contextlib
 
-    import jax
-
-    pipe = _build_pipeline(args)
-    # --profile wraps the timed loop in a device trace (SURVEY.md SS5: the
-    # OpenCL-event-profiling analog); view with XProf/TensorBoard/Perfetto.
     profile_dir = getattr(args, "profile", None)
     if profile_dir:
         from .utils.profiling import trace as _trace
 
-        ctx = _trace(profile_dir)
-    else:
-        ctx = contextlib.nullcontext()
+        return profile_dir, _trace(profile_dir)
+    return None, contextlib.nullcontext()
+
+
+def cmd_bench(args):
+    if getattr(args, "int8", False):
+        return _bench_int8(args)
+    import jax
+
+    pipe = _build_pipeline(args)
+    profile_dir, ctx = _profile_ctx(args)
     with ctx:
         stats = pipe.benchmark(batch_size=args.batch, steps=args.steps)
     stats.update(
@@ -179,8 +183,12 @@ def _bench_int8(args):
     from .config import ModelConfig
 
     cfg = ModelConfig(alpha=args.alpha, resolution=args.res)
-    stats = _int8_throughput(cfg, args.batch, args.steps, args.seed,
-                             ckpt=getattr(args, "ckpt", None))
+    profile_dir, ctx = _profile_ctx(args)  # --int8 mirrors every bench flag
+    with ctx:
+        stats = _int8_throughput(cfg, args.batch, args.steps, args.seed,
+                                 ckpt=getattr(args, "ckpt", None))
+    if profile_dir:
+        stats["profile_dir"] = profile_dir
     print(json.dumps(stats))
 
 
@@ -486,8 +494,15 @@ def main(argv=None):
         args.fn(args)
     except (FileNotFoundError, ValueError) as e:
         # User-input errors (bad image/ckpt path, off-grid alpha/resolution)
-        # get a clean one-line exit instead of a traceback; everything else
-        # (kernel/device errors) still surfaces in full.
+        # get a clean one-line exit instead of a traceback — but ValueErrors
+        # raised from inside jax/jaxlib (reshape mismatches, Pallas BlockSpec
+        # errors, ...) are internal bugs whose stack must survive: re-raise
+        # those in full rather than misreporting them as user errors.
+        import traceback as _tb
+
+        frames = _tb.extract_tb(e.__traceback__)
+        if any(os.sep + "jax" in (f.filename or "") for f in frames):
+            raise
         raise SystemExit(f"mobilenet_tpu {args.cmd}: {e}") from e
 
 

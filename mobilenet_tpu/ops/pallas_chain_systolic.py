@@ -125,8 +125,10 @@ def chain_systolic(
     cap = int(16.3 * 2**20)
     bn = block_n or 1
     if block_n is None:
+        # grow while the RESULTING tile stays within the ~512-row matmul-M
+        # target (guarding the pre-doubling bn allowed up to 2x the bound)
         while bn * 2 <= n and n % (bn * 2) == 0 and est(bn * 2) < cap and (
-            bn * hh * ww < 512
+            bn * 2 * hh * ww <= 512
         ):
             bn *= 2
     while n % bn:

@@ -66,7 +66,10 @@ def main():
                                                   out_dtype=jnp.bfloat16)
                     logits = forward_i8(dev, x_q, cfg, use_fused=fused)
                     cls = jnp.argmax(logits)
-                    nxt = jnp.clip(carry + cls.astype(jnp.uint8) % 2, 0, 255)
+                    # saturate in int32: uint8 addition would wrap 255->0
+                    # before a clip could see it
+                    nxt = jnp.clip(carry.astype(jnp.int32) + cls % 2,
+                                   0, 255).astype(jnp.uint8)
                     return nxt, cls
                 return jax.lax.scan(body, u8, None, length=length)
             return jax.jit(chain_i8)

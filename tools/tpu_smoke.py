@@ -139,8 +139,10 @@ def main(quick: bool = False, only: str = ""):
     from mobilenet_tpu.ops.pallas_chain_systolic import chain_systolic
 
     rng = rng_for("chain_sys")
-    for (n, h, c, k) in ([(4, 14, 512, 5), (6, 7, 256, 4)]
-                         if want("chain_sys") else []):
+    chain_shapes = [(4, 14, 512, 5), (6, 7, 256, 4)]
+    if quick:
+        chain_shapes = chain_shapes[:1]
+    for (n, h, c, k) in (chain_shapes if want("chain_sys") else []):
         x = rng.uniform(-1, 1, (n, h, h, c)).astype(np.float32)
         dw_ws = rng.normal(0, 0.4, (k, 3, 3, c)).astype(np.float32)
         dw_bs = rng.normal(0, 0.2, (k, c)).astype(np.float32)
