@@ -23,8 +23,6 @@ def _device_latency_ms(pipe, cfg, chain_len: int) -> float:
     forward!). Timing chains of K and 4K and differencing cancels the RTT
     exactly: latency = (dt_4K - dt_K) / 3K. dw_backend='xla' is the
     measured-fastest batch-1 routing on v5e (docs/design.md SS5)."""
-    import time
-
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -46,19 +44,9 @@ def _device_latency_ms(pipe, cfg, chain_len: int) -> float:
     x = jnp.asarray(
         np.random.default_rng(0).uniform(-1, 1, (1, cfg.resolution,
                                                   cfg.resolution, 3)), dtype)
+    from mobilenet_tpu.utils.timing import differenced_chain_ms
 
-    def best_of(fn, reps=3):
-        _ = np.asarray(fn(x)[1])  # compile + warm (fetch-fenced)
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            _ = np.asarray(fn(x)[1])
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    dt_short = best_of(make(chain_len))
-    dt_long = best_of(make(4 * chain_len))
-    return max(dt_long - dt_short, 0.0) / (3 * chain_len) * 1e3
+    return differenced_chain_ms(make, x, chain_len)
 
 
 def main():

@@ -140,8 +140,12 @@ def cmd_eval(args):
         int8=getattr(args, "int8", False), oracle=args.oracle,
         batch_size=args.batch, top_k=args.top_k,
     )
-    print(json.dumps(report))
-    sys.exit(0 if report["top1_agreement"] >= args.min_agreement else 1)
+    # Gate on the UNROUNDED agreement; round only for display.
+    ok = report["top1_agreement"] >= args.min_agreement
+    display = {k: (round(v, 4) if isinstance(v, float) else v)
+               for k, v in report.items()}
+    print(json.dumps(display))
+    sys.exit(0 if ok else 1)
 
 
 def _profile_ctx(args):
@@ -501,7 +505,11 @@ def main(argv=None):
         import traceback as _tb
 
         frames = _tb.extract_tb(e.__traceback__)
-        if any(os.sep + "jax" in (f.filename or "") for f in frames):
+        # Match the jax/jaxlib PACKAGE directories, not any path that merely
+        # contains a "jax*" component (a user at /home/jaxon/... must still
+        # get the clean one-line exit).
+        jax_dirs = (f"{os.sep}jax{os.sep}", f"{os.sep}jaxlib{os.sep}")
+        if any(d in (f.filename or "") for f in frames for d in jax_dirs):
             raise
         raise SystemExit(f"mobilenet_tpu {args.cmd}: {e}") from e
 

@@ -43,7 +43,10 @@ def build(force: bool = False) -> str:
         "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
         _SRC, "-o", _LIB, "-ljpeg", "-lpng",
     ]
-    subprocess.run(cmd, check=True, capture_output=True)
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"native_io build failed ({' '.join(cmd)}):\n{proc.stderr}")
     return _LIB
 
 

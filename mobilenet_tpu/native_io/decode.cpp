@@ -32,12 +32,19 @@ static void mnv1_jpeg_error_exit(j_common_ptr cinfo) {
     longjmp(err->jump, 1);
 }
 
+// Keep libjpeg warnings ("Premature end of JPEG file", ...) off stderr —
+// corrupt inputs surface as a clean error code, not log spam per request.
+static void mnv1_jpeg_silent_output(j_common_ptr) {}
+
 static int decode_jpeg(FILE* f, unsigned char** out, int* h, int* w) {
     jpeg_decompress_struct cinfo;
     mnv1_jpeg_err jerr;
     cinfo.err = jpeg_std_error(&jerr.mgr);
     jerr.mgr.error_exit = mnv1_jpeg_error_exit;
-    unsigned char* buf = nullptr;
+    jerr.mgr.output_message = mnv1_jpeg_silent_output;
+    // volatile: modified after setjmp and read in the longjmp path (C11
+    // 7.13.2.1 — a plain local would be indeterminate there under -O2)
+    unsigned char* volatile buf = nullptr;
     if (setjmp(jerr.jump)) {  // any libjpeg fatal error lands here
         jpeg_destroy_decompress(&cinfo);
         free(buf);
@@ -67,8 +74,10 @@ static int decode_png(FILE* f, unsigned char** out, int* h, int* w) {
     if (!png) return 2;
     png_infop info = png_create_info_struct(png);
     if (!info) { png_destroy_read_struct(&png, nullptr, nullptr); return 2; }
-    unsigned char* buf = nullptr;
-    png_bytep* rows = nullptr;
+    // volatile: see decode_jpeg — both are written after setjmp and read in
+    // the longjmp error path
+    unsigned char* volatile buf = nullptr;
+    png_bytep* volatile rows = nullptr;
     if (setjmp(png_jmpbuf(png))) {
         png_destroy_read_struct(&png, &info, nullptr);
         free(buf); free(rows);

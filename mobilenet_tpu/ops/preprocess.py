@@ -54,8 +54,14 @@ def decode_image_host(path: str, backend: str = "auto"):
     if backend != "pil":
         from .. import native_io  # noqa: PLC0415
 
-        if backend == "native" or native_io.available():
+        if backend == "native":
             return native_io.decode_image(path)
+        if native_io.available():
+            try:
+                return native_io.decode_image(path)
+            except ValueError:
+                pass  # format the native decoder doesn't handle (bmp/gif/
+                #       webp/...) or corrupt data: let PIL try below
     from PIL import Image  # noqa: PLC0415
 
     with Image.open(path) as im:

@@ -158,8 +158,11 @@ def evaluate_agreement(
     ]
     return {
         "n_images": n,
-        "top1_agreement": round(float(top1_match.mean()), 4),
-        f"top{top_k}_overlap": round(float(topk_overlap.mean()), 4),
+        # Unrounded: the CLI gate compares this against --min-agreement, and
+        # rounding could mask a lone mismatch in a large set (49999/50000
+        # rounds to 1.0). Display-rounding happens at the print site.
+        "top1_agreement": float(top1_match.mean()),
+        f"top{top_k}_overlap": float(topk_overlap.mean()),
         "dtype": "int8" if int8 else config.compute_dtype,
         "oracle": oracle,
         "mismatches": mismatches,

@@ -34,6 +34,7 @@ def fenced_window(
         import jax
 
         min_window_s = 1.5 if jax.default_backend() == "tpu" else 0.0
+    steps = max(1, steps)  # steps=0 would leave the fence with nothing to sync
     t0 = time.perf_counter()
     for _ in range(steps):
         out = run_step()
@@ -47,3 +48,29 @@ def fenced_window(
         sync(out)
         dt = time.perf_counter() - t0
     return dt, steps
+
+
+def differenced_chain_ms(make_chain, x, k: int, *, reps: int = 3,
+                         long_factor: int = 4) -> float:
+    """RTT-cancelled per-forward latency from two scan-chain lengths.
+
+    `make_chain(length)` returns a jitted fn whose call runs `length`
+    data-dependent forwards and whose fetched output is tiny. A single
+    chain's dt/K still carries the fence RTT/K (0.56 ms at K=50 against a
+    ~0.13 ms forward); timing chains of K and long_factor*K and differencing
+    cancels the RTT exactly: ms = (dt_long - dt_short) / ((long_factor-1)*K).
+    """
+    import numpy as np  # noqa: PLC0415 — keep jax-free at module import
+
+    def best_of(fn):
+        _ = np.asarray(fn(x)[1])  # compile + warm (fetch-fenced)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = np.asarray(fn(x)[1])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt_short = best_of(make_chain(k))
+    dt_long = best_of(make_chain(long_factor * k))
+    return max(dt_long - dt_short, 0.0) / ((long_factor - 1) * k) * 1e3

@@ -15,18 +15,9 @@ from mobilenet_tpu.models import mobilenet_v1
 K = 50
 
 def _measure(label, make_fn, x):
-    def best_of(fn, reps=3):
-        _ = np.asarray(fn(x)[1])  # compile + warm (fetch-fenced)
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            _ = np.asarray(fn(x)[1])
-            best = min(best, time.perf_counter() - t0)
-        return best
+    from mobilenet_tpu.utils.timing import differenced_chain_ms
 
-    dt_short = best_of(make_fn(K))
-    dt_long = best_of(make_fn(4 * K))
-    ms = max(dt_long - dt_short, 0.0) / (3 * K) * 1e3
+    ms = differenced_chain_ms(make_fn, x, K)
     print(f"batch-1 device latency ({label}): {ms:.4f} ms "
           f"(differenced chains of {K} and {4*K}; RTT cancelled)",
           flush=True)
