@@ -74,3 +74,24 @@ def test_decode_image_host_backends(tmp_path, rng):
     np.testing.assert_array_equal(auto, pil)
     with pytest.raises(ValueError, match="unknown decode backend"):
         decode_image_host(str(path), backend="opencv")
+
+
+def test_progressive_jpeg(tmp_path, rng):
+    """decode.cpp claims progressive JPEG support — hold it to that."""
+    arr = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    path = tmp_path / "prog.jpg"
+    Image.fromarray(arr).save(path, quality=85, progressive=True)
+    nat = native_io.decode_image(str(path))
+    pil = np.asarray(Image.open(path).convert("RGB"))
+    assert nat.shape == pil.shape
+    assert np.abs(nat.astype(int) - pil.astype(int)).max() <= 1
+
+
+def test_grayscale_jpeg(tmp_path, rng):
+    arr = rng.integers(0, 256, (33, 44), dtype=np.uint8)
+    path = tmp_path / "gray.jpg"
+    Image.fromarray(arr, mode="L").save(path, quality=90)
+    nat = native_io.decode_image(str(path))
+    pil = np.asarray(Image.open(path).convert("RGB"))
+    assert nat.shape == (33, 44, 3)
+    assert np.abs(nat.astype(int) - pil.astype(int)).max() <= 1
