@@ -64,7 +64,7 @@ def main():
     steps = 40 if on_tpu else 2
 
     # "auto" routing (measured fastest on v5e): fused dw+pw Pallas blocks at
-    # throughput batches (13.9k vs 6.2k img/s all-XLA), XLA ops for the
+    # throughput batches (27.3k vs 6.3k img/s all-XLA), XLA ops for the
     # batch-1 latency entry (0.14 ms vs 0.17 ms device time). CPU uses XLA.
     dw_backend = "auto" if on_tpu else "xla"
     pipe = InferencePipeline(cfg, seed=0, dw_backend=dw_backend)

@@ -30,7 +30,7 @@ def _routing(config: ModelConfig, use_pallas_dw, dw_backend, batch: int):
     """Resolve the per-block backend list (len == 13).
 
     "auto": measured on v5e — fused Pallas blocks win at throughput batches
-    (13.9k vs 6.2k img/s at 256) but XLA wins the batch-1 latency entry
+    (27.3k vs 6.3k img/s at 256) but XLA wins the batch-1 latency entry
     (0.14 ms vs 0.17 ms device time, RTT-cancelled), so route by batch size.
     """
     n = len(config.block_strides)
