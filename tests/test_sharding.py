@@ -66,3 +66,20 @@ def test_pure_dp_mesh():
     x = jax.device_put(jnp.zeros((8, 64, 64, 3)), pmesh.batch_sharding(mesh))
     out = jax.jit(lambda p, x: mobilenet_v1.forward(p, x, cfg))(params, x)
     assert out.shape == (8, 1000)
+
+
+def test_tp4_forward_matches_single_device():
+    """Wider tensor-parallel split (model=4): channel shards get as narrow
+    as 2 lanes at alpha=0.25 — the stress case for the TP layout."""
+    mesh, cfg, host, params, _ = _setup(tp=4)
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+    xs = jax.device_put(jnp.asarray(x), pmesh.batch_sharding(mesh))
+
+    sharded = jax.jit(lambda p, x: mobilenet_v1.forward(p, x, cfg))(params, xs)
+    single = jax.jit(lambda p, x: mobilenet_v1.forward(p, x, cfg))(
+        jax.tree.map(jnp.asarray, host), jnp.asarray(x)
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), atol=1e-4, rtol=1e-3
+    )
