@@ -21,8 +21,9 @@ def _device_latency_ms(pipe, cfg, chain_len: int) -> float:
     forwards, but the timed fetch still carries one fixed tunnel RTT — so
     dt/K overstates latency by RTT/K (0.56 ms at K=50 against a ~0.13 ms
     forward!). Timing chains of K and 4K and differencing cancels the RTT
-    exactly: latency = (dt_4K - dt_K) / 3K. dw_backend='xla' is the
-    measured-fastest batch-1 routing on v5e (docs/design.md SS5)."""
+    exactly: latency = (dt_4K - dt_K) / 3K. "auto" resolves to the
+    measured-fastest batch-1 routing on v5e (xla for the 112-squared blocks,
+    fused for the rest — models/mobilenet_v1._routing)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -35,7 +36,7 @@ def _device_latency_ms(pipe, cfg, chain_len: int) -> float:
         def chain(x):
             def body(carry, _):
                 probs = mobilenet_v1.predict_probs(
-                    params, carry, cfg, dw_backend="xla")
+                    params, carry, cfg, dw_backend="auto")
                 nxt = carry * (1.0 + 1e-6 * jnp.sum(probs).astype(carry.dtype))
                 return nxt, jnp.argmax(probs)
             return jax.lax.scan(body, x, None, length=length)
@@ -64,8 +65,8 @@ def main():
     steps = 40 if on_tpu else 2
 
     # "auto" routing (measured fastest on v5e): fused dw+pw Pallas blocks at
-    # throughput batches (27.3k vs 6.3k img/s all-XLA), XLA ops for the
-    # batch-1 latency entry (0.14 ms vs 0.17 ms device time). CPU uses XLA.
+    # throughput batches (27.3k vs 6.3k img/s all-XLA), mixed xla/fused for
+    # the batch-1 latency entry (0.123 ms device time). CPU uses XLA.
     dw_backend = "auto" if on_tpu else "xla"
     pipe = InferencePipeline(cfg, seed=0, dw_backend=dw_backend)
     # Best of 3 timing windows (compile caches across calls): the TPU here

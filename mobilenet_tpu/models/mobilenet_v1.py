@@ -30,14 +30,19 @@ def _routing(config: ModelConfig, use_pallas_dw, dw_backend, batch: int):
     """Resolve the per-block backend list (len == 13).
 
     "auto": measured on v5e — fused Pallas blocks win at throughput batches
-    (27.3k vs 6.3k img/s at 256) but XLA wins the batch-1 latency entry
-    (0.14 ms vs 0.17 ms device time, RTT-cancelled), so route by batch size.
+    (27.3k vs 6.3k img/s at 256). At batch 1 the routing is MIXED: the
+    packed 112² kernels lose their grid pipelining with one whole-image tile
+    (+0.088 ms in block 0 alone, tools/latency_attr.py --dw-backend fused)
+    while the dense fused blocks beat XLA from block 2 on — xla for blocks
+    0-1 + fused for 2-12 measures 0.123 ms/forward vs 0.135 all-xla and
+    0.166 all-fused (RTT-cancelled differenced chains).
     """
     n = len(config.block_strides)
     if dw_backend is None:
         dw_backend = "pallas" if use_pallas_dw else "xla"
     if dw_backend == "auto":
-        dw_backend = "fused" if batch >= 32 else "xla"
+        dw_backend = ("fused" if batch >= 32
+                      else ("xla",) * 2 + ("fused",) * (n - 2))
     if isinstance(dw_backend, str):
         return (dw_backend,) * n
     assert len(dw_backend) == n, dw_backend

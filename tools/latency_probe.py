@@ -25,7 +25,8 @@ def _measure(label, make_fn, x):
 def main():
     cfg = ModelConfig(alpha=1.0, resolution=224, compute_dtype="bfloat16")
     folded = fold_bn(init_params(cfg, 0), eps=cfg.bn_eps)
-    for dw_backend, dt in [("fused", jnp.bfloat16), ("xla", jnp.bfloat16)]:
+    for dw_backend, dt in [("fused", jnp.bfloat16), ("xla", jnp.bfloat16),
+                           ("auto", jnp.bfloat16)]:  # auto = mixed at batch 1
         params = to_device(folded, dtype=dt)
         def make(length, dw_backend=dw_backend):
             def chain(x):
