@@ -91,7 +91,10 @@ def main():
         # device_p50_latency_ms is the on-chip batch-1 forward time, measured
         # as DIFFERENCED chains of data-dependent forwards inside one jit so
         # both dispatch and fence RTT cancel (tools/latency_probe.py method).
-        "device_p50_latency_ms": round(device_p50, 3),
+        # null (not NaN — the driver parses this line as strict JSON) when
+        # the differenced-chain measurement failed on tunnel noise.
+        "device_p50_latency_ms": (None if device_p50 != device_p50
+                                  else round(device_p50, 3)),
         "p50_latency_ms": round(stats["p50_latency_ms"], 3),
         "p99_latency_ms": round(stats["p99_latency_ms"], 3),
         "backend": jax.default_backend(),

@@ -138,10 +138,13 @@ def cmd_eval(args):
     report = evaluate_agreement(
         cfg, images, params=params, seed=args.seed,
         int8=getattr(args, "int8", False), oracle=args.oracle,
-        batch_size=args.batch, top_k=args.top_k,
+        batch_size=args.batch, top_k=args.top_k, tie_margin=args.tie_margin,
     )
-    # Gate on the UNROUNDED agreement; round only for display.
-    ok = report["top1_agreement"] >= args.min_agreement
+    # Gate on the UNROUNDED tie-aware agreement (== raw agreement when
+    # --tie-margin 0); round only for display. Near-tie flips are rounding
+    # artifacts of the float device path, not accuracy failures — the raw
+    # number is still reported for the record.
+    ok = report["top1_agreement_tie_aware"] >= args.min_agreement
     display = {k: (round(v, 4) if isinstance(v, float) else v)
                for k, v in report.items()}
     print(json.dumps(display))
@@ -433,6 +436,11 @@ def main(argv=None):
     sp.add_argument("--oracle", default="numpy", choices=["cpp", "numpy"])
     sp.add_argument("--min-agreement", type=float, default=1.0,
                     help="exit 1 below this top-1 agreement fraction")
+    sp.add_argument("--tie-margin", type=float, default=1e-3,
+                    help="relative oracle-logit margin under which a top-1 "
+                         "flip counts as a near-tie, not a mismatch (the "
+                         "float path is tolerance-gated vs the oracle, so "
+                         "true ties can flip within rounding; 0 = strict)")
     common(sp, 16)
     # The gate compares against a float32 oracle with a default threshold of
     # 1.0 — run the device side in float32 too (like verify). A bf16 eval is

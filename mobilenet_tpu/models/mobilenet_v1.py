@@ -102,15 +102,25 @@ def forward(
     return logits
 
 
-def _chain_runs(params, config, routing, min_run: int = 3):
+def _chain_runs(params, config, routing, y_shape, itemsize,
+                start: int = 0, min_run: int = 3):
     """Maximal runs of >= min_run consecutive fused stride-1 C->C dense
     blocks (the 14^2 stretch) eligible for the systolic chain kernel.
+    `y_shape` is the activation shape ENTERING block `start`; spatial sizes
+    for later blocks follow from the intervening strides, so eligibility can
+    include the kernel's VMEM base-case check (pallas_chain_systolic.
+    chain_fits — an oversized window would crash the device, CLAUDE.md).
     Returns {start_index: run_length}."""
+    from ..ops.pallas_chain_systolic import chain_fits  # noqa: PLC0415
+
     runs = {}
-    i, n = 0, len(config.block_strides)
+    i, n = start, len(config.block_strides)
+    spatial = int(y_shape[1])  # input spatial side at block `start`
     while i < n:
         blk = params["blocks"][i]
         cin, cout = blk["pw"]["w"].shape
+        hw = spatial // config.block_strides[i]  # output side of block i
+        spatial = hw
         ok = (routing[i] == "fused" and config.block_strides[i] == 1
               and cin == cout and cin >= 128)
         if not ok:
@@ -120,7 +130,7 @@ def _chain_runs(params, config, routing, min_run: int = 3):
         while j < n and routing[j] == "fused" and config.block_strides[j] == 1 \
                 and params["blocks"][j]["pw"]["w"].shape == (cin, cout):
             j += 1
-        if j - i >= min_run:
+        if j - i >= min_run and chain_fits(hw, hw, int(cin), j - i, itemsize):
             runs[i] = j - i
         i = j
     return runs
@@ -133,7 +143,8 @@ def _run_blocks(params, y, config, routing, relu6, acts=None, start: int = 0,
     from ..ops import pallas_chain_systolic as pcs  # noqa: PLC0415
 
     chain_runs = (
-        _chain_runs(params, config, routing)
+        _chain_runs(params, config, routing, y.shape,
+                    jnp.dtype(y.dtype).itemsize, start=start)
         if pcs.CHAIN_SYSTOLIC_F and not collect and stop is None else {}
     )
     skip_until = start

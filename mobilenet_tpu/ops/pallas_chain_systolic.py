@@ -42,6 +42,32 @@ from .pallas_dw import _should_interpret
 # Routing flag (resolved at trace time; measured on v5e before enabling).
 CHAIN_SYSTOLIC_F = False
 
+# Scoped-VMEM budget the byte model is checked against (per CLAUDE.md an
+# out-of-bounds window CRASHES the device for ~2 min, so eligibility is
+# rejected in Python, never discovered on hw).
+VMEM_CAP = int(16.3 * 2**20)
+
+
+def _vmem_est(bn: int, hh: int, ww: int, c: int, k_blocks: int, itm: int) -> int:
+    """Byte model of the kernel's VMEM residency at batch-tile bn."""
+    u_act = bn * hh * ww * c
+    u_win = bn * (hh + 2) * (ww + 2) * c
+    # 2 pipelined ins + (K-1) inter-stage acts + win + 2 outs (dtype)
+    # + f32 acc/sv temporaries + weights
+    return ((2 * u_act + (k_blocks - 1) * u_act + u_win + 2 * u_act) * itm
+            + (u_win + u_act) * 4
+            + k_blocks * (9 * c + 2 * c + c * c) * itm)
+
+
+def chain_fits(hh: int, ww: int, c: int, k_blocks: int, itemsize: int) -> bool:
+    """True when even the bn=1 base case of a K-block chain fits VMEM.
+
+    Routing must call this before marking a run chain-eligible: the bn
+    auto-grow loop in chain_systolic only gates DOUBLING (est(bn*2) < cap),
+    so without this check a nonstandard (resolution, C) combination could
+    enter the kernel with est(1) already over the cap."""
+    return _vmem_est(1, hh, ww, c, k_blocks, itemsize) < VMEM_CAP
+
 
 def _act(y, relu6):
     y = jnp.maximum(y, 0.0)
@@ -114,15 +140,16 @@ def chain_systolic(
     itm = jnp.dtype(x.dtype).itemsize
 
     def est(bn_):
-        u_act = bn_ * hh * ww * c
-        u_win = bn_ * (hh + 2) * (ww + 2) * c
-        # 2 pipelined ins + (K-1) inter-stage acts + win + 2 outs (dtype)
-        # + f32 acc/sv temporaries + weights
-        return ((2 * u_act + (k_blocks - 1) * u_act + u_win + 2 * u_act) * itm
-                + (u_win + u_act) * 4
-                + k_blocks * (9 * c + 2 * c + c * c) * itm)
+        return _vmem_est(bn_, hh, ww, c, k_blocks, itm)
 
-    cap = int(16.3 * 2**20)
+    cap = VMEM_CAP
+    if est(1) >= cap:
+        # Refuse rather than crash the device (~2 min FailedPrecondition
+        # storm): routing should have filtered this via chain_fits.
+        raise ValueError(
+            f"chain_systolic: bn=1 base case needs ~{est(1)} B VMEM "
+            f"(cap {cap}); shape ({n},{hh},{ww},{c}) x {k_blocks} blocks is "
+            "not chain-eligible — route per-block kernels instead")
     bn = block_n or 1
     if block_n is None:
         # grow while the RESULTING tile stays within the ~512-row matmul-M
@@ -133,6 +160,10 @@ def chain_systolic(
             bn *= 2
     while n % bn:
         bn -= 1
+    if est(bn) >= cap:  # explicit block_n override can also oversize
+        raise ValueError(
+            f"chain_systolic: block_n={bn} needs ~{est(bn)} B VMEM "
+            f"(cap {cap}) at shape ({n},{hh},{ww},{c}) x {k_blocks} blocks")
     t_tiles = n // bn
 
     kernel = functools.partial(

@@ -7,7 +7,7 @@ the oracles.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -61,7 +61,7 @@ def forward_i8(
     use_fused: bool = False,
     collect: bool = False,
     num_blocks=None,
-    bf16_carry_max_hw: int = None,
+    bf16_carry_max_hw: Optional[int] = None,
 ):
     """x_i8: (N, H, W, 3) quantized input at s_in = 1/127 — int8, or bfloat16
     holding the same integers (the production stem path; conv1 consumes bf16

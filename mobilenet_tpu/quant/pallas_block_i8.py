@@ -50,8 +50,15 @@ def _round_up(x, m):
 
 
 def pick_tiles_i8(n: int, h_out: int, wdim: int, cin: int, cout: int,
-                  stride: int) -> Tuple[int, int]:
-    """(BN, TH) for the int8 block: int32 widening makes windows 4B/elem."""
+                  stride: int, in_itemsize: int = 1) -> Tuple[int, int]:
+    """(BN, TH) for the int8 block: int32 widening makes windows 4B/elem.
+
+    `in_itemsize`: byte size of the INPUT/scratch dtype — 1 for int8, 2 when
+    the block consumes bf16-carried integers (forward_i8's bf16_carry option).
+    The scratch window follows the input dtype, so carried blocks add
+    (itemsize-1)x the raw window bytes on top of the int8-calibrated model
+    (previously the estimate assumed 1 B/elem and understated carried-block
+    VMEM by up to 2x)."""
     c_pad = _round_up(cin, 128)
     co_pad = _round_up(cout, 128)
     factor = 3.5 if stride == 2 else 1.5  # widened window costs more than bf16
@@ -61,7 +68,8 @@ def pick_tiles_i8(n: int, h_out: int, wdim: int, cin: int, cout: int,
         win = bn * th_in * (wdim + 2) * c_pad * 4  # int32-widened
         acc = bn * th * wdim * c_pad * 4
         out = bn * th * (wdim // stride) * co_pad * 5
-        return factor * (3 * win + acc + out) + c_pad * co_pad
+        extra = bn * th_in * (wdim + 2) * c_pad * (in_itemsize - 1)
+        return factor * (3 * win + acc + out) + c_pad * co_pad + extra
 
     th = min(h_out, 16)
     while h_out % th:
@@ -251,7 +259,9 @@ def _separable_block_i8_impl(
     h_out = -(-h // stride)
     w_out = -(-wdim // stride)
 
-    bn_auto, th_auto = pick_tiles_i8(n, h_out, wdim, cin, cout, stride)
+    bn_auto, th_auto = pick_tiles_i8(
+        n, h_out, wdim, cin, cout, stride,
+        in_itemsize=jnp.dtype(x_i8.dtype).itemsize)
     th = block_h or th_auto
     while h_out % th:
         th -= 1

@@ -29,6 +29,25 @@ import numpy as np
 from ..config import ModelConfig
 
 
+def _is_retryable_device_error(e: BaseException) -> bool:
+    """Only device/runtime failures are worth retrying; deterministic errors
+    (shape/value errors raised by the pipeline) must fail fast instead of
+    burning backoff sleeps. jaxlib surfaces device faults as XlaRuntimeError
+    (a RuntimeError subclass, re-exported as jax.errors.JaxRuntimeError);
+    the string markers cover errors that arrive re-wrapped by an executor
+    with only their gRPC status text intact."""
+    try:
+        from jax.errors import JaxRuntimeError  # noqa: PLC0415
+
+        if isinstance(e, JaxRuntimeError):
+            return True
+    except ImportError:
+        pass
+    markers = ("FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE_EXCEEDED",
+               "RESOURCE_EXHAUSTED", "INTERNAL", "ABORTED")
+    return isinstance(e, RuntimeError) and any(m in str(e) for m in markers)
+
+
 @dataclasses.dataclass
 class ServerStats:
     requests: int = 0
@@ -50,11 +69,14 @@ class MicroBatchServer:
         device_retries: int = 1,
         retry_backoff_s: float = 0.5,
     ):
-        """`device_retries`: how many times a failed device dispatch is
-        retried (with `retry_backoff_s` sleep) before the batch's requests
-        fail. Covers transient device errors — e.g. this platform's
-        FailedPrecondition storm after another process crashed the chip —
-        without retrying per-request (bad inputs still fail fast)."""
+        """`device_retries`: how many times a failed DEVICE dispatch is
+        retried before the batch's requests fail; only device/runtime error
+        types retry (_is_retryable_device_error) — deterministic shape/value
+        errors fail fast on the first attempt. Backoff is exponential:
+        retry_backoff_s * 2**attempt. Covers transient device errors — e.g.
+        this platform's ~2 min FailedPrecondition storm after another process
+        crashed the chip needs device_retries≈8 at the default 0.5 s base
+        (0.5+1+2+...+64 ≈ 127 s of cumulative backoff)."""
         self.pipeline = pipeline
         self.max_batch = max_batch
         self.max_delay_ms = max_delay_ms
@@ -133,11 +155,12 @@ class MicroBatchServer:
                 try:
                     probs = await loop.run_in_executor(self._executor, run)
                     break
-                except Exception:
-                    if attempt == self.device_retries:
+                except Exception as e:
+                    if (attempt == self.device_retries
+                            or not _is_retryable_device_error(e)):
                         raise
                     self.stats.retries += 1
-                    await asyncio.sleep(self.retry_backoff_s)
+                    await asyncio.sleep(self.retry_backoff_s * 2 ** attempt)
         except Exception as e:
             for i in valid:
                 fut = batch[i][2]

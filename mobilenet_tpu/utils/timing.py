@@ -59,18 +59,29 @@ def differenced_chain_ms(make_chain, x, k: int, *, reps: int = 3,
     chain's dt/K still carries the fence RTT/K (0.56 ms at K=50 against a
     ~0.13 ms forward); timing chains of K and long_factor*K and differencing
     cancels the RTT exactly: ms = (dt_long - dt_short) / ((long_factor-1)*K).
+
+    A non-positive difference means tunnel noise swamped the measurement
+    (e.g. a transient stall inflated the SHORT chain's window); the pair is
+    re-measured once with more reps, and if still non-positive the result is
+    NaN — callers must treat it as a failed measurement, never record it as
+    a real 0.0 ms latency.
     """
     import numpy as np  # noqa: PLC0415 — keep jax-free at module import
 
-    def best_of(fn):
+    def best_of(fn, n_reps):
         _ = np.asarray(fn(x)[1])  # compile + warm (fetch-fenced)
         best = float("inf")
-        for _ in range(reps):
+        for _ in range(n_reps):
             t0 = time.perf_counter()
             _ = np.asarray(fn(x)[1])
             best = min(best, time.perf_counter() - t0)
         return best
 
-    dt_short = best_of(make_chain(k))
-    dt_long = best_of(make_chain(long_factor * k))
-    return max(dt_long - dt_short, 0.0) / ((long_factor - 1) * k) * 1e3
+    short_fn = make_chain(k)
+    long_fn = make_chain(long_factor * k)
+    diff = best_of(long_fn, reps) - best_of(short_fn, reps)
+    if diff <= 0:  # noise-swamped window: one retry with doubled reps
+        diff = best_of(long_fn, 2 * reps) - best_of(short_fn, 2 * reps)
+    if diff <= 0:
+        return float("nan")
+    return diff / ((long_factor - 1) * k) * 1e3

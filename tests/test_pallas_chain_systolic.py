@@ -60,9 +60,10 @@ def test_model_routing_chain_flag(monkeypatch):
     got = np.asarray(mobilenet_v1.forward(params, x, cfg, dw_backend="fused"))
     np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-3)
 
-    # the detector finds the 5-block 14^2 stretch (blocks 6..10)
+    # the detector finds the 5-block 14^2 stretch (blocks 6..10); y_shape is
+    # the activation ENTERING block 0 (post-conv1: 64^2 at res 128)
     routing = ("fused",) * 13
     runs = mobilenet_v1._chain_runs(
         {"blocks": [jax.tree.map(np.asarray, b) for b in params["blocks"]]},
-        cfg, routing)
+        cfg, routing, (4, 64, 64, 8), 4)
     assert runs.get(6) == 5, runs
