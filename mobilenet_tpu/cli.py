@@ -281,7 +281,10 @@ def cmd_sweep(args):
 
 
 def cmd_autotune(args):
-    """Race the dw backends e2e on the current device (runtime.autotune)."""
+    """Race the routing candidates e2e on the current device
+    (runtime.autotune): throughput windows at --batch >= 2, RTT-cancelled
+    differenced latency chains at --batch 1; --int8 races the fixed-point
+    path's candidates."""
     from .config import ModelConfig
     from .runtime.autotune import autotune_backend
 
@@ -294,11 +297,16 @@ def cmd_autotune(args):
         params = load_npz(args.ckpt)
     best, results = autotune_backend(cfg, batch_size=args.batch,
                                      steps=args.steps, seed=args.seed,
-                                     params=params)
+                                     params=params,
+                                     int8=getattr(args, "int8", False))
+    value_key = "latency_ms" if args.batch == 1 else "images_per_sec"
     print(json.dumps({
         "variant": cfg.variant_name(),
+        "dtype": "int8" if getattr(args, "int8", False) else args.dtype,
+        "batch": args.batch,
         "best": best,
-        "images_per_sec": {k: round(v, 1) for k, v in results.items()},
+        value_key: {k: round(v, 4 if args.batch == 1 else 1)
+                    for k, v in results.items()},
     }))
 
 
@@ -476,6 +484,8 @@ def main(argv=None):
 
     sp = sub.add_parser("autotune")
     sp.add_argument("--steps", type=int, default=10)
+    sp.add_argument("--int8", action="store_true",
+                    help="race the INT8 fixed-point routing candidates")
     common(sp)
     sp.set_defaults(fn=cmd_autotune)
 

@@ -41,9 +41,13 @@ def _routing(config: ModelConfig, use_pallas_dw, dw_backend, batch: int):
     if dw_backend is None:
         dw_backend = "pallas" if use_pallas_dw else "xla"
     if dw_backend == "auto":
-        dw_backend = ("fused" if batch >= 32
-                      else ("xla",) * 2 + ("fused",) * (n - 2))
+        dw_backend = "fused" if batch >= 32 else "mixed"
+    if dw_backend == "mixed":
+        # xla for the two 112-squared blocks (whose packed kernels lose grid
+        # pipelining at one whole-image tile), fused Pallas from block 2 on.
+        return ("xla",) * 2 + ("fused",) * (n - 2)
     if isinstance(dw_backend, str):
+        assert dw_backend in DW_BACKENDS, dw_backend
         return (dw_backend,) * n
     assert len(dw_backend) == n, dw_backend
     return tuple(dw_backend)

@@ -52,13 +52,42 @@ def _as_device_tree(q: QuantizedParams) -> Dict[str, Any]:
 BF16_CARRY_MAX_HW = 0
 
 
+def _routing_i8(config: ModelConfig, use_fused, batch: int):
+    """Resolve the per-block int8 backend list (len == 13), mirroring the
+    float path's models.mobilenet_v1._routing.
+
+    `use_fused` accepts: None (auto by platform), a bool (legacy all-or-
+    nothing), "xla"/"fused", "mixed" (xla for the two 112-squared blocks +
+    fused from block 2 — the float batch-1 winner's shape), "auto"
+    (measured v5e defaults: fused at throughput batches, mixed at small
+    batches), or an explicit per-block tuple.
+    """
+    n = len(config.block_strides)
+    if use_fused is None:
+        use_fused = jax.default_backend() == "tpu"
+    if isinstance(use_fused, bool):
+        return ("fused" if use_fused else "xla",) * n
+    if use_fused == "auto":
+        # Threshold mirrors the float path's measured shape (fused at
+        # throughput batches, mixed at batch 1) pending the int8 crossover
+        # measurement on chip — runtime.autotune --int8 re-derives it.
+        use_fused = "fused" if batch >= 32 else "mixed"
+    if use_fused == "mixed":
+        return ("xla",) * 2 + ("fused",) * (n - 2)
+    if isinstance(use_fused, str):
+        assert use_fused in ("xla", "fused"), use_fused
+        return (use_fused,) * n
+    assert len(use_fused) == n, use_fused
+    return tuple(use_fused)
+
+
 def forward_i8(
     dev: Dict[str, Any],
     x_i8: jax.Array,
     config: ModelConfig,
     *,
     use_pallas_dw: bool = False,
-    use_fused: bool = False,
+    use_fused=False,
     collect: bool = False,
     num_blocks=None,
     bf16_carry_max_hw: Optional[int] = None,
@@ -67,12 +96,15 @@ def forward_i8(
     holding the same integers (the production stem path; conv1 consumes bf16
     on the MXU either way and the results are bit-identical).
     Returns float32 logits.
+    use_fused: per-block routing spec, resolved by _routing_i8 (bools keep
+    their legacy all-or-nothing meaning).
     num_blocks: run only conv1 + the first num_blocks blocks and return that
     int8 activation (tools/prefix_attr.py segment attribution)."""
     from .quantize import ACT_IN_SCALE  # noqa: PLC0415
 
     acts: Dict[str, jax.Array] = {}
     relu6 = config.relu6
+    routing = _routing_i8(config, use_fused, int(x_i8.shape[0]))
 
     c1 = dev["conv1"]
     y = qops.conv1_i8(x_i8, c1["w"], c1["b"], c1["m"], c1["six_q"], relu6)
@@ -83,7 +115,7 @@ def forward_i8(
         if num_blocks is not None and i >= num_blocks:
             return y
         d = blk["dw"]
-        if use_fused and not collect:
+        if routing[i] == "fused" and not collect:
             p = blk["pw"]
             cin = y.shape[-1]
             cout = p["w"].shape[-1]
@@ -166,7 +198,9 @@ def quantize_for_device(folded, config: ModelConfig, use_fused=None):
 
     if use_fused is None:
         use_fused = jax.default_backend() == "tpu"
-    if use_fused:
+    # Padding is needed whenever ANY block may route a fused kernel —
+    # every spec except all-xla (False or "xla").
+    if use_fused not in (False, "xla"):
         from ..checkpoints.padding import needs_padding, pad_channels
 
         if needs_padding(folded):
@@ -207,8 +241,9 @@ class Int8Pipeline:
 def make_int8_infer(q: QuantizedParams, config: ModelConfig, *,
                     use_pallas_dw: bool = False, use_fused=None, mesh=None):
     """Compiled int8 entry: uint8 images -> float32 logits, preprocessing and
-    input quantization fused into the same program. use_fused=None routes the
-    fused/packed int8 Pallas blocks on TPU (the fast path) and the XLA ops on
+    input quantization fused into the same program. use_fused=None resolves
+    to "auto" on TPU — batch-dependent per-block routing (fused at
+    throughput batches, mixed at batch 1, _routing_i8) — and the XLA ops on
     CPU, mirroring the float pipeline's auto routing. With `mesh`, the batch
     shards over its 'data' axis (int8 data-parallel serving — the reference
     served its fixed-point pipeline multi-stream, SURVEY.md SS2 C7/C12)."""
@@ -216,7 +251,7 @@ def make_int8_infer(q: QuantizedParams, config: ModelConfig, *,
     from .quantize import ACT_IN_SCALE
 
     if use_fused is None:
-        use_fused = jax.default_backend() == "tpu"
+        use_fused = "auto" if jax.default_backend() == "tpu" else False
     dev = _as_device_tree(q)
 
     if mesh is not None:

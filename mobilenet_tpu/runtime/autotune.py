@@ -3,14 +3,20 @@
 The reference's analog of "routing" was compile-time: one FPGA bitstream per
 configuration (SURVEY.md SS5 config system). On TPU the same network has
 several legal executions per block (XLA grouped conv, standalone Pallas dw,
-fused/packed Pallas blocks — models.mobilenet_v1.DW_BACKENDS), and the best
-choice depends on batch size and hardware. The shipped "auto" routing encodes
-the measured defaults for v5e; this module re-derives them empirically on
-whatever device is present.
+fused/packed Pallas blocks, and the mixed xla/fused tuple —
+models.mobilenet_v1.DW_BACKENDS + "mixed"), and the best choice depends on
+batch size and hardware. The shipped "auto" routing encodes the measured
+defaults for v5e; this module re-derives them empirically on whatever device
+is present, for both the bf16 and the int8 fixed-point paths.
 
 Measurement discipline (docs/design.md SS5): standalone micro-benches through
 the tunneled TPU mislead by +-40%, so candidates are compared END-TO-END on
-the full network with fetch-fenced timing, never per-kernel.
+the full network. Two modes, keyed by what the number must mean:
+  - throughput (batch >= 2): fetch-fenced >=1.5 s windows, img/s, higher wins
+  - latency (batch 1): RTT-cancelled DIFFERENCED scan chains
+    (utils.timing.differenced_chain_ms), ms/forward, lower wins — a fenced
+    window at batch 1 is tunnel-dispatch-dominated and cannot rank
+    sub-millisecond candidates.
 """
 
 from __future__ import annotations
@@ -22,6 +28,68 @@ import numpy as np
 from ..config import ModelConfig
 
 
+def _float_latency_ms(config: ModelConfig, params, dw_backend, dtype,
+                      chain_len: int = 50) -> float:
+    """Batch-1 device latency of the float path under one routing spec."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import mobilenet_v1
+    from ..utils.timing import differenced_chain_ms
+
+    def make(length):
+        def chain(x):
+            def body(carry, _):
+                probs = mobilenet_v1.predict_probs(
+                    params, carry, config, dw_backend=dw_backend)
+                nxt = carry * (1.0 + 1e-6 * jnp.sum(probs).astype(carry.dtype))
+                return nxt, jnp.argmax(probs)
+
+            return jax.lax.scan(body, x, None, length=length)
+
+        return jax.jit(chain)
+
+    res = config.resolution
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (1, res, res, 3)), dtype)
+    return differenced_chain_ms(make, x, chain_len)
+
+
+def _int8_latency_ms(config: ModelConfig, dev, use_fused,
+                     chain_len: int = 50) -> float:
+    """Batch-1 device latency of the int8 path under one routing spec."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import preprocess as prep
+    from ..quant import ops as qops
+    from ..quant.model import forward_i8
+    from ..quant.quantize import ACT_IN_SCALE
+    from ..utils.timing import differenced_chain_ms
+
+    def make(length):
+        def chain(u8):
+            def body(carry, _):
+                x = prep.preprocess(carry, config.resolution, jnp.float32)
+                x_q = qops.quantize_input_dev(x, ACT_IN_SCALE,
+                                              out_dtype=jnp.bfloat16)
+                logits = forward_i8(dev, x_q, config, use_fused=use_fused)
+                cls = jnp.argmax(logits)
+                # saturate in int32: uint8 addition would wrap 255->0
+                nxt = jnp.clip(carry.astype(jnp.int32) + cls % 2,
+                               0, 255).astype(jnp.uint8)
+                return nxt, cls
+
+            return jax.lax.scan(body, u8, None, length=length)
+
+        return jax.jit(chain)
+
+    res = config.resolution
+    u8 = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (1, res, res, 3), dtype=np.uint8))
+    return differenced_chain_ms(make, u8, chain_len)
+
+
 def autotune_backend(
     config: ModelConfig,
     batch_size: int = 256,
@@ -29,46 +97,114 @@ def autotune_backend(
     candidates: Optional[Sequence[str]] = None,
     seed: int = 0,
     params=None,
+    int8: bool = False,
+    mode: Optional[str] = None,
 ) -> Tuple[str, Dict[str, float]]:
-    """Measure e2e img/s for each candidate dw backend; return
-    (best_backend, {backend: images_per_sec}).
+    """Measure every candidate routing e2e; return (best, {name: value}).
 
-    Candidates default to the backends worth racing on the current device:
-    all of DW_BACKENDS on TPU, just "xla" on CPU (Pallas would run in
-    interpret mode there — the sw_emu tier, not a performance candidate).
+    mode: "throughput" (img/s, higher wins) or "latency" (ms, lower wins);
+    default picks latency for batch_size == 1. Candidates default to the
+    routings worth racing on the current device: all backends + "mixed" on
+    TPU, just "xla" on CPU (Pallas would run in interpret mode there — the
+    sw_emu tier, not a performance candidate).
     """
     import jax
     import jax.numpy as jnp
 
     from ..models.mobilenet_v1 import DW_BACKENDS
-    from .pipeline import InferencePipeline
 
+    on_tpu = jax.default_backend() == "tpu"
+    if mode is None:
+        mode = "latency" if batch_size == 1 else "throughput"
     if candidates is None:
-        candidates = DW_BACKENDS if jax.default_backend() == "tpu" else ("xla",)
+        if not on_tpu:
+            candidates = ("xla",)
+        elif int8:
+            candidates = ("xla", "fused", "mixed")
+        else:
+            candidates = tuple(DW_BACKENDS) + ("mixed",)
+
+    results: Dict[str, float] = {}
+    if int8:
+        from ..checkpoints import fold_bn, init_params
+        from ..quant.model import (Int8Pipeline, _as_device_tree,
+                                   quantize_for_device)
+
+        if mode == "latency":
+            folded = params if params is not None else fold_bn(
+                init_params(config, seed=seed), eps=config.bn_eps)
+            # One padded/quantized tree shared by all candidates (padding is
+            # required by fused candidates and bit-neutral for xla).
+            dev = _as_device_tree(quantize_for_device(folded, config,
+                                                      use_fused=True))
+            for cand in candidates:
+                results[cand] = _int8_latency_ms(config, dev, cand)
+        else:
+            for cand in candidates:
+                pipe = Int8Pipeline(config, seed=seed, params=params,
+                                    use_fused=cand)
+                results[cand] = _throughput(pipe._infer, None, config,
+                                            batch_size, steps)
+    else:
+        from .pipeline import InferencePipeline
+
+        if mode == "latency":
+            from ..checkpoints import fold_bn, init_params, to_device
+
+            dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
+                     else jnp.float32)
+            folded = params if params is not None else fold_bn(
+                init_params(config, seed=seed), eps=config.bn_eps)
+            from ..checkpoints.padding import needs_padding, pad_channels
+
+            if needs_padding(folded):
+                folded = pad_channels(folded)
+            dev_params = to_device(folded, dtype=dtype)
+            for cand in candidates:
+                results[cand] = _float_latency_ms(config, dev_params, cand,
+                                                  dtype)
+        else:
+            for cand in candidates:
+                pipe = InferencePipeline(config, seed=seed, dw_backend=cand,
+                                         params=params)
+                entry = pipe._entry("probs_u8")
+                results[cand] = _throughput(entry, pipe.params, config,
+                                            batch_size, steps)
+
+    if mode == "latency":
+        # NaN = failed measurement (tunnel noise); never crown it.
+        valid = {k: v for k, v in results.items() if v == v}
+        best = min(valid, key=valid.get) if valid else candidates[0]
+    else:
+        best = max(results, key=results.get)
+    return best, results
+
+
+def _throughput(entry, params, config: ModelConfig, batch_size: int,
+                steps: int) -> float:
+    """Fetch-fenced e2e img/s for one compiled entry (params=None for
+    entries that close over their weights, e.g. Int8Pipeline._infer)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils.timing import fenced_window
 
     rng = np.random.default_rng(0)
     res = config.resolution
     img = jax.device_put(jnp.asarray(
         rng.integers(0, 256, (batch_size, res, res, 3), dtype=np.uint8)))
+    run = (lambda: entry(img)) if params is None else (
+        lambda: entry(params, img))
 
     def sync(out):
         return np.asarray(out[0, :4])  # fetch-fenced (tunnel-safe)
 
-    results: Dict[str, float] = {}
-    for backend in candidates:
-        pipe = InferencePipeline(config, seed=seed, dw_backend=backend,
-                                 params=params)
-        entry = pipe._entry("probs_u8")
-        sync(entry(pipe.params, img))  # compile + warm
-        for _ in range(2):
-            out = entry(pipe.params, img)
-        sync(out)
-        # The fence is a constant additive RTT, so candidate ORDERING is
-        # fence-proof — but extend short windows anyway so the reported
-        # magnitudes match bench/sweep (fence amortized below ~2%).
-        from ..utils.timing import fenced_window
-
-        dt, n = fenced_window(lambda: entry(pipe.params, img), sync, steps)
-        results[backend] = n * batch_size / dt
-    best = max(results, key=results.get)
-    return best, results
+    sync(run())  # compile + warm
+    for _ in range(2):
+        out = run()
+    sync(out)
+    # The fence is a constant additive RTT, so candidate ORDERING is
+    # fence-proof — but extend short windows anyway so the reported
+    # magnitudes match bench/sweep (fence amortized below ~2%).
+    dt, n = fenced_window(run, sync, steps)
+    return n * batch_size / dt

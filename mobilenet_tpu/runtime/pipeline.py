@@ -67,7 +67,9 @@ class InferencePipeline:
         host_params = params if params is not None else fold_bn(
             init_params(config, seed=seed), eps=config.bn_eps
         )
-        if self.dw_backend in ("auto", "fused"):
+        rb = self.dw_backend
+        if rb in ("auto", "fused", "mixed") or (
+                isinstance(rb, (tuple, list)) and "fused" in rb):
             # alpha=0.75-style channel counts (24/48/96) divide neither 128
             # nor any lane group: zero-pad them to the next divisor of 128 so
             # the lane-packed kernels apply. Logits are exactly unchanged

@@ -55,6 +55,9 @@ class ServerStats:
     errors: int = 0
     retries: int = 0
     batch_fill: float = 0.0
+    # batch-bucket size -> number of dispatches routed to it (latency
+    # tiering observability: light load should land in small buckets)
+    bucket_counts: Dict[int, int] = dataclasses.field(default_factory=dict)
 
 
 class MicroBatchServer:
@@ -68,6 +71,7 @@ class MicroBatchServer:
         request_timeout_s: float = 30.0,
         device_retries: int = 1,
         retry_backoff_s: float = 0.5,
+        batch_buckets: Optional[List[int]] = None,
     ):
         """`device_retries`: how many times a failed DEVICE dispatch is
         retried before the batch's requests fail; only device/runtime error
@@ -76,7 +80,16 @@ class MicroBatchServer:
         retry_backoff_s * 2**attempt. Covers transient device errors — e.g.
         this platform's ~2 min FailedPrecondition storm after another process
         crashed the chip needs device_retries≈8 at the default 0.5 s base
-        (0.5+1+2+...+64 ≈ 127 s of cumulative backoff)."""
+        (0.5+1+2+...+64 ≈ 127 s of cumulative backoff).
+
+        `batch_buckets`: fixed batch sizes to precompile; each dispatch pads
+        to the SMALLEST bucket that fits the drained requests, so one lone
+        request at light load pays ~bucket-1 compute + transfer instead of a
+        full max_batch pad (the round-2 weakness: a padded-64 dispatch ships
+        64x res^2 bytes and ~2.4 ms device time for one image). Default:
+        {1, max_batch//8, max_batch}. The largest bucket must equal
+        max_batch; at saturation everything lands there, so peak throughput
+        is unchanged."""
         self.pipeline = pipeline
         self.max_batch = max_batch
         self.max_delay_ms = max_delay_ms
@@ -89,9 +102,29 @@ class MicroBatchServer:
         self._task: Optional[asyncio.Task] = None
         self._closed = False
         res = pipeline.config.resolution
-        self._pad_template = np.zeros((max_batch, res, res, 3), np.uint8)
-        # Pre-compile the fixed-batch entry so first requests aren't hit by it.
-        self.pipeline.run_batch(self._pad_template)
+        if batch_buckets is None:
+            cand = {1, max(1, max_batch // 8), max_batch}
+            mesh = getattr(pipeline, "mesh", None)
+            if mesh is not None:
+                # Every bucket must shard evenly over the pipeline's
+                # data-parallel mesh: round tier sizes up to dp multiples.
+                dp = int(mesh.devices.size)
+                cand = {max(dp, -(-b // dp) * dp) for b in cand}
+            batch_buckets = sorted(cand)
+        buckets = sorted(set(int(b) for b in batch_buckets))
+        if not buckets or buckets[-1] != max_batch or buckets[0] < 1:
+            raise ValueError(
+                f"batch_buckets {buckets} must be >=1 and end at "
+                f"max_batch={max_batch} (a full drain must fit a bucket)")
+        self.batch_buckets = buckets
+        # Pre-compile every bucket entry so first requests aren't hit by a
+        # 30-60 s remote compile (one jit cache entry per bucket — the
+        # multi-bitstream analog).
+        self._pad_templates = {
+            b: np.zeros((b, res, res, 3), np.uint8) for b in buckets
+        }
+        for b in buckets:
+            self.pipeline.run_batch(self._pad_templates[b])
 
     async def start(self):
         self._task = asyncio.create_task(self._batcher_loop())
@@ -132,7 +165,9 @@ class MicroBatchServer:
 
     async def _run_batch(self, loop, batch: List[Any]):
         res = self.pipeline.config.resolution
-        images = self._pad_template.copy()
+        # Smallest precompiled bucket that fits this drain (latency tiering).
+        bucket = next(b for b in self.batch_buckets if b >= len(batch))
+        images = self._pad_templates[bucket].copy()
         valid: List[int] = []
         for i, (img, _, fut) in enumerate(batch):
             try:
@@ -171,6 +206,8 @@ class MicroBatchServer:
         self.stats.batches += 1
         self.stats.requests += len(valid)
         self.stats.batch_fill += len(batch) / self.max_batch
+        self.stats.bucket_counts[bucket] = (
+            self.stats.bucket_counts.get(bucket, 0) + 1)
         for i in valid:
             _, top_k, fut = batch[i]
             p = probs[i]
@@ -254,6 +291,8 @@ async def selftest(server: MicroBatchServer, streams: int = 64,
         "p50_latency_ms": float(np.percentile(latencies, 50) * 1e3),
         "p99_latency_ms": float(np.percentile(latencies, 99) * 1e3),
         "mean_batch_fill": server.stats.batch_fill / max(server.stats.batches, 1),
+        "bucket_counts": {str(k): v for k, v
+                          in sorted(server.stats.bucket_counts.items())},
         "errors": server.stats.errors,
     }
 

@@ -138,6 +138,59 @@ def test_dp_serving_int8_over_mesh():
     assert [c for c, _ in top] == [int(i) for i in idx]
 
 
+def test_batch_bucket_selection_light_load(pipe):
+    """One lone request must dispatch in the SMALLEST bucket, not pad to
+    max_batch (round-3 latency tiering, VERDICT.md weak #1)."""
+
+    async def run():
+        server = MicroBatchServer(pipe, max_batch=16, max_delay_ms=1.0,
+                                  batch_buckets=[1, 4, 16])
+        await server.start()
+        img = np.zeros((128, 128, 3), np.uint8)
+        await server.submit(img)
+        # a 3-request burst fits bucket 4
+        await asyncio.gather(*(server.submit(img) for _ in range(3)))
+        stats = server.stats
+        await server.close()
+        return stats
+
+    stats = asyncio.run(run())
+    assert stats.bucket_counts.get(1) == 1
+    # the burst may drain as one batch of 3 (bucket 4) or split across
+    # batches; either way nothing lands in bucket 16
+    assert 16 not in stats.bucket_counts
+    assert sum(stats.bucket_counts.values()) == stats.batches
+
+
+def test_batch_bucket_validation(pipe):
+    with pytest.raises(ValueError, match="batch_buckets"):
+        MicroBatchServer(pipe, max_batch=16, batch_buckets=[1, 8])  # no 16
+
+
+def test_batch_buckets_respect_dp_mesh():
+    """Default buckets over a DP mesh must all shard evenly (no bucket-1
+    entry that an 8-device shard_map would reject)."""
+    from mobilenet_tpu.parallel.mesh import make_mesh
+
+    cfg = ModelConfig(alpha=0.25, resolution=64, compute_dtype="float32")
+    mesh = make_mesh(8, model_parallel=1)
+    dp_pipe = InferencePipeline(cfg, seed=0, mesh=mesh)
+
+    async def run():
+        server = MicroBatchServer(dp_pipe, max_batch=16, max_delay_ms=1.0)
+        buckets = server.batch_buckets
+        await server.start()
+        img = np.zeros((64, 64, 3), np.uint8)
+        top = await server.submit(img)
+        await server.close()
+        return buckets, top
+
+    buckets, top = asyncio.run(run())
+    assert all(b % 8 == 0 for b in buckets)
+    assert buckets[-1] == 16
+    assert len(top) == 5
+
+
 def test_serve_main_streams_dp_mismatch():
     from mobilenet_tpu.runtime.serving import serve_main
 
