@@ -1,7 +1,7 @@
 # Build/validate flow (reference analog: C11, the SDAccel Makefile tiers —
 # SURVEY.md SS2/SS4): sw_emu -> tests (CPU interpret), hw -> tpu_smoke + bench.
 
-.PHONY: test oracle verify eval smoke bench sweep regress clean
+.PHONY: test oracle verify eval smoke bench sweep regress regress-full clean
 
 oracle:            ## build the native C++ golden oracle
 	python -c "from mobilenet_tpu import cpu_ref; print(cpu_ref.build(force=True))"
@@ -29,6 +29,10 @@ sweep:             ## full alpha x resolution grid (real TPU, slow)
 regress:           ## fresh measurement vs recorded sweep artifacts (real TPU)
 	python tools/regress.py --configs 1.0:224
 	python tools/regress.py --configs 1.0:224 --int8
+
+regress-full:      ## every recorded bf16 + int8 sweep row, variance-aware tolerances (real TPU, slow)
+	python tools/regress.py --configs all
+	python tools/regress.py --configs all --int8
 
 clean:
 	rm -f mobilenet_tpu/cpu_ref/libcpuref.so mobilenet_tpu/native_io/libnativeio.so

@@ -79,6 +79,17 @@ def main():
     stats = max(runs, key=lambda r: r["images_per_sec"])
     device_p50 = _device_latency_ms(pipe, cfg, chain_len=50 if on_tpu else 3)
 
+    # Roofline accounting on the contract line (SURVEY.md §6): analytic MACs
+    # of the 28 layers x 2 FLOPs/MAC over the v5e bf16 peak (~197 TFLOP/s).
+    # MobileNet is depthwise-/HBM-bound, so single-digit MFU is the expected
+    # regime — the number contextualizes throughput, it is not a target.
+    from mobilenet_tpu.utils.profiling import flops_per_image
+
+    V5E_BF16_PEAK = 197e12
+    img_s = stats["images_per_sec"]
+    flops = 2.0 * flops_per_image(cfg)
+    mfu = img_s * flops / V5E_BF16_PEAK if on_tpu else None
+
     target = 5000.0
     result = {
         "metric": "mobilenet_v1_1.0_224_images_per_sec_per_chip_batch256",
@@ -97,6 +108,8 @@ def main():
                                   else round(device_p50, 3)),
         "p50_latency_ms": round(stats["p50_latency_ms"], 3),
         "p99_latency_ms": round(stats["p99_latency_ms"], 3),
+        "device_ms_per_batch": round(batch / img_s * 1e3, 3),
+        "mfu": round(mfu, 4) if mfu is not None else None,
         "backend": jax.default_backend(),
         "dtype": "bfloat16",
         "dw_backend": dw_backend,

@@ -93,6 +93,9 @@ def cmd_verify(args):
         ok = qverify.verify_int8(cfg, folded, x, oracle=args.oracle)
         sys.exit(0 if ok else 1)
 
+    if args.routing != "xla":
+        sys.exit(0 if _verify_routing(args, cfg, folded, x) else 1)
+
     from .runtime.pipeline import InferencePipeline
 
     # dw_backend="xla": the verify harness must keep UNPADDED channel shapes
@@ -117,6 +120,75 @@ def cmd_verify(args):
     sys.exit(1)
 
 
+def _verify_routing(args, cfg, folded, x) -> bool:
+    """Routing-equivalence gate (logits level): the SHIPPING fused/packed/
+    mixed routing vs the xla routing of the same program, same dtype.
+
+    The per-layer gate (--routing xla, the default) deliberately runs the
+    unpadded xla path so activations line up with the oracles — which means
+    it never exercises the kernels the product ships at throughput batches
+    (round-2 VERDICT missing #2). This mode closes that gap: both routings
+    run end-to-end on identical inputs/weights and the logits must agree
+    within the kernels' reassociation tolerance; top-1 must match row for
+    row. The fp32 oracle's top-1 is reported alongside as the absolute
+    anchor (its strict gate is `cli eval`).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .models import mobilenet_v1
+    from .runtime.pipeline import InferencePipeline
+    from .utils import golden
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    pipe_r = InferencePipeline(cfg, params=folded, dtype=dtype,
+                               dw_backend=args.routing)
+    pipe_x = InferencePipeline(cfg, params=folded, dtype=dtype,
+                               dw_backend="xla")
+    xj = jnp.asarray(x)
+
+    def logits_fn(pipe, backend):
+        return jax.jit(lambda p, v: mobilenet_v1.forward(
+            p, v.astype(dtype), cfg, dw_backend=backend))(pipe.params, xj)
+
+    got = np.asarray(logits_fn(pipe_r, args.routing), np.float32)
+    ref = np.asarray(logits_fn(pipe_x, "xla"), np.float32)
+
+    # Same-dtype, different accumulation structure (Pallas in-kernel f32
+    # accumulate + bf16 inter-block stores vs XLA's fusion choices): bf16
+    # logits at O(1) scale round at ~2^-8 per layer and compound over 28
+    # layers — interpret-tier measurement reads max_abs ~2.3e-2 at 0.25-64
+    # (gate headroom ~2.5x); fp32 gets ~2x the per-layer MM gate.
+    atol, rtol = ((6e-2, 5e-2) if dtype == jnp.bfloat16 else (2e-4, 2e-3))
+    reports = golden.compare_activations({"logits": got}, {"logits": ref},
+                                         tols={"logits": (atol, rtol)})
+    for r in reports:
+        print(r)
+    top1_ok = bool((got.argmax(-1) == ref.argmax(-1)).all())
+    print(f"top-1 routing({args.routing}) == routing(xla): "
+          f"{int((got.argmax(-1) == ref.argmax(-1)).sum())}/{len(got)}")
+
+    # Informational oracle anchor (fp32): strict gating of oracle top-1 is
+    # `cli eval`'s job; here it contextualizes any near-tie flips.
+    if args.oracle == "cpp":
+        from . import cpu_ref
+
+        ora, _ = cpu_ref.forward_all(folded, np.asarray(x, np.float32), cfg)
+    else:
+        from .oracle import numpy_ref
+
+        ora, _ = numpy_ref.forward_all(folded, np.asarray(x, np.float32), cfg)
+    ora_match = int((got.argmax(-1) == np.asarray(ora).argmax(-1)).sum())
+    print(f"top-1 routing({args.routing}) == {args.oracle} oracle (fp32): "
+          f"{ora_match}/{len(got)} [informational]")
+
+    ok = reports[0].ok and top1_ok
+    print(("ROUTING VERIFY OK" if ok else "ROUTING VERIFY FAILED")
+          + f": {args.routing} vs xla @ {cfg.variant_name()} "
+          f"{np.dtype(dtype).name} batch={len(got)}")
+    return ok
+
+
 def cmd_eval(args):
     """End-to-end top-1 agreement vs the golden CPU oracle (the reference's
     accuracy acceptance check, BASELINE.json:5 / SURVEY.md §4). Exit 1 when
@@ -129,7 +201,8 @@ def cmd_eval(args):
     if args.dir:
         images = load_dir_images(args.dir)
     else:
-        images = synth_images(cfg, args.n, args.seed + 1)
+        images = synth_images(cfg, args.n, args.seed + 1,
+                              structured=(args.synth == "structured"))
     params = None
     if getattr(args, "ckpt", None):
         from .checkpoints import load_npz
@@ -430,14 +503,27 @@ def main(argv=None):
     sp = sub.add_parser("verify")
     sp.add_argument("--int8", action="store_true")
     sp.add_argument("--oracle", default="cpp", choices=["cpp", "numpy"])
+    sp.add_argument("--routing", default="xla",
+                    choices=["xla", "fused", "mixed", "auto", "pallas"],
+                    help="xla (default): per-layer oracle gate on the "
+                         "unpadded xla path; any other value: logits-level "
+                         "routing-equivalence gate of that SHIPPING routing "
+                         "vs xla at --dtype (ignores --int8)")
     common(sp, 2)
-    sp.set_defaults(fn=cmd_verify)
+    # per-layer verify is an fp32 bit-level gate; --dtype only affects the
+    # --routing equivalence mode (where bf16 matches production)
+    sp.set_defaults(fn=cmd_verify, dtype="float32")
 
     sp = sub.add_parser("eval")
     sp.add_argument("--dir", default=None,
                     help="directory of images to evaluate (default: synthetic)")
     sp.add_argument("--n", type=int, default=32,
                     help="synthetic image count when --dir is not given")
+    sp.add_argument("--synth", default="structured",
+                    choices=["structured", "noise"],
+                    help="synthetic family: structured (noise + gradients + "
+                         "patches + blobs; stresses resize/normalize) or "
+                         "pure noise (reproduces round-1/2 recordings)")
     sp.add_argument("--top-k", type=int, default=5)
     sp.add_argument("--int8", action="store_true",
                     help="evaluate the INT8 fixed-point path")

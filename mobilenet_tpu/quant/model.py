@@ -223,6 +223,10 @@ class Int8Pipeline:
         from ..checkpoints import fold_bn, init_params
 
         self.config = config
+        if mesh is not None:
+            from ..runtime.pipeline import _require_dp_only_mesh
+
+            _require_dp_only_mesh(mesh)
         self.mesh = mesh
         folded = params if params is not None else fold_bn(
             init_params(config, seed=seed), eps=config.bn_eps)

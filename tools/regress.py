@@ -2,11 +2,19 @@
 
 SURVEY.md §5 (metrics/observability) calls for PROGRESS-style bench artifacts
 for regression tracking; `benchmarks/*.jsonl` are the records. This tool
-re-measures a subset of configs on the current device and flags any that fall
-more than --tolerance below the recorded number.
+re-measures configs on the current device and flags any that fall below the
+recorded number by more than a tolerance.
 
-    python tools/regress.py                        # flagship bf16 + int8
+    python tools/regress.py                          # flagship 1.0-224
+    python tools/regress.py --configs all            # every recorded bf16 row
+    python tools/regress.py --configs all --int8     # every recorded int8 row
     python tools/regress.py --configs 0.25:128,1.0:224 --tolerance 0.10
+
+Tolerances default PER ROW from the measured tunnel-variance model
+(BASELINE.md): configs under ~2 ms/batch spread ±15% run-to-run through the
+tunnel (tolerance 0.30 = 2 sigma-ish), 2-5 ms ones are intermediate (0.15),
+and ≥5 ms/batch configs repeat within ~0.2% (tolerance 0.08 covers fresh-
+process jitter with margin). --tolerance overrides every row.
 
 Exit 1 if any config regresses. Records are matched by variant name within
 the artifact for the current dtype.
@@ -39,12 +47,30 @@ def recorded(path: str) -> dict:
     return rows
 
 
+def variant_to_pair(variant: str):
+    """'mobilenet_v1_0.25_128' -> (0.25, 128)."""
+    alpha_s, res_s = variant.removeprefix("mobilenet_v1_").rsplit("_", 1)
+    return float(alpha_s), int(res_s)
+
+
+def row_tolerance(ref_img_s: float, batch: int) -> float:
+    """Variance-aware default tolerance from the recorded batch time."""
+    ms_per_batch = batch / ref_img_s * 1e3
+    if ms_per_batch < 2.0:
+        return 0.30
+    if ms_per_batch < 5.0:
+        return 0.15
+    return 0.08
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="1.0:224",
-                    help="comma list of alpha:res pairs")
-    ap.add_argument("--tolerance", type=float, default=0.10,
-                    help="allowed fractional drop vs the recorded artifact")
+                    help="comma list of alpha:res pairs, or 'all' for every "
+                         "row recorded in the sweep artifact")
+    ap.add_argument("--tolerance", type=float, default=None,
+                    help="allowed fractional drop vs the recorded artifact "
+                         "(default: per-row from the tunnel-variance model)")
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--int8", action="store_true")
@@ -61,12 +87,20 @@ def main() -> int:
 
         baseline = recorded(os.path.join(ART, "sweep_bf16_batch256_v5e.jsonl"))
 
+    if args.configs == "all":
+        pairs = sorted(variant_to_pair(v) for v in baseline)
+        if not pairs:
+            print("no recorded artifact rows to regress against")
+            return 1
+    else:
+        pairs = [(float(a), int(r)) for a, r in
+                 (p.split(":") for p in args.configs.split(","))]
+
     failures = 0
-    for pair in args.configs.split(","):
-        alpha, res = pair.split(":")
+    for alpha, res in pairs:
         # bfloat16 matches how the bf16 sweep artifact was recorded
         # (cmd_sweep's default dtype); the int8 path quantizes internally.
-        cfg = ModelConfig(alpha=float(alpha), resolution=int(res),
+        cfg = ModelConfig(alpha=alpha, resolution=res,
                           compute_dtype="bfloat16")
         if args.int8:
             row = _int8_throughput(cfg, args.batch, args.steps, 0, latency=False)
@@ -80,11 +114,13 @@ def main() -> int:
             print(f"[??  ] {cfg.variant_name()}: fresh {fresh:,.0f} img/s "
                   "(no recorded baseline)")
             continue
+        tol = (args.tolerance if args.tolerance is not None
+               else row_tolerance(ref, args.batch))
         drop = 1.0 - fresh / ref
-        ok = drop <= args.tolerance
+        ok = drop <= tol
         print(f"[{'OK ' if ok else 'FAIL'}] {cfg.variant_name()}: "
               f"fresh {fresh:,.0f} vs recorded {ref:,.0f} img/s "
-              f"({-drop:+.1%})")
+              f"({-drop:+.1%}, tol -{tol:.0%})", flush=True)
         failures += 0 if ok else 1
     return 1 if failures else 0
 
