@@ -82,9 +82,13 @@ def test_differenced_chain_nan_on_nonpositive():
     from mobilenet_tpu.utils.timing import differenced_chain_ms
 
     def make_chain(length):
-        # Constant wall time regardless of length -> difference <= 0.
+        # Short chain strictly SLOWER than the long one -> difference is
+        # negative deterministically (equal sleeps would race scheduler
+        # noise on a loaded machine and flake).
+        delay = 0.005 if length == 4 else 0.001
+
         def fn(x):
-            time.sleep(0.001)
+            time.sleep(delay)
             return x, np.zeros(())
 
         return fn

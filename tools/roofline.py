@@ -1,0 +1,191 @@
+"""Per-segment roofline accounting: analytic floors vs measured time.
+
+docs/design.md SS5 claims "no segment holds >1 ms of exploitable headroom";
+this tool proves or refutes it (round-3 VERDICT item 5). For every network
+segment it computes three analytic floors and reports measured time as a
+percentage of the BINDING (max) floor:
+
+  - MXU: pointwise/conv MACs x2 over the bf16 peak (int8 runs its matmuls
+    in bf16-equivalent form on this stack, docs/design.md SS3.4)
+  - VPU: depthwise 9-tap FMAs + epilogue over the vector unit's FMA rate
+  - HBM: activation bytes in + out over HBM bandwidth (fused blocks never
+    spill the dw intermediate, so a block reads its input once and writes
+    its pw output once; weights are negligible at 4.2M params)
+
+A fused dw+pw Pallas block pipelines VPU stencil work against MXU matmuls
+and DMA across grid steps, so per-block floor = max(mxu, vpu, hbm), and a
+segment's floor sums its (sequential) blocks.
+
+Hardware model (TPU v5e, public numbers from the JAX scaling book):
+  MXU peak 197e12 bf16 FLOP/s; HBM 8.1e11 B/s; VPU (8,128) lanes x 4 ALUs
+  at ~0.94 GHz = 3.85e12 FMA/s (counting an FMA as one op).
+
+Usage:
+  python tools/roofline.py                     # analytic table only
+  python tools/roofline.py --measure           # + prefix-differenced measure
+                                               #   on the real chip (compiles)
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MXU_FLOPS = 197e12
+HBM_BPS = 8.1e11
+VPU_FMAS = 8 * 128 * 4 * 0.94e9
+
+# Segment boundaries as prefix block counts (prefix_attr.py convention):
+# 0 = pre+conv1, then deltas between consecutive prefixes.
+PREFIXES = [0, 1, 2, 6, 13, "full"]
+
+
+def block_floor(n, hi, cin, cout, stride, esz):
+    """(mxu_s, vpu_s, hbm_s) floors for one fused dw+pw block."""
+    ho = hi // stride
+    mxu = n * ho * ho * cin * cout * 2 / MXU_FLOPS
+    # dw: 9 FMA taps per output element + ~2 epilogue ops (bias+relu) on VPU
+    vpu = n * ho * ho * cin * (9 + 2) / VPU_FMAS
+    hbm = (n * hi * hi * cin + n * ho * ho * cout) * esz / HBM_BPS
+    return mxu, vpu, hbm
+
+
+def segment_floors(cfg, batch, esz):
+    """{segment_label: (floor_s, binding, mxu, vpu, hbm)} per PREFIXES delta."""
+    n = batch
+    res = cfg.resolution
+    # pre+conv1: read u8 image, im2col-free conv as 27xC1 matmul, write bf16
+    c1 = cfg.stem_channels
+    ho = res // 2
+    mxu = n * ho * ho * 27 * c1 * 2 / MXU_FLOPS
+    hbm = (n * res * res * 3 * 1 + n * ho * ho * c1 * esz) / HBM_BPS
+    segs = {"conv1+pre": (mxu, 0.0, hbm)}
+
+    per_block = []
+    hw = ho
+    cin = c1
+    for i, (stride, cout) in enumerate(
+            zip(cfg.block_strides, cfg.block_channels)):
+        per_block.append(block_floor(n, hw, cin, cout, stride, esz))
+        hw //= stride
+        cin = cout
+    bounds = [(0, 1, "B0"), (1, 2, "B1"), (2, 6, "B2-B5"), (6, 13, "B6-B12")]
+    for lo, hi_, label in bounds:
+        segs[label] = tuple(sum(v) for v in zip(*per_block[lo:hi_]))
+    # head: pool reads the 7x7 map; fc is a 1024x1000 matmul
+    segs["head"] = (
+        n * cfg.feature_channels * cfg.num_classes * 2 / MXU_FLOPS,
+        0.0,
+        (n * hw * hw * cin * esz) / HBM_BPS,
+    )
+
+    out = {}
+    for label, (mxu, vpu, hbm) in segs.items():
+        floor = max(mxu, vpu, hbm)
+        binding = ("mxu", "vpu", "hbm")[int(np.argmax([mxu, vpu, hbm]))]
+        out[label] = dict(floor_ms=floor * 1e3, binding=binding,
+                          mxu_ms=mxu * 1e3, vpu_ms=vpu * 1e3, hbm_ms=hbm * 1e3)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--alpha", type=float, default=1.0)
+    ap.add_argument("--res", type=int, default=224)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--measure", action="store_true",
+                    help="run the prefix-differenced measurement on the chip")
+    args = ap.parse_args()
+
+    from mobilenet_tpu import ModelConfig
+
+    cfg = ModelConfig(alpha=args.alpha, resolution=args.res,
+                      compute_dtype="bfloat16")
+    esz = 1 if args.int8 else 2  # inter-block activation byte size
+    floors = segment_floors(cfg, args.batch, esz)
+
+    measured = {}
+    if args.measure:
+        measured = measure_segments(args)
+
+    total_floor = sum(f["floor_ms"] for f in floors.values())
+    print(f"\n{cfg.variant_name()} batch={args.batch} "
+          f"{'int8' if args.int8 else 'bf16'}  (floors in ms/batch)")
+    hdr = f"{'segment':>10} | {'mxu':>7} | {'vpu':>7} | {'hbm':>7} | {'floor':>7} | bind"
+    if measured:
+        hdr += f" | {'meas':>7} | %floor"
+    print(hdr)
+    for label, f in floors.items():
+        line = (f"{label:>10} | {f['mxu_ms']:7.3f} | {f['vpu_ms']:7.3f} | "
+                f"{f['hbm_ms']:7.3f} | {f['floor_ms']:7.3f} | {f['binding']:>4}")
+        if measured and label in measured:
+            m = measured[label]
+            line += f" | {m:7.3f} | {f['floor_ms']/m*100 if m else 0:5.0f}%"
+        print(line)
+    total_line = f"{'TOTAL':>10} | {'':>7} | {'':>7} | {'':>7} | {total_floor:7.3f} |"
+    if measured:
+        mt = sum(measured.values())
+        total_line += f"      | {mt:7.3f} | {total_floor/mt*100 if mt else 0:5.0f}%"
+    print(total_line)
+    print(json.dumps({"variant": cfg.variant_name(), "batch": args.batch,
+                      "dtype": "int8" if args.int8 else "bf16",
+                      "floors_ms": {k: round(v["floor_ms"], 3)
+                                    for k, v in floors.items()},
+                      "binding": {k: v["binding"] for k, v in floors.items()},
+                      "measured_ms": {k: round(v, 3)
+                                      for k, v in measured.items()}}))
+
+
+SEGMENT_LABELS = ["conv1+pre", "B0", "B1", "B2-B5", "B6-B12", "head"]
+
+
+def measure_segments(args):
+    """Prefix-differenced segment times (prefix_attr.py method): interleaved
+    rounds, medians, one process."""
+    import jax
+    import numpy as np
+
+    from prefix_attr import build_entries
+
+    assert jax.default_backend() == "tpu", "segment measurement needs the chip"
+    import jax.numpy as jnp
+
+    cfg, entries = build_entries(args, PREFIXES)
+    rng = np.random.default_rng(0)
+    img = jax.device_put(jnp.asarray(rng.integers(
+        0, 256, (args.batch, args.res, args.res, 3), dtype=np.uint8)))
+
+    for k, fn in entries.items():
+        t0 = time.perf_counter()
+        _ = np.asarray(fn(img))
+        print(f"compile prefix {k!s:>5}: {time.perf_counter()-t0:5.1f}s",
+              flush=True)
+
+    times = {k: [] for k in entries}
+    for _ in range(args.rounds):
+        for k, fn in entries.items():
+            _ = np.asarray(fn(img))
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                out = fn(img)
+            _ = np.asarray(out)
+            times[k].append((time.perf_counter() - t0) / args.steps * 1e3)
+
+    med = {k: float(np.median(v)) for k, v in times.items()}
+    out, prev = {}, 0.0
+    for label, k in zip(SEGMENT_LABELS, PREFIXES):
+        out[label] = med[k] - prev
+        prev = med[k]
+    return out
+
+
+if __name__ == "__main__":
+    main()
