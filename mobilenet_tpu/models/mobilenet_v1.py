@@ -29,19 +29,21 @@ DW_BACKENDS = ("xla", "pallas", "fused")
 def _routing(config: ModelConfig, use_pallas_dw, dw_backend, batch: int):
     """Resolve the per-block backend list (len == 13).
 
-    "auto": measured on v5e — fused Pallas blocks win at throughput batches
-    (27.3k vs 6.3k img/s at 256). At batch 1 the routing is MIXED: the
-    packed 112² kernels lose their grid pipelining with one whole-image tile
-    (+0.088 ms in block 0 alone, tools/latency_attr.py --dw-backend fused)
-    while the dense fused blocks beat XLA from block 2 on — xla for blocks
-    0-1 + fused for 2-12 measures 0.123 ms/forward vs 0.135 all-xla and
-    0.166 all-fused (RTT-cancelled differenced chains).
+    "auto": measured crossover on v5e at 1.0-224
+    (benchmarks/routing_crossover_v5e.jsonl, round 3): fused wins every
+    batch >= 8 (15.7k vs 12.4k xla img/s at batch 8, 29.4k vs 7.2k at 128);
+    batches 2-4 are a statistical wash with mixed slightly ahead (10.6k vs
+    10.4k fused at 4); at batch 1 MIXED wins decisively — the packed 112²
+    kernels lose their grid pipelining with one whole-image tile
+    (tools/latency_attr.py) while the dense fused blocks beat XLA from
+    block 2 on: 0.117 ms/forward vs 0.164 all-fused and 0.166 all-xla
+    (RTT-cancelled differenced chains).
     """
     n = len(config.block_strides)
     if dw_backend is None:
         dw_backend = "pallas" if use_pallas_dw else "xla"
     if dw_backend == "auto":
-        dw_backend = "fused" if batch >= 32 else "mixed"
+        dw_backend = "fused" if batch >= 8 else "mixed"
     if dw_backend == "mixed":
         # xla for the two 112-squared blocks (whose packed kernels lose grid
         # pipelining at one whole-image tile), fused Pallas from block 2 on.

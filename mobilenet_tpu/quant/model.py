@@ -68,10 +68,15 @@ def _routing_i8(config: ModelConfig, use_fused, batch: int):
     if isinstance(use_fused, bool):
         return ("fused" if use_fused else "xla",) * n
     if use_fused == "auto":
-        # Threshold mirrors the float path's measured shape (fused at
-        # throughput batches, mixed at batch 1) pending the int8 crossover
-        # measurement on chip — runtime.autotune --int8 re-derives it.
-        use_fused = "fused" if batch >= 32 else "mixed"
+        # Measured int8 crossover on v5e at 1.0-224
+        # (benchmarks/routing_crossover_v5e.jsonl, round 3): fused wins every
+        # batch >= 2 (5.3k vs 3.5k xla img/s at batch 2, 24.5k vs 3.1k at
+        # 128); at batch 1 ALL-XLA wins — 0.260 ms vs 0.352 fused and 0.461
+        # mixed (differenced chains). Unlike bf16, the mixed tuple LOSES at
+        # batch 1: the int8 xla blocks carry requant work that the fused
+        # back-half can't win back. The ~0.14 ms gap to bf16's 0.117 is the
+        # mandatory exact-requant arithmetic (docs/design.md §3.4).
+        use_fused = "fused" if batch >= 2 else "xla"
     if use_fused == "mixed":
         return ("xla",) * 2 + ("fused",) * (n - 2)
     if isinstance(use_fused, str):

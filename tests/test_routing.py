@@ -41,8 +41,10 @@ def test_routing_i8_spec_resolution():
     assert _routing_i8(CFG, True, 1) == ("fused",) * N_BLOCKS
     assert _routing_i8(CFG, False, 256) == ("xla",) * N_BLOCKS
     assert _routing_i8(CFG, "auto", 256) == ("fused",) * N_BLOCKS
-    assert _routing_i8(CFG, "auto", 1) == \
-        ("xla",) * 2 + ("fused",) * (N_BLOCKS - 2)
+    # measured on v5e: int8 batch-1 winner is ALL-XLA, not the mixed tuple
+    # (benchmarks/routing_crossover_v5e.jsonl)
+    assert _routing_i8(CFG, "auto", 1) == ("xla",) * N_BLOCKS
+    assert _routing_i8(CFG, "auto", 2) == ("fused",) * N_BLOCKS
     assert _routing_i8(CFG, "mixed", 256) == \
         ("xla",) * 2 + ("fused",) * (N_BLOCKS - 2)
     explicit = ("xla",) * 5 + ("fused",) * (N_BLOCKS - 5)
