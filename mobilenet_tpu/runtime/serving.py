@@ -59,6 +59,15 @@ class ServerStats:
     # tiering observability: light load should land in small buckets)
     bucket_counts: Dict[int, int] = dataclasses.field(default_factory=dict)
 
+    def reset_window(self):
+        """Zero the per-window counters (batches/fill/buckets) so a load
+        probe can report per-phase stats; cumulative error/retry counts are
+        kept — they are failure-detection state, not load metrics."""
+        self.requests = 0
+        self.batches = 0
+        self.batch_fill = 0.0
+        self.bucket_counts.clear()
+
 
 class MicroBatchServer:
     """Micro-batching inference server over an InferencePipeline."""

@@ -162,6 +162,33 @@ def test_batch_bucket_selection_light_load(pipe):
     assert sum(stats.bucket_counts.values()) == stats.batches
 
 
+def test_stats_reset_window(pipe):
+    """reset_window zeroes per-window load counters but keeps cumulative
+    failure-detection state, so tools/serving_probe.py's per-phase
+    mean_batch_fill is per-phase (not accumulated across load levels)."""
+
+    async def run():
+        server = MicroBatchServer(pipe, max_batch=16, max_delay_ms=1.0,
+                                  batch_buckets=[1, 16])
+        await server.start()
+        img = np.zeros((128, 128, 3), np.uint8)
+        await server.submit(img)
+        server.stats.errors = 3  # stand-in for prior-window failures
+        server.stats.reset_window()
+        assert server.stats.batches == 0
+        assert server.stats.batch_fill == 0.0
+        assert server.stats.bucket_counts == {}
+        assert server.stats.errors == 3  # cumulative state survives
+        await server.submit(img)
+        stats = server.stats
+        await server.close()
+        return stats
+
+    stats = asyncio.run(run())
+    assert stats.batches == 1
+    assert stats.bucket_counts.get(1) == 1
+
+
 def test_batch_bucket_validation(pipe):
     with pytest.raises(ValueError, match="batch_buckets"):
         MicroBatchServer(pipe, max_batch=16, batch_buckets=[1, 8])  # no 16

@@ -1,0 +1,81 @@
+"""On-chip serving probe: light-load vs saturation p50 with batch buckets.
+
+Round-2 weakness: every dispatch padded to max_batch, so one lone request
+paid a full 64-wide pad (64 x res^2 x 3 bytes through the ~0.2 GB/s tunnel
+plus ~2.4 ms device compute). Round 3 tiers dispatches into precompiled
+buckets {1, max/8, max}; this probe measures the light-load win and appends
+rows to benchmarks/serving_v5e.jsonl.
+
+  python tools/serving_probe.py [--int8] [--streams 64] [--record]
+"""
+
+import argparse
+import asyncio
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "benchmarks", "serving_v5e.jsonl")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--alpha", type=float, default=1.0)
+    ap.add_argument("--res", type=int, default=224)
+    ap.add_argument("--streams", type=int, default=64)
+    ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--legacy-pad", action="store_true",
+                    help="single max-batch bucket (the round-2 behavior) "
+                         "for the A/B")
+    ap.add_argument("--record", action="store_true")
+    args = ap.parse_args()
+
+    from mobilenet_tpu import ModelConfig
+    from mobilenet_tpu.runtime.serving import MicroBatchServer, selftest
+
+    cfg = ModelConfig(alpha=args.alpha, resolution=args.res,
+                      compute_dtype="bfloat16")
+    if args.int8:
+        from mobilenet_tpu.quant.model import Int8Pipeline
+
+        pipe = Int8Pipeline(cfg, seed=0)
+    else:
+        from mobilenet_tpu.runtime.pipeline import InferencePipeline
+
+        pipe = InferencePipeline(cfg, seed=0)
+
+    buckets = [args.streams] if args.legacy_pad else None
+    rows = []
+
+    async def run():
+        server = MicroBatchServer(pipe, max_batch=args.streams,
+                                  batch_buckets=buckets)
+        await server.start()
+        # light load first (queue never fills past the small buckets), then
+        # saturation (everything lands in the top bucket)
+        for streams, rps in [(1, 24), (2, 16), (args.streams, 8)]:
+            server.stats.reset_window()
+            stats = await selftest(server, streams=streams,
+                                   requests_per_stream=rps)
+            stats.update(dtype="int8" if args.int8 else "bfloat16",
+                         variant=cfg.variant_name(),
+                         buckets=server.batch_buckets,
+                         note=("legacy single-bucket pad" if args.legacy_pad
+                               else "tiered buckets, round 3"))
+            rows.append(stats)
+            print(json.dumps(stats), flush=True)
+        await server.close()
+
+    asyncio.run(run())
+    if args.record:
+        with open(ART, "a") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        print(f"recorded {len(rows)} rows to {ART}")
+
+
+if __name__ == "__main__":
+    main()
