@@ -43,6 +43,8 @@ def make_policy(name, base_fn):
             return bn, 28  # whole-image tiles at 28^2 (more batch overlap)
         if name == "th14" and h_out == 14:
             return bn, 14
+        if name == "th7" and h_out in (7, 14):
+            return bn, 7  # halve row tiles on the 14^2 stretch
         if name == "bn2x":
             # double the batch tile when it still divides N (bigger MXU M)
             if n % (bn * 2) == 0:

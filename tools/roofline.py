@@ -169,15 +169,22 @@ def measure_segments(args):
         print(f"compile prefix {k!s:>5}: {time.perf_counter()-t0:5.1f}s",
               flush=True)
 
+    # fenced_window auto-extends to >=1.5 s so the ~30 ms fetch-fence RTT
+    # amortizes below ~2% — without it the whole fence lands on the FIRST
+    # prefix's time and the differencing attributes ~1.4 ms of pure RTT to
+    # conv1+pre (which is how an early round-3 run read 2.08 ms for a
+    # segment that measures 0.66 ms fenced; see tools/ab_stem2.py)
+    from mobilenet_tpu.utils.timing import fenced_window
+
+    def sync(o):
+        return np.asarray(o[0, :4] if o.ndim > 1 else o[:4])
+
     times = {k: [] for k in entries}
     for _ in range(args.rounds):
         for k, fn in entries.items():
-            _ = np.asarray(fn(img))
-            t0 = time.perf_counter()
-            for _ in range(args.steps):
-                out = fn(img)
-            _ = np.asarray(out)
-            times[k].append((time.perf_counter() - t0) / args.steps * 1e3)
+            sync(fn(img))
+            dt, nst = fenced_window(lambda fn=fn: fn(img), sync, args.steps)
+            times[k].append(dt / nst * 1e3)
 
     med = {k: float(np.median(v)) for k, v in times.items()}
     out, prev = {}, 0.0
