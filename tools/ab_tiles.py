@@ -98,7 +98,15 @@ def main():
 
         e = jax.jit(fn)
         t0 = time.perf_counter()
-        out = np.asarray(e(img)[:2], np.float32)
+        try:
+            out = np.asarray(e(img)[:2], np.float32)
+        except Exception as err:  # compile-time VMEM OOM etc.: policy is
+            # infeasible on this hardware — record and keep racing the rest
+            # (an AOT failure doesn't touch the device, unlike a runtime
+            # out-of-bounds window)
+            msg = str(err).splitlines()[0][:160]
+            print(f"compile {pol}: INFEASIBLE ({msg})", flush=True)
+            continue
         print(f"compile {pol}: {time.perf_counter()-t0:5.1f}s", flush=True)
         if ref_out is None:
             ref_out = out
