@@ -115,13 +115,13 @@ def main():
         entries[pol] = e
     pallas_block.pick_tiles = base_fn
 
-    meas = {p: [] for p in policies}
+    meas = {p: [] for p in entries}
     for _ in range(args.rounds):
         for p, e in entries.items():
             sync(e(img))
             dt, n = fenced_window(lambda e=e: e(img), sync, args.steps)
             meas[p].append(n * args.batch / dt)
-    for p in policies:
+    for p in meas:
         med = float(np.median(meas[p]))
         print(json.dumps({"policy": p, "images_per_sec": round(med, 1),
                           "runs": [round(v, 1) for v in meas[p]]}),
