@@ -101,6 +101,7 @@ def pick_tiles(n: int, h_out: int, wdim: int, cin: int, cout: int,
 def _block_kernel(
     x_ref, dww_ref, dwb_ref, pww_ref, pwb_ref, o_ref, s_ref,
     *, th, w_out, stride, relu6, out_dtype, g, bn, wdim, mxu_subsample=False,
+    pw_epilogue=True,
 ):
     i = pl.program_id(1)
     is_first_step = jnp.logical_and(pl.program_id(0) == 0, i == 0)
@@ -185,7 +186,8 @@ def _block_kernel(
                            if pww_ref.dtype == jnp.float32
                            else jax.lax.Precision.DEFAULT),
             )
-            out = _act(out + pwb_ref[0].astype(jnp.float32), relu6)
+            if pw_epilogue:
+                out = _act(out + pwb_ref[0].astype(jnp.float32), relu6)
             o_ref[...] = out.reshape(bn, th, w_out, -1).astype(out_dtype)
             return
         acc = acc_f.reshape(bn, th, w_out, 2, c_in)[:, :, :, 0, :]
@@ -199,13 +201,15 @@ def _block_kernel(
         else jax.lax.Precision.DEFAULT
     )
     out = jnp.dot(y2, pww_ref[...], preferred_element_type=jnp.float32, precision=prec)
-    out = _act(out + pwb_ref[0].astype(jnp.float32), relu6)
+    if pw_epilogue:
+        out = _act(out + pwb_ref[0].astype(jnp.float32), relu6)
     o_ref[...] = out.reshape(bn, th, w_out, -1).astype(out_dtype)
 
 
 def separable_block_pallas(
     x, dw_w, dw_b, pw_w, pw_b, stride, relu6=True, *,
     block_h=None, block_n=None, interpret=None, mxu_subsample=None,
+    pw_epilogue=True,
 ):
     """Fused dw3x3(+BN+ReLU) -> pw1x1(+BN+ReLU). TF-SAME semantics.
 
@@ -219,14 +223,14 @@ def separable_block_pallas(
     return _separable_block_impl(
         x, dw_w, dw_b, pw_w, pw_b, stride, relu6,
         block_h=block_h, block_n=block_n, interpret=interpret,
-        mxu_subsample=bool(mxu_subsample),
+        mxu_subsample=bool(mxu_subsample), pw_epilogue=pw_epilogue,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("stride", "relu6", "block_h", "block_n", "interpret",
-                     "mxu_subsample"),
+                     "mxu_subsample", "pw_epilogue"),
 )
 def _separable_block_impl(
     x: jax.Array,       # (N, H, W, Cin) unpadded
@@ -241,6 +245,7 @@ def _separable_block_impl(
     block_n: Optional[int] = None,
     interpret: Optional[bool] = None,
     mxu_subsample: bool = False,
+    pw_epilogue: bool = True,
 ) -> jax.Array:
     if interpret is None:
         interpret = _should_interpret()
@@ -282,9 +287,15 @@ def _separable_block_impl(
     # regroup ONLY when C is a multiple of 128; otherwise Mosaic rejects the
     # shape cast on hw (hit at alpha=0.75: cin=192 dense s2 blocks).
     sub = bool(mxu_subsample) and stride == 2 and cin % 128 == 0
+    # pw_epilogue=False emits the RAW pointwise accumulation in float32 (no
+    # bias, no activation): the tensor-parallel path psums row-sharded
+    # partials across the model axis BEFORE the epilogue can apply
+    # (parallel/tp_fused.py) — bias+relu do not commute with the sum.
+    out_dtype = x.dtype if pw_epilogue else jnp.float32
     kernel = functools.partial(
         _block_kernel, th=th, w_out=w_out, stride=stride, relu6=relu6,
-        out_dtype=x.dtype, g=g, bn=bn, wdim=wdim, mxu_subsample=sub,
+        out_dtype=out_dtype, g=g, bn=bn, wdim=wdim, mxu_subsample=sub,
+        pw_epilogue=pw_epilogue,
     )
     if sub:
         # K-zero-padded pointwise weight: lanes [0,C) = even columns keep W,
@@ -312,7 +323,7 @@ def _separable_block_impl(
             lambda b_, i: (b_, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, cout), out_dtype),
         scratch_shapes=[pltpu.VMEM((bn, s_rows, wdim + 2, cin), x.dtype)],
         interpret=interpret,
     )(x, dw_w.reshape(3, 3, cin), dw_b.reshape(1, cin), pw_arg, pw_b.reshape(1, cout))

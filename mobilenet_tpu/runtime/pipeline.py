@@ -43,9 +43,9 @@ def _require_dp_only_mesh(mesh) -> None:
         raise ValueError(
             f"pipeline meshes are data-parallel only (axis '{DATA_AXIS}'); "
             f"got non-trivial axes {extra}. For channel-TP use "
-            "parallel.mesh.shard_params + mobilenet_v1.forward with "
-            "dw_backend='xla' (the Pallas kernels cannot be "
-            "channel-sharded).")
+            "parallel.tp_fused.forward_tp_fused (fused kernels on channel "
+            "shards, one psum per block) or parallel.mesh.shard_params + "
+            "mobilenet_v1.forward with dw_backend='xla' (GSPMD).")
 
 
 class InferencePipeline:
