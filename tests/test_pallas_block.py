@@ -84,3 +84,25 @@ def test_pick_tiles_batches_small_layers():
     assert bn >= 2  # small-spatial layers must batch-tile
     bn2, th2 = pick_tiles(256, 112, 112, 32, 64, 1)
     assert bn2 == 1  # big-spatial layers must not blow VMEM
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_pw_epilogue_false_emits_raw_partial(rng, stride):
+    """pw_epilogue=False returns the RAW f32 pointwise accumulation (no
+    bias, no relu) — applying the epilogue outside must equal the fused
+    result bit-for-tolerance. This is the TP partial contract
+    (parallel/tp_fused.py: bias+relu do not commute with the psum)."""
+    n, h, cin, cout = 2, 16, 32, 64
+    x = rng.uniform(-1, 1, (n, h, h, cin)).astype(np.float32)
+    dw_w = rng.normal(0, 0.5, (3, 3, 1, cin)).astype(np.float32)
+    dw_b = rng.normal(0, 0.2, (cin,)).astype(np.float32)
+    pw_w = rng.normal(0, 0.3, (cin, cout)).astype(np.float32)
+    pw_b = rng.normal(0, 0.2, (cout,)).astype(np.float32)
+    args = (jnp.asarray(x), jnp.asarray(dw_w), jnp.asarray(dw_b),
+            jnp.asarray(pw_w), jnp.asarray(pw_b), stride, True)
+    fused = separable_block_pallas(*args, interpret=True)
+    raw = separable_block_pallas(*args, interpret=True, pw_epilogue=False)
+    assert raw.dtype == jnp.float32
+    outside = np.clip(np.asarray(raw) + pw_b, 0.0, 6.0)
+    np.testing.assert_allclose(outside, np.asarray(fused), atol=3e-6,
+                               rtol=1e-6)
