@@ -164,9 +164,19 @@ def _verify_routing(args, cfg, folded, x) -> bool:
                                          tols={"logits": (atol, rtol)})
     for r in reports:
         print(r)
-    top1_ok = bool((got.argmax(-1) == ref.argmax(-1)).all())
+    # Near-tie aware top-1 identity: two valid bf16 accumulation orders can
+    # flip a top-1 whose margin is below the logits tolerance without any
+    # numerical defect (the same artifact `cli eval --tie-margin` absorbs) —
+    # gate only on flips whose xla-side margin exceeds the gate atol.
+    agree = got.argmax(-1) == ref.argmax(-1)
+    srt = np.sort(ref, axis=-1)
+    ref_margin = srt[:, -1] - srt[:, -2]
+    near_tie = (~agree) & (ref_margin < atol)
+    top1_ok = bool((agree | near_tie).all())
+    tie_note = (f" ({int(near_tie.sum())} near-tie flips within "
+                f"atol={atol}, not gated)" if near_tie.any() else "")
     print(f"top-1 routing({args.routing}) == routing(xla): "
-          f"{int((got.argmax(-1) == ref.argmax(-1)).sum())}/{len(got)}")
+          f"{int(agree.sum())}/{len(got)}{tie_note}")
 
     # Informational oracle anchor (fp32): strict gating of oracle top-1 is
     # `cli eval`'s job; here it contextualizes any near-tie flips.
@@ -208,10 +218,14 @@ def cmd_eval(args):
         from .checkpoints import load_npz
 
         params = load_npz(args.ckpt)
+    # INT8 is bit-exact by contract (CLAUDE.md invariants): its logits equal
+    # the oracle's exactly, so a top-1 flip is a real defect, never a float
+    # rounding near-tie — force the strict gate regardless of --tie-margin.
+    tie_margin = 0.0 if getattr(args, "int8", False) else args.tie_margin
     report = evaluate_agreement(
         cfg, images, params=params, seed=args.seed,
         int8=getattr(args, "int8", False), oracle=args.oracle,
-        batch_size=args.batch, top_k=args.top_k, tie_margin=args.tie_margin,
+        batch_size=args.batch, top_k=args.top_k, tie_margin=tie_margin,
     )
     # Gate on the UNROUNDED tie-aware agreement (== raw agreement when
     # --tie-margin 0); round only for display. Near-tie flips are rounding

@@ -125,7 +125,10 @@ def _chain_runs(params, config, routing, y_shape, itemsize,
     while i < n:
         blk = params["blocks"][i]
         cin, cout = blk["pw"]["w"].shape
-        hw = spatial // config.block_strides[i]  # output side of block i
+        # TF-SAME ceil division — the kernels' convention; floor would
+        # understate hw at odd spatial sizes and let chain_fits approve
+        # a chain the kernel's own VMEM base-case check then rejects
+        hw = -(-spatial // config.block_strides[i])  # output side of block i
         spatial = hw
         ok = (routing[i] == "fused" and config.block_strides[i] == 1
               and cin == cout and cin >= 128)

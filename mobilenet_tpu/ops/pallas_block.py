@@ -59,10 +59,18 @@ def _round_up(x, m):
 
 
 def pick_tiles(n: int, h_out: int, wdim: int, cin: int, cout: int,
-               stride: int, itemsize: int = 2) -> Tuple[int, int]:
-    """(BN, TH): target MXU M-dim >= ~256 rows and <= ~6MB live VMEM."""
+               stride: int, itemsize: int = 2,
+               out_itemsize: Optional[int] = None) -> Tuple[int, int]:
+    """(BN, TH): target MXU M-dim >= ~256 rows and <= ~6MB live VMEM.
+
+    out_itemsize: byte size of the OUTPUT store (defaults to itemsize);
+    the pw_epilogue=False partial mode writes float32 regardless of the
+    input dtype, and sizing the out term at 2 bytes there would pick a
+    tile one doubling too large for the calibrated scoped-VMEM budget."""
     c_pad = _round_up(cin, 128)
     co_pad = _round_up(cout, 128)
+    if out_itemsize is None:
+        out_itemsize = itemsize
 
     # Headroom factor for Mosaic's scoped-vmem stack allocator, calibrated
     # against observed compiles on v5e: the stride-2 full-width path keeps
@@ -73,7 +81,7 @@ def pick_tiles(n: int, h_out: int, wdim: int, cin: int, cout: int,
         th_in = stride * th + 2
         win = bn * th_in * (wdim + 2) * c_pad * itemsize
         acc = bn * th * wdim * c_pad * 4
-        out = bn * th * (wdim // stride) * co_pad * (4 + itemsize)
+        out = bn * th * (wdim // stride) * co_pad * (4 + out_itemsize)
         weights = c_pad * co_pad * itemsize
         return factor * (3 * win + acc + out) + weights
 
@@ -257,7 +265,9 @@ def _separable_block_impl(
     h_out = -(-h // stride)
     w_out = -(-wdim // stride)
 
-    bn_auto, th_auto = pick_tiles(n, h_out, wdim, cin, cout, stride, x.dtype.itemsize)
+    bn_auto, th_auto = pick_tiles(
+        n, h_out, wdim, cin, cout, stride, x.dtype.itemsize,
+        out_itemsize=(x.dtype.itemsize if pw_epilogue else 4))
     th = block_h or th_auto
     while h_out % th:
         th -= 1

@@ -251,8 +251,9 @@ def make_int8_infer(q: QuantizedParams, config: ModelConfig, *,
                     use_pallas_dw: bool = False, use_fused=None, mesh=None):
     """Compiled int8 entry: uint8 images -> float32 logits, preprocessing and
     input quantization fused into the same program. use_fused=None resolves
-    to "auto" on TPU — batch-dependent per-block routing (fused at
-    throughput batches, mixed at batch 1, _routing_i8) — and the XLA ops on
+    to "auto" on TPU — batch-dependent per-block routing (_routing_i8:
+    fused from batch 2 up, ALL-XLA at batch 1 per the measured int8
+    crossover, benchmarks/routing_crossover_v5e.jsonl) — and the XLA ops on
     CPU, mirroring the float pipeline's auto routing. With `mesh`, the batch
     shards over its 'data' axis (int8 data-parallel serving — the reference
     served its fixed-point pipeline multi-stream, SURVEY.md SS2 C7/C12)."""

@@ -133,12 +133,18 @@ def autotune_backend(
         if mode == "latency":
             folded = params if params is not None else fold_bn(
                 init_params(config, seed=seed), eps=config.bn_eps)
-            # One padded/quantized tree shared by all candidates (padding is
-            # required by fused candidates and bit-neutral for xla).
-            dev = _as_device_tree(quantize_for_device(folded, config,
-                                                      use_fused=True))
+            # Quantize PER ROUTING: padding is bit-neutral but NOT
+            # time-neutral — production 'xla' runs unpadded (Int8Pipeline
+            # only pads for fused-containing routings), so timing xla on a
+            # padded tree would bias the race against it on padding-needing
+            # configs (0.75 family etc.).
+            trees: Dict[bool, dict] = {}
             for cand in candidates:
-                results[cand] = _int8_latency_ms(config, dev, cand)
+                key = cand != "xla"
+                if key not in trees:
+                    trees[key] = _as_device_tree(
+                        quantize_for_device(folded, config, use_fused=key))
+                results[cand] = _int8_latency_ms(config, trees[key], cand)
         else:
             for cand in candidates:
                 pipe = Int8Pipeline(config, seed=seed, params=params,
@@ -157,12 +163,20 @@ def autotune_backend(
                 init_params(config, seed=seed), eps=config.bn_eps)
             from ..checkpoints.padding import needs_padding, pad_channels
 
-            if needs_padding(folded):
-                folded = pad_channels(folded)
-            dev_params = to_device(folded, dtype=dtype)
+            # Pad only for the candidates that ship padded (fused/mixed/
+            # auto); xla and pallas run unpadded in production
+            # (InferencePipeline), and timing them on a padded tree biases
+            # the race — same reasoning as the int8 branch above.
+            padded = (pad_channels(folded) if needs_padding(folded)
+                      else folded)
+            dev_by_pad = {}
             for cand in candidates:
-                results[cand] = _float_latency_ms(config, dev_params, cand,
-                                                  dtype)
+                pad = cand not in ("xla", "pallas")
+                if pad not in dev_by_pad:
+                    dev_by_pad[pad] = to_device(
+                        padded if pad else folded, dtype=dtype)
+                results[cand] = _float_latency_ms(
+                    config, dev_by_pad[pad], cand, dtype)
         else:
             for cand in candidates:
                 pipe = InferencePipeline(config, seed=seed, dw_backend=cand,

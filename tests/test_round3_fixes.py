@@ -249,3 +249,66 @@ def test_bf16_carry_still_bit_exact():
     a = forward_i8(dev, x_q, cfg, use_fused=True, bf16_carry_max_hw=0)
     b = forward_i8(dev, x_q, cfg, use_fused=True, bf16_carry_max_hw=32)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_int8_forces_strict_tie_margin(monkeypatch, capsys):
+    """`cli eval --int8` must gate on EXACT top-1 agreement: int8 logits are
+    bit-identical to the oracle by contract, so a near-tie credit would let
+    a real int8 defect pass (review finding, round 3)."""
+    import sys as _sys
+
+    from mobilenet_tpu import cli
+    from mobilenet_tpu.runtime import eval as reval
+
+    seen = {}
+    real = reval.evaluate_agreement
+
+    def spy(cfg, images, **kw):
+        seen.update(kw)
+        return real(cfg, images, **kw)
+
+    monkeypatch.setattr(reval, "evaluate_agreement", spy)
+    argv = ["cli", "--backend", "cpu", "eval", "--alpha", "0.25", "--res",
+            "64", "--int8", "--n", "2", "--batch", "2",
+            "--tie-margin", "0.5"]
+    monkeypatch.setattr(_sys, "argv", argv)
+    with pytest.raises(SystemExit) as e:
+        cli.main()
+    assert e.value.code == 0
+    assert seen["tie_margin"] == 0.0  # --tie-margin 0.5 overridden for int8
+
+
+def test_autotune_latency_xla_tree_is_unpadded(monkeypatch):
+    """Latency-mode autotune must time 'xla' on the UNPADDED tree it ships
+    with (padding is bit-neutral but not time-neutral; review finding)."""
+    from mobilenet_tpu.runtime import autotune as at
+
+    cfg = ModelConfig(alpha=0.75, resolution=64)  # 0.75: padding-needing
+    seen = {}
+
+    def fake_latency(config, params, cand, dtype, chain_len=50):
+        seen[cand] = params["conv1"]["w"].shape[-1]  # stem out channels
+        return 1.0
+
+    monkeypatch.setattr(at, "_float_latency_ms", fake_latency)
+    at.autotune_backend(cfg, batch_size=1, mode="latency",
+                        candidates=("xla", "fused"))
+    assert seen["xla"] == 24    # alpha 0.75 stem, unpadded
+    assert seen["fused"] == 32  # padded to the lane-friendly width
+
+
+def test_autotune_latency_int8_xla_tree_is_unpadded(monkeypatch):
+    from mobilenet_tpu.runtime import autotune as at
+
+    cfg = ModelConfig(alpha=0.75, resolution=64)
+    seen = {}
+
+    def fake_latency(config, dev, cand, chain_len=50):
+        seen[cand] = dev["conv1"]["w"].shape[-1]
+        return 1.0
+
+    monkeypatch.setattr(at, "_int8_latency_ms", fake_latency)
+    at.autotune_backend(cfg, batch_size=1, mode="latency", int8=True,
+                        candidates=("xla", "fused"))
+    assert seen["xla"] == 24
+    assert seen["fused"] == 32

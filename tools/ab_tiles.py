@@ -33,8 +33,8 @@ import jax.numpy as jnp
 def make_policy(name, base_fn):
     """Return a pick_tiles replacement implementing the named policy."""
 
-    def wrapped(n, h_out, wdim, cin, cout, stride, itemsize=2):
-        bn, th = base_fn(n, h_out, wdim, cin, cout, stride, itemsize)
+    def wrapped(n, h_out, wdim, cin, cout, stride, itemsize=2, **kw):
+        bn, th = base_fn(n, h_out, wdim, cin, cout, stride, itemsize, **kw)
         if name == "base":
             return bn, th
         if name == "th8" and h_out in (28, 56) and h_out % 8 == 0:
