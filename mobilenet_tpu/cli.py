@@ -490,6 +490,48 @@ def cmd_serve(args):
     )
 
 
+def cmd_warmup(args):
+    """Precompile a config's serving entries so production cold-start is
+    bounded by this one command: the compile cache (persistent across
+    processes on this platform) then serves every later pipeline/server at
+    dispatch speed. The reference analog is loading the FPGA bitstream once
+    per configuration before traffic (SURVEY.md SS5 one-bitstream-per-config
+    flow); here one jit entry per (variant, batch, dtype) is the bitstream."""
+    import time as _time
+
+    import numpy as np  # noqa: PLC0415
+
+    from .config import ModelConfig
+
+    cfg = ModelConfig(alpha=args.alpha, resolution=args.res,
+                      compute_dtype=args.dtype)
+    params = None
+    if getattr(args, "ckpt", None):
+        from .checkpoints import load_npz
+
+        params = load_npz(args.ckpt)
+    if args.int8:
+        from .quant.model import Int8Pipeline
+
+        pipe = Int8Pipeline(cfg, seed=args.seed, params=params)
+    else:
+        from .runtime.pipeline import InferencePipeline
+
+        pipe = InferencePipeline(cfg, seed=args.seed, params=params)
+    batches = sorted({int(b) for b in args.batches.split(",")})
+    res = cfg.resolution
+    for b in batches:
+        img = np.zeros((b, res, res, 3), np.uint8)
+        t0 = _time.perf_counter()
+        out = pipe.run_batch(img)
+        _ = np.asarray(out)[0, :1]  # fence: compile is done when bytes land
+        print(f"warm batch {b:4d}: {_time.perf_counter() - t0:6.1f}s "
+              f"({'cached' if _time.perf_counter() - t0 < 5 else 'compiled'})",
+              flush=True)
+    print(f"WARMUP OK: {cfg.variant_name()} "
+          f"{'int8' if args.int8 else args.dtype} batches={batches}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="mobilenet_tpu")
     p.add_argument(
@@ -608,6 +650,15 @@ def main(argv=None):
                          "dp-device mesh (1 = single chip)")
     common(sp, 32)
     sp.set_defaults(fn=cmd_serve)
+
+    sp = sub.add_parser("warmup")
+    sp.add_argument("--int8", action="store_true",
+                    help="warm the INT8 fixed-point entries")
+    sp.add_argument("--batches", default="1,8,64",
+                    help="comma list of batch sizes to precompile (default "
+                         "= the serving buckets)")
+    common(sp, 64)
+    sp.set_defaults(fn=cmd_warmup)
 
     args = p.parse_args(argv)
     if args.backend:

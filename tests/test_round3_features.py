@@ -131,3 +131,19 @@ def test_cli_verify_routing_mixed_bf16(capsys):
                   "--oracle", "numpy"])
     assert e.value.code == 0
     assert "ROUTING VERIFY OK" in capsys.readouterr().out
+
+
+def test_cli_warmup_precompiles_and_exits_clean(monkeypatch, capsys):
+    """`cli warmup` drives one real forward per requested batch and reports
+    per-batch compile/cache status (production cold-start bounding)."""
+    import sys as _sys
+
+    from mobilenet_tpu import cli
+
+    argv = ["cli", "--backend", "cpu", "warmup", "--alpha", "0.25",
+            "--res", "64", "--batches", "2,1"]
+    monkeypatch.setattr(_sys, "argv", argv)
+    cli.main()
+    out = capsys.readouterr().out
+    assert "warm batch    1" in out and "warm batch    2" in out
+    assert "WARMUP OK: mobilenet_v1_0.25_64 bfloat16 batches=[1, 2]" in out
