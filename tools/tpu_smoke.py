@@ -82,6 +82,26 @@ def main(quick: bool = False, only: str = ""):
             jnp.asarray(pw_w), jnp.asarray(pw_b), s, True)
         check(f"fused_block h={h} {cin}->{cout} s={s}", got, ref, 3e-5)
 
+    # --- fused block partial mode (pw_epilogue=False; the TP contract) -----
+    # Interpret mode accepts layouts Mosaic rejects on hw (round-2 lesson),
+    # so the f32-out partial path gets its own hw check: raw partial + the
+    # epilogue applied OUTSIDE must equal the fused result.
+    rng = rng_for("tp_partial")
+    for (h, cin, cout, s) in ([(56, 128, 128, 1), (28, 256, 512, 2)]
+                              if want("tp_partial") else []):
+        x = rng.uniform(-1, 1, (2, h, h, cin)).astype(np.float32)
+        dw_w = rng.normal(0, 0.5, (3, 3, 1, cin)).astype(np.float32)
+        dw_b = rng.normal(0, 0.2, (cin,)).astype(np.float32)
+        pw_w = rng.normal(0, 0.3, (cin, cout)).astype(np.float32)
+        pw_b = rng.normal(0, 0.2, (cout,)).astype(np.float32)
+        args_ = (jnp.asarray(x), jnp.asarray(dw_w), jnp.asarray(dw_b),
+                 jnp.asarray(pw_w), jnp.asarray(pw_b), s, True)
+        fused = separable_block_pallas(*args_)
+        raw = separable_block_pallas(*args_, pw_epilogue=False)
+        assert raw.dtype == jnp.float32, raw.dtype
+        outside = np.clip(np.asarray(raw) + pw_b, 0.0, 6.0)
+        check(f"tp_partial h={h} {cin}->{cout} s={s}", outside, fused, 3e-5)
+
     # --- packed fused block ------------------------------------------------
     rng = rng_for("packed_block")
     for (h, cin, cout) in [(112, 32, 64), (16, 8, 16)] if want("packed_block") else []:
