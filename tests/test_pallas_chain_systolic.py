@@ -67,3 +67,31 @@ def test_model_routing_chain_flag(monkeypatch):
         {"blocks": [jax.tree.map(np.asarray, b) for b in params["blocks"]]},
         cfg, routing, (4, 64, 64, 8), 4)
     assert runs.get(6) == 5, runs
+
+
+def test_chain_runs_spatial_uses_tf_same_ceil(monkeypatch):
+    """_chain_runs must track spatial size with TF-SAME ceil division: at an
+    odd spatial side entering a stride-2 block, floor would understate hw
+    and approve chains the kernel's own VMEM check then rejects (round-3
+    review finding)."""
+    from mobilenet_tpu import ModelConfig
+    from mobilenet_tpu.checkpoints import fold_bn, init_params
+    from mobilenet_tpu.models import mobilenet_v1
+    from mobilenet_tpu.ops import pallas_chain_systolic as pcs
+
+    cfg = ModelConfig(alpha=0.25, resolution=128)
+    params = fold_bn(init_params(cfg, seed=0), eps=cfg.bn_eps)
+    seen = []
+
+    def spy(hh, ww, c, k, itemsize):
+        seen.append(hh)
+        return False  # force no chains; we only audit the spatial sides
+
+    monkeypatch.setattr(pcs, "chain_fits", spy)
+    routing = ("fused",) * len(cfg.block_strides)
+    # inject an ODD spatial side (25) entering block 0 — the grid's own
+    # resolutions stay even until the final 7, so the divergence only
+    # shows via y_shape: 25 -s2-> ceil 13 (floor would say 12), then
+    # 13 -> 7 -> 4 at the C=128 chain stretch where chain_fits is probed
+    mobilenet_v1._chain_runs(params, cfg, routing, (2, 25, 25, 8), 2)
+    assert seen and set(seen) == {4}  # floor arithmetic would probe hh=3
