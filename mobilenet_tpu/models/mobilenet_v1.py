@@ -38,6 +38,14 @@ def _routing(config: ModelConfig, use_pallas_dw, dw_backend, batch: int):
     (tools/latency_attr.py) while the dense fused blocks beat XLA from
     block 2 on: 0.117 ms/forward vs 0.164 all-fused and 0.166 all-xla
     (RTT-cancelled differenced chains).
+
+    The batch-1 winner is CONFIG-DEPENDENT off the flagship (measured rows
+    in routing_crossover_v5e.jsonl): fused wins 0.75-128 (0.0569 vs 0.0598
+    mixed), mixed wins 1.0-192 (0.097), ALL-XLA wins 0.5-224 (0.0897 vs
+    0.0971 mixed) — spreads <= 8%, well under the ~30 ms transport RTT any
+    real request pays. "auto" keeps the flagship-measured rule; use
+    `cli autotune --batch 1` (runtime.autotune) to specialize a deployment
+    to its exact config, which reproduces these rows.
     """
     n = len(config.block_strides)
     if dw_backend is None:
