@@ -487,6 +487,7 @@ def cmd_serve(args):
         alpha=args.alpha, res=args.res, dtype=args.dtype,
         streams=args.streams, port=args.port, seed=args.seed,
         int8=getattr(args, "int8", False), dp=args.dp, params=params,
+        variants=(args.variants.split(",") if args.variants else None),
     )
 
 
@@ -648,6 +649,10 @@ def main(argv=None):
     sp.add_argument("--dp", type=int, default=1,
                     help="data-parallel width: shard micro-batches over a "
                          "dp-device mesh (1 = single chip)")
+    sp.add_argument("--variants", default=None,
+                    help='serve several variants from one process, e.g. '
+                         '"0.25:128,1.0:224" (first = default; requests '
+                         'route with a "variant" field)')
     common(sp, 32)
     sp.set_defaults(fn=cmd_serve)
 

@@ -247,7 +247,12 @@ async def make_tcp_server(server: MicroBatchServer, host: str, port: int):
                 img = np.frombuffer(
                     base64.b64decode(req["image_b64"]), np.uint8
                 ).reshape(req["shape"])
-                top = await server.submit(img)
+                kw = {}
+                if req.get("variant") is not None:
+                    # only MultiVariantServer accepts this; on a single-
+                    # variant server the TypeError is echoed as the error
+                    kw["variant"] = req["variant"]
+                top = await server.submit(img, **kw)
                 resp = {"id": req.get("id"), "top": top}
             except Exception as e:
                 # Echo the request id whenever the JSON itself parsed, so a
@@ -306,13 +311,73 @@ async def selftest(server: MicroBatchServer, streams: int = 64,
     }
 
 
+class MultiVariantServer:
+    """Route requests across several model variants served from ONE process.
+
+    The reference is one-bitstream-per-configuration (SURVEY.md SS5) —
+    switching variants means reprogramming the FPGA. On TPU a variant is
+    just another set of compiled entries + HBM-resident weights, so one
+    process can serve a latency tier (e.g. 0.25-128) and an accuracy tier
+    (1.0-224) side by side: each variant keeps its own MicroBatchServer
+    (its own buckets, batcher and stats; the single device executes them
+    all), and a request opts in with an optional "variant" field, falling
+    back to the default variant otherwise.
+    """
+
+    def __init__(self, servers: Dict[str, MicroBatchServer],
+                 default: Optional[str] = None):
+        if not servers:
+            raise ValueError("MultiVariantServer needs at least one variant")
+        self.servers = dict(servers)
+        self.default = default or next(iter(self.servers))
+        if self.default not in self.servers:
+            raise ValueError(
+                f"default variant {self.default!r} not among "
+                f"{sorted(self.servers)}")
+
+    async def start(self):
+        for s in self.servers.values():
+            await s.start()
+
+    async def close(self):
+        for s in self.servers.values():
+            await s.close()
+
+    async def submit(self, image_u8: np.ndarray, top_k: int = 5,
+                     variant: Optional[str] = None):
+        name = variant or self.default
+        try:
+            server = self.servers[name]
+        except KeyError:
+            raise ValueError(
+                f"unknown variant {name!r}; serving {sorted(self.servers)}"
+            ) from None
+        return await server.submit(image_u8, top_k=top_k)
+
+
+def _build_pipeline(cfg, seed, mesh, params, int8):
+    if int8:
+        # Quantized serving — the reference's multi-stream mode ran its
+        # fixed-point FPGA pipeline (SURVEY.md SS2 C7/C12).
+        from ..quant.model import Int8Pipeline
+
+        return Int8Pipeline(cfg, seed=seed, mesh=mesh, params=params)
+    from .pipeline import InferencePipeline
+
+    return InferencePipeline(cfg, seed=seed, mesh=mesh, params=params)
+
+
 def serve_main(alpha: float, res: int, dtype: str, streams: int, port: int,
                seed: int = 0, selftest_only: bool = True, int8: bool = False,
-               dp: int = 1, params=None):
+               dp: int = 1, params=None, variants=None):
     """`dp`: data-parallel width — batches shard over a `dp`-device mesh
     (ICI collectives via shard_map; params replicated). 1 = single chip,
-    the contract configuration."""
-    cfg = ModelConfig(alpha=alpha, resolution=res, compute_dtype=dtype)
+    the contract configuration.
+
+    `variants`: optional list of "alpha:res" strings — serve SEVERAL model
+    variants from one process (MultiVariantServer); the first is the
+    default, requests pick one with a "variant" field named like
+    "mobilenet_v1_0.25_128". alpha/res are ignored when set."""
     mesh = None
     if dp > 1:
         from ..parallel.mesh import make_mesh
@@ -322,24 +387,47 @@ def serve_main(alpha: float, res: int, dtype: str, streams: int, port: int,
                 f"--streams ({streams}) must be a multiple of --dp ({dp}): "
                 "the padded micro-batch shards evenly over the mesh")
         mesh = make_mesh(dp, model_parallel=1)
-    if int8:
-        # Quantized serving — the reference's multi-stream mode ran its
-        # fixed-point FPGA pipeline (SURVEY.md SS2 C7/C12).
-        from ..quant.model import Int8Pipeline
 
-        pipe = Int8Pipeline(cfg, seed=seed, mesh=mesh, params=params)
+    if variants:
+        if params is not None:
+            raise ValueError(
+                "--ckpt applies to a single variant; multi-variant serving "
+                "uses each variant's default weight set")
+        pairs = []
+        for v in variants:
+            a, r = v.split(":")
+            pairs.append(ModelConfig(alpha=float(a), resolution=int(r),
+                                     compute_dtype=dtype))
+        cfgs = {c.variant_name(): c for c in pairs}
     else:
-        from .pipeline import InferencePipeline
-
-        pipe = InferencePipeline(cfg, seed=seed, mesh=mesh, params=params)
+        cfg = ModelConfig(alpha=alpha, resolution=res, compute_dtype=dtype)
+        cfgs = {cfg.variant_name(): cfg}
 
     async def run():
-        server = MicroBatchServer(pipe, max_batch=streams)
+        servers = {
+            name: MicroBatchServer(
+                _build_pipeline(c, seed, mesh, params, int8),
+                max_batch=streams)
+            for name, c in cfgs.items()
+        }
+        if len(servers) == 1:
+            server = next(iter(servers.values()))
+        else:
+            server = MultiVariantServer(servers)
         await server.start()
-        stats = await selftest(server, streams=streams)
-        print(json.dumps(stats))
+        if len(servers) == 1:
+            stats = await selftest(next(iter(servers.values())),
+                                   streams=streams)
+            print(json.dumps(stats))
+        else:
+            for name, sub in servers.items():
+                stats = await selftest(
+                    sub, streams=max(1, streams // len(servers)))
+                stats["variant"] = name
+                print(json.dumps(stats))
         if not selftest_only:
-            print(f"serving on tcp://0.0.0.0:{port}")
+            print(f"serving on tcp://0.0.0.0:{port} "
+                  f"(variants: {sorted(cfgs)})")
             await serve_tcp(server, "0.0.0.0", port)
         await server.close()
 

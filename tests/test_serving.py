@@ -289,3 +289,86 @@ def test_device_retry_exhaustion_fails_requests():
 
     stats = asyncio.run(run())
     assert stats.errors == 1
+
+
+def test_multi_variant_server_routes_and_defaults():
+    """MultiVariantServer: requests route by variant name; no variant ->
+    default (the first); unknown variants fail their own request only."""
+    from mobilenet_tpu.runtime.serving import MultiVariantServer
+
+    cfg_a = ModelConfig(alpha=0.25, resolution=128)
+    cfg_b = ModelConfig(alpha=0.25, resolution=64)
+    pa = InferencePipeline(cfg_a, seed=0)
+    pb = InferencePipeline(cfg_b, seed=0)
+
+    async def run():
+        mv = MultiVariantServer({
+            cfg_a.variant_name(): MicroBatchServer(pa, max_batch=4,
+                                                   max_delay_ms=1.0),
+            cfg_b.variant_name(): MicroBatchServer(pb, max_batch=4,
+                                                   max_delay_ms=1.0),
+        })
+        await mv.start()
+        # serve-path images are pre-sized per variant (host decode path)
+        img_a = np.zeros((128, 128, 3), np.uint8)
+        img_b = np.zeros((64, 64, 3), np.uint8)
+        t_default = await mv.submit(img_a)
+        t_b = await mv.submit(img_b, variant=cfg_b.variant_name())
+        with pytest.raises(ValueError, match="unknown variant"):
+            await mv.submit(img_a, variant="nope")
+        # routing is observable in the per-variant stats
+        sa = mv.servers[cfg_a.variant_name()].stats.requests
+        sb = mv.servers[cfg_b.variant_name()].stats.requests
+        await mv.close()
+        return t_default, t_b, sa, sb
+
+    t_default, t_b, sa, sb = asyncio.run(run())
+    assert len(t_default) == 5 and len(t_b) == 5
+    assert sa == 1 and sb == 1  # default went to the first variant
+
+
+def test_multi_variant_tcp_roundtrip():
+    """The NDJSON front end routes the optional "variant" field."""
+    import base64
+    import json as _json
+
+    from mobilenet_tpu.runtime.serving import (
+        MicroBatchServer, MultiVariantServer, make_tcp_server)
+
+    cfg_a = ModelConfig(alpha=0.25, resolution=64)
+    cfg_b = ModelConfig(alpha=0.25, resolution=128)
+    pa = InferencePipeline(cfg_a, seed=0)
+    pb = InferencePipeline(cfg_b, seed=0)
+
+    async def run():
+        mv = MultiVariantServer({
+            cfg_a.variant_name(): MicroBatchServer(pa, max_batch=2,
+                                                   max_delay_ms=1.0),
+            cfg_b.variant_name(): MicroBatchServer(pb, max_batch=2,
+                                                   max_delay_ms=1.0),
+        })
+        await mv.start()
+        srv = await make_tcp_server(mv, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        img_a = np.zeros((64, 64, 3), np.uint8)    # default variant res
+        img_b = np.zeros((128, 128, 3), np.uint8)  # cfg_b res
+        for rid, img, variant in [(1, img_a, None),
+                                  (2, img_b, cfg_b.variant_name()),
+                                  (3, img_a, "bogus")]:
+            req = {"id": rid, "shape": list(img.shape),
+                   "image_b64": base64.b64encode(img.tobytes()).decode()}
+            if variant:
+                req["variant"] = variant
+            writer.write((_json.dumps(req) + "\n").encode())
+        await writer.drain()
+        resps = [_json.loads(await reader.readline()) for _ in range(3)]
+        writer.close()
+        srv.close()
+        await srv.wait_closed()
+        await mv.close()
+        return {r["id"]: r for r in resps}
+
+    by_id = asyncio.run(run())
+    assert "top" in by_id[1] and "top" in by_id[2]
+    assert "unknown variant" in by_id[3]["error"]
