@@ -488,6 +488,7 @@ def cmd_serve(args):
         streams=args.streams, port=args.port, seed=args.seed,
         int8=getattr(args, "int8", False), dp=args.dp, params=params,
         variants=(args.variants.split(",") if args.variants else None),
+        selftest_only=not args.tcp,
     )
 
 
@@ -497,12 +498,19 @@ def cmd_warmup(args):
     processes on this platform) then serves every later pipeline/server at
     dispatch speed. The reference analog is loading the FPGA bitstream once
     per configuration before traffic (SURVEY.md SS5 one-bitstream-per-config
-    flow); here one jit entry per (variant, batch, dtype) is the bitstream."""
+    flow); here one jit entry per (variant, batch, dtype) is the bitstream.
+
+    Bucket parity with serving is structural, not copied: the default batch
+    list comes from the same `default_buckets(--streams, mesh)` the server
+    itself uses, the pipeline from the same `build_pipeline` (incl. --dp
+    mesh sharding — a dp-sharded jit entry is a different compile than the
+    unsharded one)."""
     import time as _time
 
     import numpy as np  # noqa: PLC0415
 
     from .config import ModelConfig
+    from .runtime.serving import build_pipeline, default_buckets
 
     cfg = ModelConfig(alpha=args.alpha, resolution=args.res,
                       compute_dtype=args.dtype)
@@ -511,15 +519,19 @@ def cmd_warmup(args):
         from .checkpoints import load_npz
 
         params = load_npz(args.ckpt)
-    if args.int8:
-        from .quant.model import Int8Pipeline
+    mesh = None
+    if args.dp > 1:
+        from .parallel.mesh import make_mesh
 
-        pipe = Int8Pipeline(cfg, seed=args.seed, params=params)
-    else:
-        from .runtime.pipeline import InferencePipeline
-
-        pipe = InferencePipeline(cfg, seed=args.seed, params=params)
-    batches = sorted({int(b) for b in args.batches.split(",")})
+        mesh = make_mesh(args.dp, model_parallel=1)
+    pipe = build_pipeline(cfg, args.seed, mesh, params, args.int8)
+    batches = (
+        {int(b) for b in args.batches.split(",")} if args.batches
+        else set(default_buckets(args.streams, mesh))
+    )
+    if args.batch is not None:  # an explicitly requested extra entry
+        batches.add(int(args.batch))
+    batches = sorted(batches)
     res = cfg.resolution
     for b in batches:
         img = np.zeros((b, res, res, 3), np.uint8)
@@ -530,7 +542,8 @@ def cmd_warmup(args):
               f"({'cached' if _time.perf_counter() - t0 < 5 else 'compiled'})",
               flush=True)
     print(f"WARMUP OK: {cfg.variant_name()} "
-          f"{'int8' if args.int8 else args.dtype} batches={batches}")
+          f"{'int8' if args.int8 else args.dtype} batches={batches}"
+          f"{f' dp={args.dp}' if args.dp > 1 else ''}")
 
 
 def main(argv=None):
@@ -653,16 +666,25 @@ def main(argv=None):
                     help='serve several variants from one process, e.g. '
                          '"0.25:128,1.0:224" (first = default; requests '
                          'route with a "variant" field)')
+    sp.add_argument("--tcp", action="store_true",
+                    help="after the selftest, bind the NDJSON TCP front end "
+                         "on --port and serve until killed")
     common(sp, 32)
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("warmup")
     sp.add_argument("--int8", action="store_true",
                     help="warm the INT8 fixed-point entries")
-    sp.add_argument("--batches", default="1,8,64",
-                    help="comma list of batch sizes to precompile (default "
-                         "= the serving buckets)")
-    common(sp, 64)
+    sp.add_argument("--batches", default=None,
+                    help="comma list of batch sizes to precompile (default: "
+                         "the exact serving buckets for --streams/--dp)")
+    sp.add_argument("--streams", type=int, default=64,
+                    help="the --streams the production server will run with "
+                         "(determines its bucket sizes)")
+    sp.add_argument("--dp", type=int, default=1,
+                    help="match `serve --dp N`: dp-sharded jit entries are "
+                         "distinct compiles from the unsharded ones")
+    common(sp, None)
     sp.set_defaults(fn=cmd_warmup)
 
     args = p.parse_args(argv)

@@ -69,6 +69,19 @@ class ServerStats:
         self.bucket_counts.clear()
 
 
+def default_buckets(max_batch: int, mesh=None) -> List[int]:
+    """The serving batch tiers precompiled for a `max_batch`-stream server:
+    {1, max_batch//8, max_batch}, each rounded up to a multiple of the
+    data-parallel width when a mesh is given (every bucket must shard evenly).
+    Shared by MicroBatchServer and `cli warmup` so what warmup compiles is
+    exactly what serving dispatches."""
+    cand = {1, max(1, max_batch // 8), max_batch}
+    if mesh is not None:
+        dp = int(mesh.devices.size)
+        cand = {max(dp, -(-b // dp) * dp) for b in cand}
+    return sorted(cand)
+
+
 class MicroBatchServer:
     """Micro-batching inference server over an InferencePipeline."""
 
@@ -112,14 +125,8 @@ class MicroBatchServer:
         self._closed = False
         res = pipeline.config.resolution
         if batch_buckets is None:
-            cand = {1, max(1, max_batch // 8), max_batch}
-            mesh = getattr(pipeline, "mesh", None)
-            if mesh is not None:
-                # Every bucket must shard evenly over the pipeline's
-                # data-parallel mesh: round tier sizes up to dp multiples.
-                dp = int(mesh.devices.size)
-                cand = {max(dp, -(-b // dp) * dp) for b in cand}
-            batch_buckets = sorted(cand)
+            batch_buckets = default_buckets(
+                max_batch, getattr(pipeline, "mesh", None))
         buckets = sorted(set(int(b) for b in batch_buckets))
         if not buckets or buckets[-1] != max_batch or buckets[0] < 1:
             raise ValueError(
@@ -355,7 +362,54 @@ class MultiVariantServer:
         return await server.submit(image_u8, top_k=top_k)
 
 
-def _build_pipeline(cfg, seed, mesh, params, int8):
+async def selftest_multi(server: "MultiVariantServer", streams: int = 64,
+                         requests_per_stream: int = 8) -> Dict[str, Any]:
+    """Concurrent MIXED load across every served variant: stream s pins to
+    variant s % n_variants and all streams are in flight together, so the
+    device interleaves batches of different configs — the scenario the
+    reference cannot express at all (one bitstream per config, SURVEY.md SS5).
+    Reports aggregate throughput plus per-variant p50/p99."""
+    names = sorted(server.servers)
+    rng = np.random.default_rng(0)
+    frames = {
+        n: rng.integers(0, 256, (8, s.pipeline.config.resolution,
+                                 s.pipeline.config.resolution, 3),
+                        dtype=np.uint8)
+        for n, s in server.servers.items()
+    }
+    lat: Dict[str, List[float]] = {n: [] for n in names}
+    errors_before = sum(s.stats.errors for s in server.servers.values())
+
+    async def one_stream(sid: int):
+        name = names[sid % len(names)]
+        for k in range(requests_per_stream):
+            t0 = time.perf_counter()
+            await server.submit(frames[name][(sid + k) % 8], variant=name)
+            lat[name].append(time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    await asyncio.gather(*(one_stream(s) for s in range(streams)))
+    wall = time.perf_counter() - t0
+    n = streams * requests_per_stream
+    return {
+        "mode": "mixed-variants",
+        "streams": streams,
+        "requests": n,
+        "images_per_sec": n / wall,
+        "per_variant_p50_ms": {
+            name: float(np.percentile(v, 50) * 1e3)
+            for name, v in lat.items() if v
+        },
+        "per_variant_p99_ms": {
+            name: float(np.percentile(v, 99) * 1e3)
+            for name, v in lat.items() if v
+        },
+        "errors": sum(s.stats.errors for s in server.servers.values())
+                  - errors_before,
+    }
+
+
+def build_pipeline(cfg, seed, mesh, params, int8):
     if int8:
         # Quantized serving — the reference's multi-stream mode ran its
         # fixed-point FPGA pipeline (SURVEY.md SS2 C7/C12).
@@ -365,6 +419,28 @@ def _build_pipeline(cfg, seed, mesh, params, int8):
     from .pipeline import InferencePipeline
 
     return InferencePipeline(cfg, seed=seed, mesh=mesh, params=params)
+
+
+def build_server(cfgs: Dict[str, ModelConfig], streams: int, *, seed: int = 0,
+                 mesh=None, params=None, int8: bool = False,
+                 multi: bool = False):
+    """Build the serving object for `cfgs` ({variant_name: ModelConfig}).
+
+    `multi=True` (any --variants deployment, even a single-entry list) always
+    wraps in MultiVariantServer: its clients name variants in requests, which
+    a bare MicroBatchServer.submit would reject with a TypeError. Returns
+    (server, {name: MicroBatchServer}) — the dict gives selftests/stat
+    readers per-variant access either way."""
+    servers = {
+        name: MicroBatchServer(
+            build_pipeline(c, seed, mesh, params, int8), max_batch=streams)
+        for name, c in cfgs.items()
+    }
+    if multi:
+        return MultiVariantServer(servers), servers
+    if len(servers) != 1:
+        raise ValueError("multiple configs require multi=True")
+    return next(iter(servers.values())), servers
 
 
 def serve_main(alpha: float, res: int, dtype: str, streams: int, port: int,
@@ -404,27 +480,22 @@ def serve_main(alpha: float, res: int, dtype: str, streams: int, port: int,
         cfgs = {cfg.variant_name(): cfg}
 
     async def run():
-        servers = {
-            name: MicroBatchServer(
-                _build_pipeline(c, seed, mesh, params, int8),
-                max_batch=streams)
-            for name, c in cfgs.items()
-        }
-        if len(servers) == 1:
-            server = next(iter(servers.values()))
-        else:
-            server = MultiVariantServer(servers)
+        server, servers = build_server(
+            cfgs, streams, seed=seed, mesh=mesh, params=params, int8=int8,
+            multi=bool(variants))
         await server.start()
-        if len(servers) == 1:
-            stats = await selftest(next(iter(servers.values())),
-                                   streams=streams)
-            print(json.dumps(stats))
-        else:
-            for name, sub in servers.items():
-                stats = await selftest(
-                    sub, streams=max(1, streams // len(servers)))
+        for name, sub in servers.items():
+            stats = await selftest(
+                sub, streams=max(1, streams // len(servers)))
+            if variants:
                 stats["variant"] = name
-                print(json.dumps(stats))
+            print(json.dumps(stats))
+        if variants and len(servers) > 1:
+            # The multi-variant point: all variants under concurrent load
+            # from ONE process (per-variant selftests above are sequential).
+            for sub in servers.values():
+                sub.stats.reset_window()
+            print(json.dumps(await selftest_multi(server, streams=streams)))
         if not selftest_only:
             print(f"serving on tcp://0.0.0.0:{port} "
                   f"(variants: {sorted(cfgs)})")

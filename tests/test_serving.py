@@ -372,3 +372,69 @@ def test_multi_variant_tcp_roundtrip():
     by_id = asyncio.run(run())
     assert "top" in by_id[1] and "top" in by_id[2]
     assert "unknown variant" in by_id[3]["error"]
+
+def test_selftest_multi_mixed_concurrent_load():
+    """selftest_multi drives every variant concurrently from one process;
+    per-variant latencies are reported and both sub-servers see traffic."""
+    from mobilenet_tpu.runtime.serving import (
+        MultiVariantServer, selftest_multi)
+
+    cfg_a = ModelConfig(alpha=0.25, resolution=64)
+    cfg_b = ModelConfig(alpha=0.25, resolution=128)
+    pa = InferencePipeline(cfg_a, seed=0)
+    pb = InferencePipeline(cfg_b, seed=0)
+
+    async def run():
+        mv = MultiVariantServer({
+            cfg_a.variant_name(): MicroBatchServer(pa, max_batch=4,
+                                                   max_delay_ms=1.0),
+            cfg_b.variant_name(): MicroBatchServer(pb, max_batch=4,
+                                                   max_delay_ms=1.0),
+        })
+        await mv.start()
+        stats = await selftest_multi(mv, streams=4, requests_per_stream=2)
+        per_variant = {n: s.stats.requests for n, s in mv.servers.items()}
+        await mv.close()
+        return stats, per_variant
+
+    stats, per_variant = asyncio.run(run())
+    assert stats["errors"] == 0
+    assert stats["requests"] == 8
+    assert set(stats["per_variant_p50_ms"]) == set(per_variant)
+    assert all(v == 4 for v in per_variant.values())  # 2 streams x 2 reqs
+
+
+def test_build_server_single_entry_variants_wraps_multi():
+    """A single-entry --variants list still serves a MultiVariantServer:
+    clients of a --variants deployment name the variant in requests."""
+    from mobilenet_tpu.runtime.serving import MultiVariantServer, build_server
+
+    cfg = ModelConfig(alpha=0.25, resolution=64)
+    name = cfg.variant_name()
+
+    async def run():
+        server, servers = build_server({name: cfg}, streams=2, multi=True)
+        assert isinstance(server, MultiVariantServer)
+        await server.start()
+        img = np.zeros((64, 64, 3), np.uint8)
+        top = await server.submit(img, variant=name)  # named request works
+        await server.close()
+        return top
+
+    assert len(asyncio.run(run())) == 5
+
+
+def test_warmup_bucket_parity_with_server():
+    """cli warmup's default batch list is exactly the buckets the production
+    MicroBatchServer precompiles (shared default_buckets), incl. dp rounding."""
+    from types import SimpleNamespace
+
+    from mobilenet_tpu.runtime.serving import default_buckets
+
+    cfg = ModelConfig(alpha=0.25, resolution=64)
+    pipe = InferencePipeline(cfg, seed=0)
+    server = MicroBatchServer(pipe, max_batch=64)
+    assert default_buckets(64) == server.batch_buckets == [1, 8, 64]
+    # dp rounding: every bucket a multiple of the mesh width
+    fake_mesh = SimpleNamespace(devices=np.zeros(4))
+    assert default_buckets(64, fake_mesh) == [4, 8, 64]
