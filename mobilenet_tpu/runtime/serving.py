@@ -142,6 +142,21 @@ class MicroBatchServer:
         for b in buckets:
             self.pipeline.run_batch(self._pad_templates[b])
 
+    def stats_dict(self) -> Dict[str, Any]:
+        """Live counters for the TCP `{"cmd": "stats"}` probe (the
+        reference's printf-timing observability analog, SURVEY.md SS5)."""
+        s = self.stats
+        return {
+            "requests": s.requests,
+            "batches": s.batches,
+            "errors": s.errors,
+            "retries": s.retries,
+            "mean_batch_fill": s.batch_fill / max(s.batches, 1),
+            "bucket_counts": {str(k): v
+                              for k, v in sorted(s.bucket_counts.items())},
+            "buckets": list(self.batch_buckets),
+        }
+
     async def start(self):
         self._task = asyncio.create_task(self._batcher_loop())
 
@@ -251,6 +266,12 @@ async def make_tcp_server(server: MicroBatchServer, host: str, port: int):
             req = None
             try:
                 req = json.loads(line)
+                if req.get("cmd") == "stats":  # observability probe
+                    writer.write((json.dumps(
+                        {"id": req.get("id"), "stats": server.stats_dict()}
+                    ) + "\n").encode())
+                    await writer.drain()
+                    continue
                 img = np.frombuffer(
                     base64.b64decode(req["image_b64"]), np.uint8
                 ).reshape(req["shape"])
@@ -360,6 +381,12 @@ class MultiVariantServer:
                 f"unknown variant {name!r}; serving {sorted(self.servers)}"
             ) from None
         return await server.submit(image_u8, top_k=top_k)
+
+    def stats_dict(self) -> Dict[str, Any]:
+        return {
+            "default": self.default,
+            "variants": {n: s.stats_dict() for n, s in self.servers.items()},
+        }
 
 
 async def selftest_multi(server: "MultiVariantServer", streams: int = 64,

@@ -438,3 +438,44 @@ def test_warmup_bucket_parity_with_server():
     # dp rounding: every bucket a multiple of the mesh width
     fake_mesh = SimpleNamespace(devices=np.zeros(4))
     assert default_buckets(64, fake_mesh) == [4, 8, 64]
+
+
+def test_tcp_stats_probe():
+    """{"cmd": "stats"} on the NDJSON front end returns live counters —
+    per-variant when serving a MultiVariantServer."""
+    import base64
+    import json as _json
+
+    from mobilenet_tpu.runtime.serving import (
+        MicroBatchServer, MultiVariantServer, make_tcp_server)
+
+    cfg = ModelConfig(alpha=0.25, resolution=64)
+    name = cfg.variant_name()
+    pipe = InferencePipeline(cfg, seed=0)
+
+    async def run():
+        mv = MultiVariantServer(
+            {name: MicroBatchServer(pipe, max_batch=2, max_delay_ms=1.0)})
+        await mv.start()
+        srv = await make_tcp_server(mv, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        img = np.zeros((64, 64, 3), np.uint8)
+        req = {"id": 1, "shape": list(img.shape),
+               "image_b64": base64.b64encode(img.tobytes()).decode()}
+        writer.write((_json.dumps(req) + "\n").encode())
+        writer.write((_json.dumps({"id": 2, "cmd": "stats"}) + "\n").encode())
+        await writer.drain()
+        r1 = _json.loads(await reader.readline())
+        r2 = _json.loads(await reader.readline())
+        writer.close()
+        srv.close()
+        await srv.wait_closed()
+        await mv.close()
+        return r1, r2
+
+    r1, r2 = asyncio.run(run())
+    assert "top" in r1
+    v = r2["stats"]["variants"][name]
+    assert v["requests"] == 1 and v["errors"] == 0
+    assert v["buckets"] == [1, 2]
