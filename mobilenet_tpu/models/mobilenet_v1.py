@@ -25,6 +25,15 @@ from ..ops import conv as ops
 #   "fused"  — fused dw+pw Pallas block (dw result never leaves VMEM)
 DW_BACKENDS = ("xla", "pallas", "fused")
 
+# Collapse eligible fused runs (the 14^2 stretch) into the systolic chain
+# kernel at BATCH 1, where the forward is launch-gap-dominated: measured on
+# v5e at 1.0-224 the chain is ~5% ahead (0.1138 vs 0.1193 ms medians over
+# 11 interleaved RTT-cancelled rounds, wins 9/11, bit-identical probs —
+# tools/ab_chain_b1.py). At batch >= 2 the per-block pipeline already
+# overlaps the stretch's HBM traffic (measured wash at 256, docs/design.md
+# SS5), so the chain stays off there unless CHAIN_SYSTOLIC_F forces it.
+CHAIN_AT_BATCH1 = True
+
 
 def _routing(config: ModelConfig, use_pallas_dw, dw_backend, batch: int):
     """Resolve the per-block backend list (len == 13).
@@ -159,10 +168,12 @@ def _run_blocks(params, y, config, routing, relu6, acts=None, start: int = 0,
     collect = acts is not None
     from ..ops import pallas_chain_systolic as pcs  # noqa: PLC0415
 
+    chain_on = pcs.CHAIN_SYSTOLIC_F or (CHAIN_AT_BATCH1
+                                        and int(y.shape[0]) == 1)
     chain_runs = (
         _chain_runs(params, config, routing, y.shape,
                     jnp.dtype(y.dtype).itemsize, start=start)
-        if pcs.CHAIN_SYSTOLIC_F and not collect and stop is None else {}
+        if chain_on and not collect and stop is None else {}
     )
     skip_until = start
     for i, (blk, stride) in enumerate(zip(params["blocks"], config.block_strides)):

@@ -95,3 +95,44 @@ def test_chain_runs_spatial_uses_tf_same_ceil(monkeypatch):
     # 13 -> 7 -> 4 at the C=128 chain stretch where chain_fits is probed
     mobilenet_v1._chain_runs(params, cfg, routing, (2, 25, 25, 8), 2)
     assert seen and set(seen) == {4}  # floor arithmetic would probe hh=3
+
+
+def test_batch1_auto_routing_uses_chain_and_matches():
+    """At batch 1 (launch-gap-dominated, measured win — tools/ab_chain_b1.py)
+    the auto routing collapses the eligible stretch into the chain kernel;
+    probs must match the per-block path."""
+    import numpy as np
+
+    from mobilenet_tpu import ModelConfig
+    from mobilenet_tpu.checkpoints import fold_bn, init_params, to_device
+    from mobilenet_tpu.models import mobilenet_v1
+    from mobilenet_tpu.ops import preprocess as prep
+
+    cfg = ModelConfig(alpha=0.25, resolution=128)
+    params = to_device(fold_bn(init_params(cfg, seed=0), eps=cfg.bn_eps),
+                       dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = prep.preprocess(
+        jnp.asarray(rng.integers(0, 256, (1, 128, 128, 3), dtype=np.uint8)),
+        cfg.resolution, jnp.bfloat16)
+
+    # the batch-1 eligibility itself (blocks 6-10: 8x8, 128ch at alpha=0.25)
+    runs = mobilenet_v1._chain_runs(
+        params, cfg, mobilenet_v1._routing(cfg, False, "auto", 1),
+        x.shape, 2)
+    assert runs.get(6) == 5, runs
+
+    probs_auto = np.asarray(jax.jit(
+        lambda x: mobilenet_v1.predict_probs(params, x, cfg,
+                                             dw_backend="auto"))(x),
+        np.float32)  # CHAIN_AT_BATCH1 path
+    try:
+        mobilenet_v1.CHAIN_AT_BATCH1 = False
+        probs_blocks = np.asarray(jax.jit(
+            lambda x: mobilenet_v1.predict_probs(params, x, cfg,
+                                                 dw_backend="auto"))(x),
+            np.float32)
+    finally:
+        mobilenet_v1.CHAIN_AT_BATCH1 = True
+    np.testing.assert_allclose(probs_auto, probs_blocks, atol=1e-6)
+    assert int(np.argmax(probs_auto)) == int(np.argmax(probs_blocks))
