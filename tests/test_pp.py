@@ -1,0 +1,93 @@
+"""Pipeline parallelism (parallel/pp.py) on the virtual CPU mesh.
+
+The GPipe schedule runs as one scanned shard_map program; these tests pin
+the stage-planning invariants and the end-to-end equivalence of the
+pipelined forward/train step against the single-device program.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mobilenet_tpu import ModelConfig
+from mobilenet_tpu.checkpoints import fold_bn, init_params
+from mobilenet_tpu.models import mobilenet_v1 as mv1
+from mobilenet_tpu.models.train import sgd_train_step
+from mobilenet_tpu.parallel import pp
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig(alpha=0.25, resolution=64)
+    params = fold_bn(init_params(cfg, seed=0), eps=cfg.bn_eps)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(-1, 1, (8, 64, 64, 3)), jnp.float32)
+    return cfg, params, x
+
+
+def test_plan_stages_partition(setup):
+    cfg, params, _ = setup
+    for s in (1, 2, 4, 8, pp.N_UNITS):
+        bounds = pp.plan_stages(cfg, params, s)
+        assert len(bounds) == s
+        assert bounds[0][0] == 0 and bounds[-1][1] == pp.N_UNITS
+        for (a, b), (c, d) in zip(bounds, bounds[1:]):
+            assert b == c and b > a and d > c  # contiguous, non-empty
+    with pytest.raises(ValueError):
+        pp.plan_stages(cfg, params, pp.N_UNITS + 1)
+
+
+def test_plan_stages_balanced(setup):
+    """No stage should carry more than half the total MACs at S=4."""
+    cfg, params, _ = setup
+    costs = pp._unit_costs(cfg, params)
+    bounds = pp.plan_stages(cfg, params, 4)
+    loads = [sum(costs[a:b]) for a, b in bounds]
+    assert max(loads) < 0.5 * sum(costs), loads
+
+
+@pytest.mark.parametrize("n_stages,n_micro", [(2, 4), (4, 8), (8, 8)])
+def test_forward_pp_matches_single_device(setup, n_stages, n_micro):
+    cfg, params, x = setup
+    mesh = pp.make_pipe_mesh(n_stages)
+    lg_pp = np.asarray(
+        pp.forward_pp(params, x, cfg, mesh, n_microbatches=n_micro))
+    lg_1 = np.asarray(mv1.forward(params, x, cfg, dw_backend="xla"))
+    np.testing.assert_allclose(lg_pp, lg_1, atol=2e-5, rtol=1e-4)
+
+
+def test_forward_pp_fused_routing(setup):
+    """Fused Pallas blocks run inside the switched stage bodies."""
+    cfg, params, x = setup
+    mesh = pp.make_pipe_mesh(4)
+    lg_pp = np.asarray(
+        pp.forward_pp(params, x, cfg, mesh, dw_backend="fused"))
+    lg_1 = np.asarray(mv1.forward(params, x, cfg, dw_backend="fused"))
+    np.testing.assert_allclose(lg_pp, lg_1, atol=2e-5, rtol=1e-4)
+
+
+def test_forward_pp_bad_microbatch_count(setup):
+    cfg, params, x = setup
+    mesh = pp.make_pipe_mesh(2)
+    with pytest.raises(ValueError, match="not divisible"):
+        pp.forward_pp(params, x, cfg, mesh, n_microbatches=3)
+
+
+def test_pp_train_step_matches_single_device(setup):
+    """grad through scan+switch+ppermute == single-device grad."""
+    cfg, params, x = setup
+    labels = jnp.asarray(
+        np.random.default_rng(3).integers(0, cfg.num_classes, (8,)), jnp.int32)
+    mesh = pp.make_pipe_mesh(4)
+    new_pp, loss_pp = jax.jit(
+        lambda p, x, y: pp.pp_train_step(p, x, y, cfg, mesh))(
+            params, x, labels)
+    new_1, loss_1 = jax.jit(
+        lambda p, x, y: sgd_train_step(p, x, y, cfg, lr=1e-3))(
+            params, x, labels)
+    assert abs(float(loss_pp) - float(loss_1)) < 1e-6
+    deltas = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        new_pp, new_1)
+    assert max(jax.tree.leaves(deltas)) < 1e-6
