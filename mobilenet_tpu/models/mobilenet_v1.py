@@ -29,9 +29,12 @@ DW_BACKENDS = ("xla", "pallas", "fused")
 # kernel at BATCH 1, where the forward is launch-gap-dominated: measured on
 # v5e at 1.0-224 the chain is ~5% ahead (0.1138 vs 0.1193 ms medians over
 # 11 interleaved RTT-cancelled rounds, wins 9/11, bit-identical probs —
-# tools/ab_chain_b1.py). At batch >= 2 the per-block pipeline already
-# overlaps the stretch's HBM traffic (measured wash at 256, docs/design.md
-# SS5), so the chain stays off there unless CHAIN_SYSTOLIC_F forces it.
+# tools/ab_chain_b1.py), ~14% ahead at 0.75-128 (0.0498 vs 0.0579, 5/5
+# rounds) and a wash at 0.25-128 (0.0456 vs 0.0463) — wins or ties at
+# every measured config (benchmarks/hw_gates_v5e.md). At batch >= 2 the
+# per-block pipeline already overlaps the stretch's HBM traffic (measured
+# wash at 256, docs/design.md SS5), so the chain stays off there unless
+# CHAIN_SYSTOLIC_F forces it.
 CHAIN_AT_BATCH1 = True
 
 

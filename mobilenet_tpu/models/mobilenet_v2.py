@@ -1,0 +1,217 @@
+"""MobileNet-V2: the second model family, built on the same TPU-native ops.
+
+The reference implements MobileNet-V1 only; V2 (Sandler et al. 2018,
+inverted residuals + linear bottlenecks) demonstrates that the framework's
+kernels, oracles, runtime, and parallelism generalize beyond one network.
+Layer schedule verified against keras applications/mobilenet_v2.py (the
+(t, c, n, s) table at :96-110, `_make_divisible` at :505-513) — the same
+citation style as config.py's V1 table.
+
+TPU mapping (reusing the measured V1 design, docs/design.md):
+
+  expand 1x1   -> MXU matmul with fused BN+ReLU6 epilogue (ops.conv.
+                  pointwise_conv — identical op to V1's pw layers)
+  dw 3x3 + project 1x1
+               -> EITHER the XLA grouped conv + matmul pair ("xla",
+                  always-correct, differentiable), OR the fused V1 Pallas
+                  block ("fused"): its `pw_epilogue=False` mode emits the
+                  raw f32 pointwise accumulation — exactly V2's LINEAR
+                  bottleneck projection — so the dw intermediate (the
+                  widest tensor, t*C channels) never touches HBM. Bias and
+                  the residual add apply after the kernel; no new kernel
+                  code was needed for a whole new model family.
+  residual     -> elementwise add, fused by XLA into the preceding op.
+
+Default routing is "xla" (V2 throughput has not been chip-raced the way
+V1's was — benchmarks/routing_crossover_v5e.jsonl; "fused" is available,
+oracle-gated, and selectable per block, so the same measure-then-ship
+workflow applies when a deployment wants it).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import conv as ops
+
+# (expansion t, base channels c, repeats n, first stride s) —
+# keras mobilenet_v2.py:96-110 / the paper's Table 2.
+V2_T_C_N_S: Tuple[Tuple[int, int, int, int], ...] = (
+    (1, 16, 1, 1),
+    (6, 24, 2, 2),
+    (6, 32, 3, 2),
+    (6, 64, 4, 2),
+    (6, 96, 3, 1),
+    (6, 160, 3, 2),
+    (6, 320, 1, 1),
+)
+
+V2_ALPHAS = (0.35, 0.5, 0.75, 1.0, 1.3, 1.4)  # keras pretrained grid
+
+
+def make_divisible(v: float, divisor: int = 8,
+                   min_value: Optional[int] = None) -> int:
+    """Channel rounding, bit-for-bit the keras/TF `_make_divisible`."""
+    if min_value is None:
+        min_value = divisor
+    new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+@dataclasses.dataclass(frozen=True)
+class V2Config:
+    """Static description of one MobileNet-V2 variant (frozen + hashable,
+    the one-bitstream-per-config analog — same contract as V1's
+    ModelConfig)."""
+
+    alpha: float = 1.0
+    resolution: int = 224
+    num_classes: int = 1000
+    bn_eps: float = 1e-3
+    compute_dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.alpha not in V2_ALPHAS:
+            raise ValueError(f"alpha must be one of {V2_ALPHAS}, got {self.alpha}")
+        if self.resolution % 32 != 0:
+            raise ValueError(
+                f"resolution must be divisible by 32, got {self.resolution}")
+
+    @property
+    def relu6(self) -> bool:  # V2 always uses ReLU6 (paper §3.2)
+        return True
+
+    @property
+    def stem_channels(self) -> int:
+        return make_divisible(32 * self.alpha)
+
+    @property
+    def block_defs(self) -> Tuple[Tuple[int, int, int, int], ...]:
+        """Expanded per-block (t, cin, cout, stride), len == 17."""
+        out = []
+        cin = self.stem_channels
+        for t, c, n, s in V2_T_C_N_S:
+            cout = make_divisible(c * self.alpha)
+            for j in range(n):
+                out.append((t, cin, cout, s if j == 0 else 1))
+                cin = cout
+        return tuple(out)
+
+    @property
+    def last_channels(self) -> int:
+        # keras: alpha scales the last conv only upward (alpha > 1.0)
+        if self.alpha > 1.0:
+            return make_divisible(1280 * self.alpha)
+        return 1280
+
+    @property
+    def final_spatial(self) -> int:
+        return self.resolution // 32
+
+    def variant_name(self) -> str:
+        return f"mobilenet_v2_{self.alpha:g}_{self.resolution}"
+
+
+def _routing_v2(config: V2Config, dw_backend) -> Tuple[str, ...]:
+    """Per-block backend list (len == 17). "xla" | "fused" | tuple."""
+    n = len(config.block_defs)
+    if dw_backend in (None, "auto"):
+        dw_backend = "xla"
+    if isinstance(dw_backend, str):
+        assert dw_backend in ("xla", "fused"), dw_backend
+        return (dw_backend,) * n
+    assert len(dw_backend) == n, dw_backend
+    return tuple(dw_backend)
+
+
+def forward_v2(
+    params: Dict[str, Any],
+    x: jax.Array,
+    config: V2Config,
+    *,
+    dw_backend=None,
+    collect: bool = False,
+) -> Any:
+    """Run MobileNet-V2 on a folded-BN params pytree (checkpoints.v2).
+
+    x: (N, H, W, 3) preprocessed images in [-1, 1] (same TF-family
+    normalization as V1 — keras mobilenet_v2 uses preprocess mode='tf').
+
+    collect=True returns (logits, {layer_name: activation}) with the per
+    -layer oracle taps: conv1, block{i:02d}_exp/_dw/_prj (and _out where a
+    residual applies), conv_last, pool, logits — the V2 twin of V1's
+    load-bearing layer names (CLAUDE.md invariants).
+    """
+    acts: Dict[str, jax.Array] = {}
+    routing = _routing_v2(config, dw_backend)
+
+    y = ops.conv2d_same(x, params["conv1"]["w"], 2,
+                        bias=params["conv1"]["b"], relu6=True)
+    if collect:
+        acts["conv1"] = y
+
+    for i, ((t, cin, cout, stride), blk) in enumerate(
+            zip(config.block_defs, params["blocks"])):
+        z = y
+        if "exp" in blk:  # t == 1 blocks have no expansion conv (keras :432)
+            z = ops.pointwise_conv(z, blk["exp"]["w"],
+                                   bias=blk["exp"]["b"], relu6=True)
+            if collect:
+                acts[f"block{i:02d}_exp"] = z
+        if routing[i] == "fused" and not collect:
+            # V1's fused dw+pw kernel with pw_epilogue=False: the raw f32
+            # pointwise accumulation IS the linear bottleneck projection.
+            from ..ops.pallas_block import separable_block_pallas  # noqa: PLC0415
+
+            acc = separable_block_pallas(
+                z, blk["dw"]["w"], blk["dw"]["b"],
+                blk["prj"]["w"], blk["prj"]["b"], stride, True,
+                pw_epilogue=False)
+            out = (acc + blk["prj"]["b"].astype(acc.dtype)).astype(x.dtype)
+        else:
+            zd = ops.depthwise_conv_xla(z, blk["dw"]["w"], stride,
+                                        bias=blk["dw"]["b"], relu6=True)
+            if collect:
+                acts[f"block{i:02d}_dw"] = zd
+            out = ops.pointwise_conv(zd, blk["prj"]["w"],
+                                     bias=blk["prj"]["b"], relu6=None)
+        if collect:
+            acts[f"block{i:02d}_prj"] = out
+        if stride == 1 and cin == cout:
+            out = out + y  # inverted residual (paper Fig. 3)
+            if collect:
+                acts[f"block{i:02d}_out"] = out
+        y = out
+
+    y = ops.pointwise_conv(y, params["conv_last"]["w"],
+                           bias=params["conv_last"]["b"], relu6=True)
+    if collect:
+        acts["conv_last"] = y
+    pooled = ops.global_avg_pool(y)
+    if collect:
+        acts["pool"] = pooled
+    logits = ops.fc(pooled, params["fc"]["w"], params["fc"]["b"])
+    if collect:
+        acts["logits"] = logits
+        return logits, acts
+    return logits
+
+
+def predict_probs_v2(params, x, config: V2Config, **kw) -> jax.Array:
+    return jax.nn.softmax(
+        forward_v2(params, x, config, **kw).astype(jnp.float32), axis=-1)
+
+
+def predict_probs_v2_u8(params, images_u8, config: V2Config, *,
+                        dtype=jnp.float32, **kw) -> jax.Array:
+    """uint8 NHWC at any size -> probs (device resize/normalize, like V1)."""
+    from ..ops import preprocess as prep  # noqa: PLC0415
+
+    x = prep.preprocess(images_u8, config.resolution, dtype)
+    return predict_probs_v2(params, x, config, **kw)
