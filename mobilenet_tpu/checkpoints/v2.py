@@ -1,0 +1,110 @@
+"""MobileNet-V2 weight init + BN folding (twin of io.py's V1 functions).
+
+Pytree layout (folded form consumed by models.mobilenet_v2.forward_v2):
+
+    conv1:     {w (3,3,3,C1), b (C1,)}
+    blocks[i]: {exp: {w (Cin, t*Cin), b}?,   # absent when t == 1
+                dw:  {w (3,3,1,Ce), b},
+                prj: {w (Ce, Cout), b}}      # LINEAR (bias only, no act)
+    conv_last: {w (C, 1280), b}
+    fc:        {w (1280, classes), b}
+
+The raw (unfolded) form carries {w, bn{gamma,beta,mean,var}} per conv, like
+io.init_params; folding math is identical (float64 intermediate so device
+path and oracles agree — io.py:83-114). save_npz/load_npz from io.py work
+unchanged on both forms (the flattener is layout-agnostic).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+from ..models.mobilenet_v2 import V2Config
+from .io import _he_std
+
+Params = Dict[str, Any]
+
+
+def init_params_v2(config: V2Config, seed: int = 0) -> Params:
+    """Seeded reference weight set with non-identity BN stats (io.py:33)."""
+    rng = np.random.default_rng(seed)
+
+    def bn(c):
+        return {
+            "gamma": rng.uniform(0.5, 1.5, size=(c,)).astype(np.float32),
+            "beta": rng.uniform(-0.2, 0.2, size=(c,)).astype(np.float32),
+            "mean": rng.normal(0.0, 0.3, size=(c,)).astype(np.float32),
+            "var": rng.uniform(0.5, 1.5, size=(c,)).astype(np.float32),
+        }
+
+    c1 = config.stem_channels
+    params: Params = {
+        "conv1": {
+            "w": (rng.standard_normal((3, 3, 3, c1)) * _he_std(27)).astype(np.float32),
+            "bn": bn(c1),
+        },
+        "blocks": [],
+    }
+    for t, cin, cout, _stride in config.block_defs:
+        ce = t * cin
+        blk: Params = {}
+        if t > 1:
+            blk["exp"] = {
+                "w": (rng.standard_normal((cin, ce)) * _he_std(cin)).astype(np.float32),
+                "bn": bn(ce),
+            }
+        blk["dw"] = {
+            "w": (rng.standard_normal((3, 3, 1, ce)) * _he_std(9)).astype(np.float32),
+            "bn": bn(ce),
+        }
+        blk["prj"] = {
+            "w": (rng.standard_normal((ce, cout)) * _he_std(ce)).astype(np.float32),
+            "bn": bn(cout),
+        }
+        params["blocks"].append(blk)
+    cl = config.last_channels
+    c_in = config.block_defs[-1][2]
+    params["conv_last"] = {
+        "w": (rng.standard_normal((c_in, cl)) * _he_std(c_in)).astype(np.float32),
+        "bn": bn(cl),
+    }
+    params["fc"] = {
+        "w": (rng.standard_normal((cl, config.num_classes)) * _he_std(cl)).astype(
+            np.float32),
+        "b": np.zeros((config.num_classes,), dtype=np.float32),
+    }
+    return params
+
+
+def fold_bn_v2(params: Params, eps: float = 1e-3) -> Params:
+    """Fold BN into conv weight + per-channel bias (float64 math, io.py:83)."""
+
+    def fold(w: np.ndarray, bnp: Dict[str, np.ndarray], out_axis: int):
+        s64 = bnp["gamma"].astype(np.float64) / np.sqrt(
+            bnp["var"].astype(np.float64) + eps)
+        b64 = bnp["beta"].astype(np.float64) - bnp["mean"].astype(np.float64) * s64
+        shape = [1] * w.ndim
+        shape[out_axis] = -1
+        w_f = (w.astype(np.float64) * s64.reshape(shape)).astype(np.float32)
+        return w_f, b64.astype(np.float32)
+
+    out: Params = {"blocks": []}
+    w, b = fold(params["conv1"]["w"], params["conv1"]["bn"], out_axis=3)
+    out["conv1"] = {"w": w, "b": b}
+    for blk in params["blocks"]:
+        fblk: Params = {}
+        if "exp" in blk:
+            ew, eb = fold(blk["exp"]["w"], blk["exp"]["bn"], out_axis=1)
+            fblk["exp"] = {"w": ew, "b": eb}
+        dw_w, dw_b = fold(blk["dw"]["w"], blk["dw"]["bn"], out_axis=3)
+        pj_w, pj_b = fold(blk["prj"]["w"], blk["prj"]["bn"], out_axis=1)
+        fblk["dw"] = {"w": dw_w, "b": dw_b}
+        fblk["prj"] = {"w": pj_w, "b": pj_b}
+        out["blocks"].append(fblk)
+    cw, cb = fold(params["conv_last"]["w"], params["conv_last"]["bn"], out_axis=1)
+    out["conv_last"] = {"w": cw, "b": cb}
+    out["fc"] = {"w": np.asarray(params["fc"]["w"]),
+                 "b": np.asarray(params["fc"]["b"])}
+    return out

@@ -24,31 +24,41 @@ import sys
 import numpy as np
 
 
-def _build_pipeline(args, dtype=None):
+def _make_config(args, dtype=None):
+    """ModelConfig (v1) or V2Config per --model; same flag surface."""
+    compute_dtype = args.dtype if dtype is None else dtype
+    if getattr(args, "model", "v1") == "v2":
+        from .models.mobilenet_v2 import V2Config
+
+        return V2Config(alpha=args.alpha, resolution=args.res,
+                        compute_dtype=compute_dtype)
     from .config import ModelConfig
+
+    return ModelConfig(alpha=args.alpha, resolution=args.res,
+                       compute_dtype=compute_dtype)
+
+
+def _build_pipeline(args, dtype=None):
     from .checkpoints import load_npz
     from .runtime.pipeline import InferencePipeline
 
-    cfg = ModelConfig(
-        alpha=args.alpha,
-        resolution=args.res,
-        compute_dtype=args.dtype if dtype is None else dtype,
-    )
+    cfg = _make_config(args, dtype)
     params = load_npz(args.ckpt) if getattr(args, "ckpt", None) else None
     return InferencePipeline(cfg, params=params, seed=args.seed)
 
 
 def cmd_classify(args):
-    from .config import ModelConfig
     from .ops.preprocess import decode_image_host
 
-    cfg = ModelConfig(alpha=args.alpha, resolution=args.res,
-                      compute_dtype=args.dtype)
+    cfg = _make_config(args)
     # Host decode only; the raw uint8 image goes straight to the jitted
     # entry, which resizes + normalizes in float ON DEVICE (SURVEY.md SS3.4)
     # — one resize, no lossy uint8 round-trip.
     img = decode_image_host(args.image)
     if getattr(args, "int8", False):
+        if getattr(args, "model", "v1") == "v2":
+            sys.exit("--int8 supports MobileNet-V1 only (the quant/ stack "
+                     "mirrors the reference's fixed-point V1 path)")
         from .checkpoints import load_npz
         from .quant.model import Int8Pipeline
 
@@ -65,8 +75,53 @@ def cmd_classify(args):
         print(f"top-{rank}: class {cls}  p={prob:.4f}")
 
 
+def _verify_v2(args) -> bool:
+    """Per-layer golden gate for the MobileNet-V2 family (V2_TOL — linear
+    bottlenecks carry reassociation noise unclipped, utils/golden.py)."""
+    from .checkpoints import load_npz
+    from .checkpoints.v2 import fold_bn_v2, init_params_v2
+    from .models.mobilenet_v2 import V2Config
+    from .runtime.pipeline import InferencePipeline
+    from .utils import golden
+
+    if args.int8 or args.routing != "xla":
+        sys.exit("--int8 / --routing are MobileNet-V1 flows; the V2 verify "
+                 "gate runs the fp32 per-layer comparison")
+    cfg = V2Config(alpha=args.alpha, resolution=args.res)
+    folded = (load_npz(args.ckpt) if getattr(args, "ckpt", None)
+              else fold_bn_v2(init_params_v2(cfg, seed=args.seed),
+                              eps=cfg.bn_eps))
+    rng = np.random.default_rng(args.seed + 1)
+    x = rng.uniform(
+        -1, 1, (args.batch, cfg.resolution, cfg.resolution, 3)).astype(np.float32)
+    pipe = InferencePipeline(cfg, params=folded, dtype=np.float32,
+                             dw_backend="xla")
+    _, acts = pipe.activations(x)
+    if args.oracle == "cpp":
+        from . import cpu_ref
+
+        _, ref = cpu_ref.forward_all_v2(folded, x, cfg)
+    else:
+        from .oracle import numpy_ref
+
+        _, ref = numpy_ref.forward_all_v2(folded, x, cfg)
+    reports = golden.compare_activations(
+        acts, ref, tols={n: golden.V2_TOL for n in ref})
+    for r in reports:
+        print(r)
+    bad = golden.first_divergence(reports)
+    if bad is None:
+        print(f"VERIFY OK: all {len(reports)} layers match "
+              f"({args.oracle} oracle, v2)")
+        return True
+    print(f"VERIFY FAILED at {bad.name}")
+    return False
+
+
 def cmd_verify(args):
     """Per-layer golden verification (SURVEY.md SS3.6). Exit 1 on divergence."""
+    if getattr(args, "model", "v1") == "v2":
+        sys.exit(0 if _verify_v2(args) else 1)
     from . import cpu_ref
     from .checkpoints import fold_bn, init_params
     from .config import ModelConfig
@@ -554,20 +609,25 @@ def main(argv=None):
     )
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    def common(sp, batch_default=256):
+    def common(sp, batch_default=256, model_flag=False):
         sp.add_argument("--alpha", type=float, default=1.0)
         sp.add_argument("--res", type=int, default=224)
         sp.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--ckpt", default=None, help=".npz checkpoint path")
         sp.add_argument("--batch", type=int, default=batch_default)
+        if model_flag:
+            sp.add_argument(
+                "--model", default="v1", choices=["v1", "v2"],
+                help="model family: v1 (the reference network, default) or "
+                     "v2 (inverted residuals; alphas 0.35-1.4)")
 
     sp = sub.add_parser("classify")
     sp.add_argument("image")
     sp.add_argument("--top-k", type=int, default=5)
     sp.add_argument("--int8", action="store_true",
                     help="classify with the INT8 fixed-point path")
-    common(sp, 1)
+    common(sp, 1, model_flag=True)
     sp.set_defaults(fn=cmd_classify)
 
     sp = sub.add_parser("verify")
@@ -579,7 +639,7 @@ def main(argv=None):
                          "unpadded xla path; any other value: logits-level "
                          "routing-equivalence gate of that SHIPPING routing "
                          "vs xla at --dtype (ignores --int8)")
-    common(sp, 2)
+    common(sp, 2, model_flag=True)
     # per-layer verify is an fp32 bit-level gate; --dtype only affects the
     # --routing equivalence mode (where bf16 matches production)
     sp.set_defaults(fn=cmd_verify, dtype="float32")
@@ -619,7 +679,7 @@ def main(argv=None):
     sp.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a device trace of the timed loop to DIR "
                          "(XProf/TensorBoard/Perfetto)")
-    common(sp)
+    common(sp, model_flag=True)
     sp.set_defaults(fn=cmd_bench)
 
     sp = sub.add_parser("sweep")

@@ -185,3 +185,33 @@ def forward_all(params: Dict[str, Any], x: np.ndarray, config) -> Any:
     logits = fc(pooled, params["fc"]["w"], params["fc"]["b"])
     acts["logits"] = logits
     return logits, acts
+
+
+def forward_all_v2(params: Dict[str, Any], x: np.ndarray, config) -> Any:
+    """Native-oracle MobileNet-V2 forward (C++ primitives, -ffp-contract=off),
+    layer names matching models.mobilenet_v2.forward_v2(collect=True).
+    Twin of oracle/numpy_ref.forward_all_v2; config is a V2Config."""
+    acts: Dict[str, np.ndarray] = {}
+    y = conv3x3(x, params["conv1"]["w"], params["conv1"]["b"], 2, True)
+    acts["conv1"] = y
+    for i, ((t, cin, cout, stride), blk) in enumerate(
+            zip(config.block_defs, params["blocks"])):
+        z = y
+        if "exp" in blk:
+            z = pw(z, blk["exp"]["w"], blk["exp"]["b"], relu6=True)
+            acts[f"block{i:02d}_exp"] = z
+        z = dw3x3(z, blk["dw"]["w"], blk["dw"]["b"], stride, True)
+        acts[f"block{i:02d}_dw"] = z
+        out = pw(z, blk["prj"]["w"], blk["prj"]["b"], apply_act=False)
+        acts[f"block{i:02d}_prj"] = out
+        if stride == 1 and cin == cout:
+            out = (out + y).astype(np.float32)
+            acts[f"block{i:02d}_out"] = out
+        y = out
+    y = pw(y, params["conv_last"]["w"], params["conv_last"]["b"], relu6=True)
+    acts["conv_last"] = y
+    pooled = avgpool(y)
+    acts["pool"] = pooled
+    logits = fc(pooled, params["fc"]["w"], params["fc"]["b"])
+    acts["logits"] = logits
+    return logits, acts

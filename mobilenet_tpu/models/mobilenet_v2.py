@@ -119,15 +119,34 @@ class V2Config:
 
 
 def _routing_v2(config: V2Config, dw_backend) -> Tuple[str, ...]:
-    """Per-block backend list (len == 17). "xla" | "fused" | tuple."""
+    """Per-block backend list (len == 17). "xla" | "fused" | tuple.
+
+    On the real chip, "fused" applies only to LANE-ALIGNED blocks (expanded
+    and output channels both % 128 == 0): Mosaic rejects the kernel's
+    (BN,TH,W,C)->(M,C) shape cast at unaligned C — measured on v5e, e.g.
+    `vector<8x7x7x960xbf16> -> vector<392x960xbf16>: unsupported shape
+    cast` (tools/ab_v2_routing.py). V1 never hits this: after channel
+    padding every dense-kernel C is a 128 multiple, and narrower layers
+    ride the lane-packed variants. Unaligned V2 blocks fall back to xla;
+    interpret tier (CPU tests) runs fused everywhere.
+    """
+    import jax  # noqa: PLC0415
+
     n = len(config.block_defs)
     if dw_backend in (None, "auto"):
         dw_backend = "xla"
     if isinstance(dw_backend, str):
         assert dw_backend in ("xla", "fused"), dw_backend
-        return (dw_backend,) * n
-    assert len(dw_backend) == n, dw_backend
-    return tuple(dw_backend)
+        routing = (dw_backend,) * n
+    else:
+        assert len(dw_backend) == n, dw_backend
+        routing = tuple(dw_backend)
+    if jax.default_backend() == "tpu":
+        routing = tuple(
+            b if b != "fused" or (t * cin % 128 == 0 and cout % 128 == 0)
+            else "xla"
+            for b, (t, cin, cout, _s) in zip(routing, config.block_defs))
+    return routing
 
 
 def forward_v2(

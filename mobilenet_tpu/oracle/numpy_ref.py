@@ -115,3 +115,36 @@ def forward_all(params: Dict[str, Any], x: np.ndarray, config: ModelConfig):
 def preprocess_ref(img_u8: np.ndarray) -> np.ndarray:
     """uint8 HWC -> float32 in [-1, 1] (TF mode; mobilenet.py:418-422)."""
     return (img_u8.astype(np.float32) / np.float32(127.5)) + np.float32(-1.0)
+
+
+def forward_all_v2(params: Dict[str, Any], x: np.ndarray, config):
+    """Golden per-layer MobileNet-V2 forward (NumPy twin of
+    models.mobilenet_v2.forward_v2(collect=True); config is a V2Config).
+
+    Same fixed-order float32 accumulation as the V1 oracle; the projection
+    is LINEAR (bias, no activation) and residual adds are plain f32 sums.
+    """
+    acts: Dict[str, np.ndarray] = {}
+    y = conv2d_ref(x, params["conv1"]["w"], 2, params["conv1"]["b"], True)
+    acts["conv1"] = y
+    for i, ((t, cin, cout, stride), blk) in enumerate(
+            zip(config.block_defs, params["blocks"])):
+        z = y
+        if "exp" in blk:
+            z = pointwise_ref(z, blk["exp"]["w"], blk["exp"]["b"], True)
+            acts[f"block{i:02d}_exp"] = z
+        z = depthwise_ref(z, blk["dw"]["w"], stride, blk["dw"]["b"], True)
+        acts[f"block{i:02d}_dw"] = z
+        out = pointwise_ref(z, blk["prj"]["w"], blk["prj"]["b"], None)
+        acts[f"block{i:02d}_prj"] = out
+        if stride == 1 and cin == cout:
+            out = out + y
+            acts[f"block{i:02d}_out"] = out
+        y = out
+    y = pointwise_ref(y, params["conv_last"]["w"], params["conv_last"]["b"], True)
+    acts["conv_last"] = y
+    pooled = y.astype(np.float32).mean(axis=(1, 2))
+    acts["pool"] = pooled
+    logits = pooled @ params["fc"]["w"] + params["fc"]["b"]
+    acts["logits"] = logits
+    return logits, acts

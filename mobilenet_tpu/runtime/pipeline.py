@@ -23,6 +23,7 @@ import numpy as np
 from ..config import ModelConfig
 from ..checkpoints import fold_bn, init_params, to_device
 from ..models import mobilenet_v1
+from ..models.mobilenet_v2 import V2Config
 from ..ops import preprocess as prep
 
 
@@ -68,6 +69,10 @@ class InferencePipeline:
         Pallas kernels run per-shard under shard_map). Single chip when None
         (the contract configuration, BASELINE.json:2)."""
         self.config = config
+        # The runtime is model-family-agnostic after entry construction:
+        # a V2Config routes the MobileNet-V2 forward (models.mobilenet_v2)
+        # through the same HBM-resident-params + compiled-entry machinery.
+        self.is_v2 = isinstance(config, V2Config)
         if dtype is None:
             dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
         self.dtype = dtype
@@ -88,12 +93,19 @@ class InferencePipeline:
         # than pipelined separate stages at 1.0-224 (docs/design.md SS3.3c),
         # so OFF by default; exposed for A/B and future shapes where it wins.
         self.fuse_stem = fuse_stem
-        host_params = params if params is not None else fold_bn(
-            init_params(config, seed=seed), eps=config.bn_eps
-        )
+        if params is not None:
+            host_params = params
+        elif self.is_v2:
+            from ..checkpoints.v2 import fold_bn_v2, init_params_v2
+
+            host_params = fold_bn_v2(
+                init_params_v2(config, seed=seed), eps=config.bn_eps)
+        else:
+            host_params = fold_bn(
+                init_params(config, seed=seed), eps=config.bn_eps)
         rb = self.dw_backend
-        if rb in ("auto", "fused", "mixed") or (
-                isinstance(rb, (tuple, list)) and "fused" in rb):
+        if not self.is_v2 and (rb in ("auto", "fused", "mixed") or (
+                isinstance(rb, (tuple, list)) and "fused" in rb)):
             # alpha=0.75-style channel counts (24/48/96) divide neither 128
             # nor any lane group: zero-pad them to the next divisor of 128 so
             # the lane-packed kernels apply. Logits are exactly unchanged
@@ -121,7 +133,30 @@ class InferencePipeline:
             return self._entries[key]
         cfg = self.config
 
-        if kind == "probs_u8":
+        if self.is_v2:
+            from ..models import mobilenet_v2 as mv2
+
+            # V2's dense blocks need no channel padding; "auto" resolves to
+            # the always-correct xla routing (V2 has not been chip-raced the
+            # way V1 was — models/mobilenet_v2.py module docstring).
+            if kind == "probs_u8":
+                def fn(params, images_u8):
+                    return mv2.predict_probs_v2_u8(
+                        params, images_u8, cfg, dtype=self.dtype,
+                        dw_backend=self.dw_backend)
+            elif kind == "probs_f":
+                def fn(params, x):
+                    return mv2.predict_probs_v2(
+                        params, x.astype(self.dtype), cfg,
+                        dw_backend=self.dw_backend)
+            elif kind == "collect":
+                def fn(params, x):
+                    return mv2.forward_v2(
+                        params, x.astype(self.dtype), cfg,
+                        dw_backend=self.dw_backend, collect=True)
+            else:
+                raise KeyError(kind)
+        elif kind == "probs_u8":
             # uint8 NHWC at model resolution -> probs; preprocessing fused
             # into the same XLA program (BASELINE.json:5). predict_probs_u8
             # can also subsume preprocess into the stem mega-kernel

@@ -28,6 +28,14 @@ import numpy as np
 DW_TOL = (1e-4, 1e-4)  # 9-tap depthwise, fixed-order oracle
 MM_TOL = (1e-4, 3e-4)  # K-deep conv/pointwise/fc reductions (K up to 1024)
 
+# MobileNet-V2 gate: linear bottlenecks + residual chains carry reassociation
+# noise UNCLIPPED (V1's ReLU6 re-bounds every layer; V2's projections don't),
+# so full-path noise compounds ~4x deeper — measured worst max_abs 3.9e-4 at
+# ReLU6 scale 6 by block 16 (alpha=1.0/96, both oracles). 1e-3 keeps 2.5x
+# headroom over the worst observed while staying >=100x below real-defect
+# scale (wrong pad/stride/fold produce O(1e-1..1)).
+V2_TOL = (1e-3, 1e-3)
+
 
 def max_ulp_diff(a: np.ndarray, b: np.ndarray) -> int:
     """Max distance in representable float32 steps between two arrays."""
