@@ -9,23 +9,20 @@ citation style as config.py's V1 table.
 
 TPU mapping (reusing the measured V1 design, docs/design.md):
 
-  expand 1x1   -> MXU matmul with fused BN+ReLU6 epilogue (ops.conv.
-                  pointwise_conv — identical op to V1's pw layers)
-  dw 3x3 + project 1x1
-               -> EITHER the XLA grouped conv + matmul pair ("xla",
-                  always-correct, differentiable), OR the fused V1 Pallas
-                  block ("fused"): its `pw_epilogue=False` mode emits the
-                  raw f32 pointwise accumulation — exactly V2's LINEAR
-                  bottleneck projection — so the dw intermediate (the
-                  widest tensor, t*C channels) never touches HBM. Bias and
-                  the residual add apply after the kernel; no new kernel
-                  code was needed for a whole new model family.
-  residual     -> elementwise add, fused by XLA into the preceding op.
-
-Default routing is "xla" (V2 throughput has not been chip-raced the way
-V1's was — benchmarks/routing_crossover_v5e.jsonl; "fused" is available,
-oracle-gated, and selectable per block, so the same measure-then-ship
-workflow applies when a deployment wants it).
+  "xla" routing    -> expand 1x1 as MXU matmul with fused bias+ReLU6
+                      epilogue (ops.conv.pointwise_conv), XLA grouped dw
+                      conv, linear project matmul, XLA-fused residual add.
+                      Always-correct, differentiable — the oracle/verify/
+                      training route.
+  "fused" routing  -> the ENTIRE inverted-residual block as one Pallas
+                      kernel (ops.pallas_ir_block): expand on the MXU,
+                      dw stencil on the VPU, linear projection on the MXU,
+                      residual added in-kernel — the expanded tensor
+                      (t*Cin channels, the widest activation and the
+                      dominant HBM term of the unfused schedule) never
+                      exists in HBM. Blocks the kernel cannot take (t==1,
+                      or whole-image tile beyond the VMEM budget at high
+                      resolution) fall back to xla per block.
 """
 
 from __future__ import annotations
@@ -121,17 +118,18 @@ class V2Config:
 def _routing_v2(config: V2Config, dw_backend) -> Tuple[str, ...]:
     """Per-block backend list (len == 17). "xla" | "fused" | tuple.
 
-    On the real chip, "fused" applies only to LANE-ALIGNED blocks (expanded
-    and output channels both % 128 == 0): Mosaic rejects the kernel's
-    (BN,TH,W,C)->(M,C) shape cast at unaligned C — measured on v5e, e.g.
-    `vector<8x7x7x960xbf16> -> vector<392x960xbf16>: unsupported shape
-    cast` (tools/ab_v2_routing.py). V1 never hits this: after channel
-    padding every dense-kernel C is a 128 multiple, and narrower layers
-    ride the lane-packed variants. Unaligned V2 blocks fall back to xla;
-    interpret tier (CPU tests) runs fused everywhere.
+    "fused" routes a block through the fused inverted-residual Pallas
+    kernel (ops.pallas_ir_block): expand+dw+linear-project(+residual) in
+    one kernel, expanded tensor never in HBM. Its Mosaic-alignment design
+    (2D input/output, only the VMEM-internal expanded dim padded to 128)
+    is what made Pallas viable at V2's unaligned channel counts — the
+    earlier dw+prj-only route was rejected by Mosaic at every standard V2
+    width (`vector<8x7x7x960xbf16> -> vector<392x960xbf16>: unsupported
+    shape cast`, tools/ab_v2_routing.py). Blocks without an expansion conv
+    (t == 1) and blocks whose whole-image tile exceeds the VMEM budget
+    (ir_fits — e.g. the 112-squared block at high resolution) fall back to
+    xla; eligibility is static shape math, identical on every tier.
     """
-    import jax  # noqa: PLC0415
-
     n = len(config.block_defs)
     if dw_backend in (None, "auto"):
         dw_backend = "xla"
@@ -141,11 +139,6 @@ def _routing_v2(config: V2Config, dw_backend) -> Tuple[str, ...]:
     else:
         assert len(dw_backend) == n, dw_backend
         routing = tuple(dw_backend)
-    if jax.default_backend() == "tpu":
-        routing = tuple(
-            b if b != "fused" or (t * cin % 128 == 0 and cout % 128 == 0)
-            else "xla"
-            for b, (t, cin, cout, _s) in zip(routing, config.block_defs))
     return routing
 
 
@@ -156,6 +149,7 @@ def forward_v2(
     *,
     dw_backend=None,
     collect: bool = False,
+    num_blocks: Optional[int] = None,
 ) -> Any:
     """Run MobileNet-V2 on a folded-BN params pytree (checkpoints.v2).
 
@@ -166,6 +160,10 @@ def forward_v2(
     -layer oracle taps: conv1, block{i:02d}_exp/_dw/_prj (and _out where a
     residual applies), conv_last, pool, logits — the V2 twin of V1's
     load-bearing layer names (CLAUDE.md invariants).
+
+    num_blocks: run only conv1 + the first num_blocks inverted-residual
+    blocks and return that activation (no head) — the prefix entry for
+    tools/prefix_attr.py's differenced segment attribution.
     """
     acts: Dict[str, jax.Array] = {}
     routing = _routing_v2(config, dw_backend)
@@ -175,38 +173,48 @@ def forward_v2(
     if collect:
         acts["conv1"] = y
 
+    from ..ops.pallas_ir_block import ir_fits  # noqa: PLC0415
+
     for i, ((t, cin, cout, stride), blk) in enumerate(
             zip(config.block_defs, params["blocks"])):
+        if num_blocks is not None and i >= num_blocks:
+            return y
+        has_res = stride == 1 and cin == cout
+        if (routing[i] == "fused" and not collect and "exp" in blk
+                and ir_fits(int(y.shape[0]), int(y.shape[1]), int(y.shape[2]),
+                            cin, t * cin, cout, stride,
+                            jnp.dtype(y.dtype).itemsize)):
+            # Whole inverted-residual block as ONE Pallas kernel: the
+            # expanded (t*Cin-wide) tensor never touches HBM.
+            from ..ops.pallas_ir_block import inverted_residual_pallas  # noqa: PLC0415
+
+            y = inverted_residual_pallas(
+                y, blk["exp"]["w"], blk["exp"]["b"],
+                blk["dw"]["w"], blk["dw"]["b"],
+                blk["prj"]["w"], blk["prj"]["b"], stride, has_res, True)
+            continue
         z = y
         if "exp" in blk:  # t == 1 blocks have no expansion conv (keras :432)
             z = ops.pointwise_conv(z, blk["exp"]["w"],
                                    bias=blk["exp"]["b"], relu6=True)
             if collect:
                 acts[f"block{i:02d}_exp"] = z
-        if routing[i] == "fused" and not collect:
-            # V1's fused dw+pw kernel with pw_epilogue=False: the raw f32
-            # pointwise accumulation IS the linear bottleneck projection.
-            from ..ops.pallas_block import separable_block_pallas  # noqa: PLC0415
-
-            acc = separable_block_pallas(
-                z, blk["dw"]["w"], blk["dw"]["b"],
-                blk["prj"]["w"], blk["prj"]["b"], stride, True,
-                pw_epilogue=False)
-            out = (acc + blk["prj"]["b"].astype(acc.dtype)).astype(x.dtype)
-        else:
-            zd = ops.depthwise_conv_xla(z, blk["dw"]["w"], stride,
-                                        bias=blk["dw"]["b"], relu6=True)
-            if collect:
-                acts[f"block{i:02d}_dw"] = zd
-            out = ops.pointwise_conv(zd, blk["prj"]["w"],
-                                     bias=blk["prj"]["b"], relu6=None)
+        zd = ops.depthwise_conv_xla(z, blk["dw"]["w"], stride,
+                                    bias=blk["dw"]["b"], relu6=True)
+        if collect:
+            acts[f"block{i:02d}_dw"] = zd
+        out = ops.pointwise_conv(zd, blk["prj"]["w"],
+                                 bias=blk["prj"]["b"], relu6=None)
         if collect:
             acts[f"block{i:02d}_prj"] = out
-        if stride == 1 and cin == cout:
+        if has_res:
             out = out + y  # inverted residual (paper Fig. 3)
             if collect:
                 acts[f"block{i:02d}_out"] = out
         y = out
+
+    if num_blocks is not None:  # truncated prefix entry: blocks only, no head
+        return y
 
     y = ops.pointwise_conv(y, params["conv_last"]["w"],
                            bias=params["conv_last"]["b"], relu6=True)

@@ -1,0 +1,101 @@
+"""Fused inverted-residual kernel (ops.pallas_ir_block) vs the XLA ops.
+
+The kernel is V2's whole-block Pallas path (expand -> dw -> linear project
+-> residual in one call, expanded tensor never in HBM). Interpret tier =
+sw_emu (SURVEY.md SS4); the hw twin runs in tools/tpu_smoke.py. The
+reference twin here is the exact op sequence of forward_v2's xla branch,
+so agreement transfers to the model-level oracle gates.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mobilenet_tpu.ops import conv as ops
+from mobilenet_tpu.ops.pallas_ir_block import (
+    _pick_bn, inverted_residual_pallas, ir_fits)
+
+
+def _ref(x, ew, eb, dww, dwb, pw, pb, stride, residual):
+    z = ops.pointwise_conv(x, ew, bias=eb, relu6=True)
+    zd = ops.depthwise_conv_xla(z, dww, stride, bias=dwb, relu6=True)
+    out = ops.pointwise_conv(zd, pw, bias=pb, relu6=None)
+    return out + x if residual else out
+
+
+def _make(rng, n, h, cin, e, cout, dtype=np.float32):
+    x = rng.standard_normal((n, h, h, cin)).astype(dtype) * 0.5
+    ew = rng.standard_normal((cin, e)).astype(dtype) * (cin ** -0.5)
+    eb = rng.standard_normal((e,)).astype(dtype) * 0.1
+    dww = rng.standard_normal((3, 3, 1, e)).astype(dtype) * 0.2
+    dwb = rng.standard_normal((e,)).astype(dtype) * 0.1
+    pw = rng.standard_normal((e, cout)).astype(dtype) * (e ** -0.5)
+    pb = rng.standard_normal((cout,)).astype(dtype) * 0.1
+    return x, ew, eb, dww, dwb, pw, pb
+
+
+# every shape class of the V2 grid: unaligned Cin/E/Cout, both strides,
+# residual and not, odd spatial (s1), plus an already-aligned E.
+@pytest.mark.parametrize(
+    "n,h,cin,e,cout,stride,residual",
+    [
+        (2, 14, 64, 384, 64, 1, True),     # E already 128-aligned
+        (2, 14, 96, 576, 160, 2, False),   # E pads 576->640
+        (2, 7, 160, 960, 320, 1, False),   # the Mosaic-rejected width
+        (1, 8, 160, 960, 160, 1, True),
+        (2, 28, 24, 144, 32, 2, False),    # E nearly doubles (144->256)
+        (2, 16, 16, 96, 24, 2, False),     # tiny channels
+        (2, 9, 64, 384, 96, 1, False),     # odd spatial, stride 1
+    ],
+)
+def test_vs_xla_ops(rng, n, h, cin, e, cout, stride, residual):
+    args = _make(rng, n, h, cin, e, cout)
+    got = inverted_residual_pallas(*args, stride, residual)
+    want = _ref(*args, stride, residual)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_bf16_close(rng):
+    args32 = _make(rng, 2, 14, 96, 576, 96, np.float32)
+    args = tuple(jnp.asarray(a, jnp.bfloat16) for a in args32)
+    got = np.asarray(inverted_residual_pallas(*args, 1, True), np.float32)
+    want = np.asarray(_ref(*args32, 1, True))
+    assert got.dtype == np.float32 and got.shape == want.shape
+    assert np.abs(got - want).max() < 0.15  # bf16 kernel-tolerance class
+
+
+def test_block_n_override_and_autopick(rng):
+    args = _make(rng, 8, 7, 160, 960, 320, np.float32)
+    base = np.asarray(inverted_residual_pallas(*args, 1, False))
+    for bn in (1, 2, 8):
+        got = np.asarray(inverted_residual_pallas(*args, 1, False, block_n=bn))
+        np.testing.assert_allclose(got, base, atol=2e-5, rtol=1e-5)
+    # small-spatial blocks batch-tile toward ~1024 MXU rows
+    assert _pick_bn(256, 7, 7, 160, 1024, 320, 1, 2) > 1
+    assert _pick_bn(256, 56, 56, 24, 256, 32, 2, 2) == 1
+    # 7-squared output rows (49) violate the %8 sublane rule below bn=8:
+    # the picker must never choose an illegal tile (Pallas TPU lowering
+    # requires block rows % 8 == 0 unless the block IS the array).
+    assert _pick_bn(256, 7, 7, 160, 1024, 320, 1, 2) % 8 == 0
+    assert _pick_bn(3, 7, 7, 160, 1024, 320, 1, 2) == 3  # bn==n is legal
+
+
+def test_ir_fits_gates_the_big_spatial_blocks():
+    # 1.0-224 batch 256: the 112-squared blocks must NOT claim fused
+    # (whole-image tile exceeds the VMEM budget); the 14/7-squared s1
+    # blocks must. blk13 (14->7 s2) is forced to bn=8 by the sublane rule
+    # and its estimate exceeds the cap -> xla fallback.
+    assert not ir_fits(256, 112, 112, 16, 96, 24, 2, 2)
+    assert ir_fits(256, 14, 14, 64, 384, 64, 1, 2)
+    assert ir_fits(256, 7, 7, 160, 960, 320, 1, 2)
+    assert not ir_fits(256, 14, 14, 96, 576, 160, 2, 2)
+    assert ir_fits(1, 14, 14, 96, 576, 160, 2, 2)  # batch 1: bn==n, fits
+    # odd spatial at stride 2 is never eligible (TF-SAME even contract)
+    assert not ir_fits(256, 15, 15, 96, 576, 160, 2, 2)
+
+
+def test_residual_requires_matching_channels(rng):
+    args = _make(rng, 1, 8, 32, 192, 64, np.float32)
+    with pytest.raises(AssertionError):
+        inverted_residual_pallas(*args, 1, True)

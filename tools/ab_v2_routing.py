@@ -1,20 +1,18 @@
-"""MobileNet-V2 routing race on the real chip: xla vs fused dw+projection.
+"""MobileNet-V2 routing race on the real chip: xla vs the fused
+inverted-residual Pallas kernel (ops.pallas_ir_block).
 
-V2 ships the "xla" routing by default (models/mobilenet_v2.py docstring) —
-this tool measures whether routing the dw+linear-projection pair through
-the V1 fused Pallas block (pw_epilogue=False) beats XLA's grouped-conv +
-matmul at throughput batches, with the numerics gate first (logits must
-agree before timing counts). Same corrected-window methodology as every
-other A/B here (utils/timing.fenced_window, interleaved rounds).
+Numerics gate first (logits must agree before timing counts), then
+interleaved fenced windows — the same corrected-window methodology as
+every other A/B here (utils/timing.fenced_window).
 
-MEASURED LIMIT (v5e, 2026-08-17): at standard V2 widths NO block is
-lane-aligned (expanded channels 96..960 are never %128==0), so Mosaic
-rejects the fused kernel's tile reshape ("vector<8x7x7x960xbf16> ->
-vector<392x960xbf16>: unsupported shape cast") and _routing_v2 now gates
-fused to aligned blocks on TPU — both arms of this race then compile, and
-at alpha=1.0 they run the SAME program. The fused path remains the
-interpret-tier/TP building block; lane-packing V2's unaligned widths is
-the open engineering item (V1's packed variants assume 128 % C == 0).
+History: the first fused attempt routed only dw+projection through the V1
+block kernel and was rejected by Mosaic at every standard V2 width
+("vector<8x7x7x960xbf16> -> vector<392x960xbf16>: unsupported shape
+cast" — expanded channels 96..960 are never %128==0). The IR kernel's
+2D-in/2D-out + pad-E-in-VMEM design is the fix; this race measured it
+at 4,163 vs 3,683 img/s xla (1.0-224 batch 256, 2026-08-17) on its first
+hw run — before the early-blocks attack (see tools/prefix_attr.py
+--model v2 for where the remaining time lives).
 
 Usage: python tools/ab_v2_routing.py [--alpha 1.0] [--res 224] [--batch 256]
 """

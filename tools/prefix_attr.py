@@ -32,6 +32,28 @@ def build_entries(args, prefixes, int8=None):
 
     if int8 is None:
         int8 = args.int8
+    if getattr(args, "model", "v1") == "v2":
+        assert not int8, "--model v2 attribution is bf16-only"
+        from mobilenet_tpu.checkpoints.v2 import fold_bn_v2, init_params_v2
+        from mobilenet_tpu.models.mobilenet_v2 import V2Config, forward_v2
+
+        cfg = V2Config(alpha=args.alpha, resolution=args.res,
+                       compute_dtype="bfloat16")
+        params = jax.tree.map(
+            lambda a: jnp.asarray(a, jnp.bfloat16),
+            fold_bn_v2(init_params_v2(cfg, seed=0), eps=cfg.bn_eps))
+        entries = {}
+        for k in prefixes:
+            nb = None if k == "full" else int(k)
+
+            def fn(images_u8, nb=nb):
+                x = prep.preprocess(images_u8, cfg.resolution, jnp.bfloat16)
+                y = forward_v2(params, x, cfg, dw_backend=args.routing,
+                               num_blocks=nb)
+                return jnp.sum(y.astype(jnp.float32)).reshape(1)
+
+            entries[k] = jax.jit(fn)
+        return cfg, entries
     cfg = ModelConfig(alpha=args.alpha, resolution=args.res,
                       compute_dtype="bfloat16")
     folded = fold_bn(init_params(cfg, seed=0), eps=cfg.bn_eps)
@@ -81,6 +103,9 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--model", default="v1", choices=["v1", "v2"])
+    ap.add_argument("--routing", default="fused",
+                    help="dw_backend for the --model v2 prefixes")
     ap.add_argument("--compare", action="store_true",
                     help="measure bf16 AND int8 prefixes interleaved in one "
                          "process; report the per-segment int8-bf16 gap")

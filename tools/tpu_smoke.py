@@ -102,6 +102,39 @@ def main(quick: bool = False, only: str = ""):
         outside = np.clip(np.asarray(raw) + pw_b, 0.0, 6.0)
         check(f"tp_partial h={h} {cin}->{cout} s={s}", outside, fused, 3e-5)
 
+    # --- fused inverted-residual block (V2; fp32 vs oracle) ----------------
+    # The Mosaic-alignment design (2D in/out, expanded dim padded in VMEM)
+    # only proves itself on hw — interpret mode accepts casts Mosaic
+    # rejects (round-2 lesson), and these are exactly V2's unaligned
+    # channel widths, including the 960 that killed the dw+prj route.
+    from mobilenet_tpu.ops.pallas_ir_block import inverted_residual_pallas
+
+    rng = rng_for("ir_block")
+    ir_shapes = [(14, 64, 384, 64, 1, True), (14, 96, 576, 160, 2, False),
+                 (7, 160, 960, 320, 1, False), (28, 24, 144, 32, 2, False)]
+    if quick:
+        ir_shapes = ir_shapes[:2]
+    for (h, cin, e, cout, s, res) in ir_shapes if want("ir_block") else []:
+        x = rng.uniform(-1, 1, (8, h, h, cin)).astype(np.float32)
+        ew = (rng.normal(0, 1, (cin, e)) * cin ** -0.5).astype(np.float32)
+        eb = rng.normal(0, 0.1, (e,)).astype(np.float32)
+        dw_w = rng.normal(0, 0.3, (3, 3, 1, e)).astype(np.float32)
+        dw_b = rng.normal(0, 0.1, (e,)).astype(np.float32)
+        pw_w = (rng.normal(0, 1, (e, cout)) * e ** -0.5).astype(np.float32)
+        pw_b = rng.normal(0, 0.1, (cout,)).astype(np.float32)
+        ref = numpy_ref.pointwise_ref(
+            numpy_ref.depthwise_ref(
+                numpy_ref.pointwise_ref(x, ew, eb, True), dw_w, s, dw_b, True),
+            pw_w, pw_b, None)
+        if res:
+            ref = ref + x
+        got = inverted_residual_pallas(
+            jnp.asarray(x), jnp.asarray(ew), jnp.asarray(eb),
+            jnp.asarray(dw_w), jnp.asarray(dw_b),
+            jnp.asarray(pw_w), jnp.asarray(pw_b), s, res)
+        check(f"ir_block h={h} {cin}->{e}->{cout} s={s} res={res}",
+              got, ref, 3e-5)
+
     # --- packed fused block ------------------------------------------------
     rng = rng_for("packed_block")
     for (h, cin, cout) in [(112, 32, 64), (16, 8, 16)] if want("packed_block") else []:
