@@ -180,17 +180,25 @@ def forward_v2(
         if num_blocks is not None and i >= num_blocks:
             return y
         has_res = stride == 1 and cin == cout
-        if (routing[i] == "fused" and not collect and "exp" in blk
+        if (routing[i] == "fused" and not collect and ("exp" in blk or i == 0)
                 and ir_fits(int(y.shape[0]), int(y.shape[1]), int(y.shape[2]),
                             cin, t * cin, cout, stride,
                             jnp.dtype(y.dtype).itemsize)):
             # Whole inverted-residual block as ONE Pallas kernel: the
-            # expanded (t*Cin-wide) tensor never touches HBM.
+            # expanded (t*Cin-wide) tensor never touches HBM. Block 0
+            # (t == 1, no expansion conv) rides the same kernel with an
+            # IDENTITY expansion: its input is conv1's post-ReLU6 output
+            # (values in [0, 6]), so the kernel's expansion ReLU6 is
+            # idempotent — exact, and only legal at i == 0.
             from ..ops.pallas_ir_block import inverted_residual_pallas  # noqa: PLC0415
 
+            if "exp" in blk:
+                ew, eb = blk["exp"]["w"], blk["exp"]["b"]
+            else:
+                ew = jnp.eye(cin, dtype=y.dtype)
+                eb = jnp.zeros((cin,), y.dtype)
             y = inverted_residual_pallas(
-                y, blk["exp"]["w"], blk["exp"]["b"],
-                blk["dw"]["w"], blk["dw"]["b"],
+                y, ew, eb, blk["dw"]["w"], blk["dw"]["b"],
                 blk["prj"]["w"], blk["prj"]["b"], stride, has_res, True)
             continue
         z = y

@@ -83,6 +83,42 @@ def _est_bytes(bn: int, h: int, w: int, cin: int, ep: int, cout: int,
     return int(_VMEM_FACTOR * (x_blk + exp_f32 + 2 * win + acc + out)) + weights
 
 
+def _est_rows_bytes(th: int, h: int, w: int, cin: int, ep: int, cout: int,
+                    stride: int, itemsize: int) -> int:
+    """VMEM estimate for the ROW-TILED mode (one image, th output rows per
+    grid step; the big-spatial twin of _est_bytes)."""
+    th_in = th + 2 if stride == 1 else 2 * th + 2
+    w_out = -(-w // stride)
+    x_blk = th_in * w * cin * itemsize
+    exp_f32 = th_in * w * ep * 4
+    win = th_in * (w + 2) * ep * itemsize
+    acc_w = w_out if stride == 1 else 2 * w_out
+    acc = th * acc_w * ep * 4
+    out = th * w_out * cout * (4 + itemsize)
+    weights = (cin * ep + ep * cout + 10 * ep) * itemsize
+    return int(_VMEM_FACTOR * (2 * x_blk + win + exp_f32 + acc + 2 * out)) + weights
+
+
+def _pick_th(h: int, w: int, cin: int, ep: int, cout: int, stride: int,
+             itemsize: int) -> int:
+    """Row tile for the row-tiled mode: largest th <= 16 dividing H_out with
+    a comfortable estimate and %8-legal 2D blocks (the output rows
+    th*W_out must hit the sublane rule; the input window is an Element
+    block). Returns 0 when no legal tile exists."""
+    h_out = -(-h // stride)
+    w_out = -(-w // stride)
+    th = min(h_out, 16)
+    while th >= 1:
+        while th > 1 and h_out % th:
+            th -= 1
+        if h_out % th == 0 and (th * w_out) % 8 == 0 and h_out // th >= 2 \
+                and _est_rows_bytes(th, h, w, cin, ep, cout, stride,
+                                    itemsize) <= 6 * 1024 * 1024:
+            return th
+        th -= 1
+    return 0
+
+
 def _min_bn(n: int, rows_in: int, rows_out: int) -> int:
     """Smallest divisor of n whose 2D blocks satisfy the Pallas TPU rule:
     the sublane (rows) dim of a block must be divisible by 8 — unless the
@@ -96,17 +132,30 @@ def _min_bn(n: int, rows_in: int, rows_out: int) -> int:
     return bn
 
 
-def ir_fits(n: int, h: int, w: int, cin: int, e: int, cout: int, stride: int,
-            itemsize: int = 2) -> bool:
-    """Whole-image-tile feasibility at the smallest legal batch tile
-    (bigger BN only grows the estimate, and _pick_bn stops well short of
-    the cap)."""
+def _mode(n: int, h: int, w: int, cin: int, e: int, cout: int, stride: int,
+          itemsize: int):
+    """("whole", bn) | ("rows", th) | (None, 0). Whole-image tiles are
+    preferred (no halo recompute, no element windows); the row-tiled mode
+    covers the big-spatial blocks whose whole-image tile busts VMEM —
+    measured 51.6 of V2's 62.4 ms/batch lived in exactly those three
+    blocks before this mode existed (tools/prefix_attr.py --model v2)."""
     ep = _round_up(e, 128)
     if stride == 2 and (h % 2 or w % 2):
-        return False
+        return None, 0
     h_out, w_out = -(-h // stride), -(-w // stride)
     bn = _min_bn(n, h * w, h_out * w_out)
-    return _est_bytes(bn, h, w, cin, ep, cout, stride, itemsize) <= _VMEM_CAP
+    if _est_bytes(bn, h, w, cin, ep, cout, stride, itemsize) <= _VMEM_CAP:
+        return "whole", bn
+    th = _pick_th(h, w, cin, ep, cout, stride, itemsize)
+    if th:
+        return "rows", th
+    return None, 0
+
+
+def ir_fits(n: int, h: int, w: int, cin: int, e: int, cout: int, stride: int,
+            itemsize: int = 2) -> bool:
+    """Feasibility in either tiling mode (static shape math, tier-agnostic)."""
+    return _mode(n, h, w, cin, e, cout, stride, itemsize)[0] is not None
 
 
 def _pick_bn(n: int, h: int, w: int, cin: int, ep: int, cout: int,
@@ -191,9 +240,118 @@ def _ir_kernel(
     o_ref[...] = out
 
 
+def _ir_kernel_rows(
+    x_ref, ew_ref, eb_ref, dww_ref, dwb_ref, pww_ref, pwb_ref, o_ref, s_ref,
+    *, th, h, w, stride, relu6, residual, out_dtype, g,
+):
+    """Row-tiled variant: grid (N, H_out/th), one image x th output rows per
+    step. The input window is a 4D ELEMENT block (1, th_in, W, Cin) — th_in
+    image rows incl. the halo, clamped in-bounds by the index map — the
+    proven pallas_block.py discipline. A 2D element window would be the
+    natural shape here, but it crashes the Mosaic compiler outright
+    (measured on v5e: HTTP 500 at every size/alignment, while the same
+    window as 4D + an in-kernel (1,th_in,W,C)->(th_in*W,C) cast compiles
+    at C = 16/24/32/128 — small-C casts are legal; only LARGE unaligned C
+    like 960 is rejected). Expansion recomputes the <=2 halo rows per
+    tile, which is what keeps the expanded tensor out of HBM."""
+    ep = s_ref.shape[-1]
+    w_out = -(-w // stride)
+    i = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, i == 0))
+    def _():
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    th_in = th + 2 if stride == 1 else 2 * th + 2
+    cin = x_ref.shape[-1]
+    xv = x_ref[...].reshape(th_in * w, cin)  # small-C cast: measured legal
+    prec = (jax.lax.Precision.HIGHEST if ew_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    ye = jnp.dot(xv, ew_ref[...], preferred_element_type=jnp.float32,
+                 precision=prec)
+    ye = _act(ye + eb_ref[0].astype(jnp.float32), relu6)
+    y4 = ye.astype(s_ref.dtype).reshape(th_in, w, ep)  # Ep-minor: legal cast
+
+    # --- place the expanded rows into the zero-bordered scratch ------------
+    # (position-dependent copies mirroring pallas_block._block_kernel g>1;
+    # side cols were zeroed once and are never written after)
+    if stride == 1:
+        @pl.when(i == 0)
+        def _():  # window = image rows [0, th+2); tile needs [-1, th+1)
+            s_ref[1 : th + 2, 1 : w + 1, :] = y4[0 : th + 1]
+            s_ref[0:1, 1 : w + 1, :] = jnp.zeros_like(
+                s_ref[0:1, 1 : w + 1, :])
+
+        if g > 2:
+            @pl.when(jnp.logical_and(i > 0, i < g - 1))
+            def _():  # window = image rows [ts-1, ts+th+1)
+                s_ref[0 : th + 2, 1 : w + 1, :] = y4
+
+        @pl.when(i == g - 1)
+        def _():  # clamped window = image rows [ts-2, ts+th)
+            s_ref[0 : th + 1, 1 : w + 1, :] = y4[1 : th + 2]
+            s_ref[th + 1 : th + 2, 1 : w + 1, :] = jnp.zeros_like(
+                s_ref[th + 1 : th + 2, 1 : w + 1, :])
+    else:
+        @pl.when(i < g - 1)
+        def _():  # window = image rows [2ts, 2ts+2th+2)
+            s_ref[0 : 2 * th + 2, 0:w, :] = y4
+
+        @pl.when(i == g - 1)
+        def _():  # clamped window = image rows [2ts-2, 2ts+2th)
+            s_ref[0 : 2 * th, 0:w, :] = y4[2 : 2 * th + 2]
+            s_ref[2 * th : 2 * th + 2, 0:w, :] = jnp.zeros_like(
+                s_ref[2 * th : 2 * th + 2, 0:w, :])
+
+    # --- 9-tap stencil + projection (3D twins of _ir_kernel) ---------------
+    sv = s_ref[...]
+    if stride == 1:
+        acc = jnp.zeros((th, w, ep), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                tap = sv[dy : dy + th, dx : dx + w, :].astype(jnp.float32)
+                acc = acc + tap * dww_ref[dy, dx, :].astype(jnp.float32)
+    else:
+        w_full = 2 * w_out
+        pairs = sv.reshape(th + 1, 2, w + 2, ep)
+        acc_f = jnp.zeros((th, w_full, ep), jnp.float32)
+        for dy in range(3):
+            r = pairs[dy // 2 : dy // 2 + th, dy % 2]
+            for dx in range(3):
+                tap = r[:, dx : dx + w_full, :].astype(jnp.float32)
+                acc_f = acc_f + tap * dww_ref[dy, dx, :].astype(jnp.float32)
+        acc = acc_f.reshape(th, w_out, 2, ep)[:, :, 0, :]
+
+    y = _act(acc + dwb_ref[0].astype(jnp.float32), relu6)
+    y2 = y.astype(pww_ref.dtype).reshape(th * w_out, ep)
+    out = jnp.dot(y2, pww_ref[...], preferred_element_type=jnp.float32,
+                  precision=prec)
+    out = (out + pwb_ref[0].astype(jnp.float32)).astype(out_dtype)
+    if not residual:
+        o_ref[...] = out
+        return
+    # Residual: the tile's input rows sit at a position-dependent offset in
+    # the halo window (0 / 1 / 2 rows for first / interior / last tile).
+    thw = th * w
+
+    @pl.when(i == 0)
+    def _():
+        o_ref[...] = out + xv[0:thw].astype(out_dtype)
+
+    if g > 2:
+        @pl.when(jnp.logical_and(i > 0, i < g - 1))
+        def _():
+            o_ref[...] = out + xv[w : w + thw].astype(out_dtype)
+
+    @pl.when(i == g - 1)
+    def _():
+        o_ref[...] = out + xv[2 * w : 2 * w + thw].astype(out_dtype)
+
+
 def inverted_residual_pallas(
     x, exp_w, exp_b, dw_w, dw_b, prj_w, prj_b, stride, residual,
-    relu6=True, *, block_n: Optional[int] = None, interpret=None,
+    relu6=True, *, block_n: Optional[int] = None,
+    block_th: Optional[int] = None, interpret=None,
 ):
     """Fused expand(1x1)+ReLU6 -> dw3x3+ReLU6 -> linear project(1x1)
     [+ residual]. TF-SAME semantics; whole-image tiles.
@@ -205,7 +363,7 @@ def inverted_residual_pallas(
     """
     return _ir_impl(x, exp_w, exp_b, dw_w.reshape(3, 3, -1), dw_b,
                     prj_w, prj_b, int(stride), bool(residual), bool(relu6),
-                    block_n=block_n, interpret=interpret)
+                    block_n=block_n, block_th=block_th, interpret=interpret)
 
 
 @functools.partial(
@@ -225,6 +383,7 @@ def _ir_impl(
     relu6: bool = True,
     *,
     block_n: Optional[int] = None,
+    block_th: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     if interpret is None:
@@ -251,38 +410,73 @@ def _ir_impl(
         dw_b = jnp.pad(dw_b, (0, ep - e))
         prj_w = jnp.pad(prj_w, ((0, ep - e), (0, 0)))
 
-    if block_n is not None:
-        bn = block_n
-        assert n % bn == 0, (n, bn)
+    mode, tile = _mode(n, h, w, cin, e, cout, stride, x.dtype.itemsize)
+    assert mode is not None, ("infeasible shape — gate calls with ir_fits",
+                              n, h, w, cin, e, cout, stride)
+    if mode == "whole" or block_n is not None:
+        x_arg = x.reshape(n * h * w, cin)  # row-major bitcast, free in XLA
+        if block_n is not None:
+            bn = block_n
+            assert n % bn == 0, (n, bn)
+        else:
+            bn = _pick_bn(n, h, w, cin, ep, cout, stride, x.dtype.itemsize)
+        kernel = functools.partial(
+            _ir_kernel, bn=bn, h=h, w=w, stride=stride, relu6=relu6,
+            residual=residual, out_dtype=x.dtype,
+        )
+        grid = (n // bn,)
+        x_spec = pl.BlockSpec((bn * h * w, cin), lambda b: (b, 0),
+                              memory_space=pltpu.VMEM)
+        o_spec = pl.BlockSpec((bn * h_out * w_out, cout), lambda b: (b, 0),
+                              memory_space=pltpu.VMEM)
+        w_index = lambda b: (0, 0)
+        dw_index = lambda b: (0, 0, 0)
+        scratch = pltpu.VMEM((bn, h + 2, w + 2, ep), x.dtype)
     else:
-        bn = _pick_bn(n, h, w, cin, ep, cout, stride, x.dtype.itemsize)
+        x_arg = x  # 4D: rows mode windows with Element indexing
+        th = tile if block_th is None else block_th
+        assert h_out % th == 0, (h_out, th)
+        g = h_out // th
+        assert g >= 2, "rows mode needs >= 2 tiles; use whole-image for g == 1"
+        if stride == 1:
+            th_in = th + 2
+            x_index = lambda b, i: (
+                b, jnp.clip(i * th - 1, 0, h - (th + 2)), 0, 0)
+        else:
+            th_in = 2 * th + 2
+            x_index = lambda b, i: (
+                b, jnp.minimum(i * 2 * th, h - (2 * th + 2)), 0, 0)
+        kernel = functools.partial(
+            _ir_kernel_rows, th=th, h=h, w=w, stride=stride, relu6=relu6,
+            residual=residual, out_dtype=x.dtype, g=g,
+        )
+        grid = (n, g)
+        x_spec = pl.BlockSpec(
+            (pl.Element(1), pl.Element(th_in), pl.Element(w), pl.Element(cin)),
+            x_index, memory_space=pltpu.VMEM)
+        o_spec = pl.BlockSpec((th * w_out, cout), lambda b, i: (b * g + i, 0),
+                              memory_space=pltpu.VMEM)
+        w_index = lambda b, i: (0, 0)
+        dw_index = lambda b, i: (0, 0, 0)
+        s_rows = th + 2 if stride == 1 else 2 * th + 2
+        scratch = pltpu.VMEM((s_rows, w + 2, ep), x.dtype)
 
-    x2 = x.reshape(n * h * w, cin)  # row-major bitcast, free in XLA
-    s_rows = h + 2  # covers both strides: s2 uses rows [0, H+1]
-
-    kernel = functools.partial(
-        _ir_kernel, bn=bn, h=h, w=w, stride=stride, relu6=relu6,
-        residual=residual, out_dtype=x.dtype,
-    )
     out2 = pl.pallas_call(
         kernel,
-        grid=(n // bn,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((bn * h * w, cin), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cin, ep), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ep), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, ep), lambda b: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ep), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ep, cout), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            x_spec,
+            pl.BlockSpec((cin, ep), w_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, ep), dw_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ep, cout), w_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), w_index, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bn * h_out * w_out, cout), lambda b: (b, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=o_spec,
         out_shape=jax.ShapeDtypeStruct((n * h_out * w_out, cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((bn, s_rows, w + 2, ep), x.dtype)],
+        scratch_shapes=[scratch],
         interpret=interpret,
-    )(x2, exp_w, exp_b.reshape(1, ep), dw_w, dw_b.reshape(1, ep),
+    )(x_arg, exp_w, exp_b.reshape(1, ep), dw_w, dw_b.reshape(1, ep),
       prj_w, prj_b.reshape(1, cout))
     return out2.reshape(n, h_out, w_out, cout)

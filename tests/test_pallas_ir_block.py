@@ -13,7 +13,7 @@ import pytest
 
 from mobilenet_tpu.ops import conv as ops
 from mobilenet_tpu.ops.pallas_ir_block import (
-    _pick_bn, inverted_residual_pallas, ir_fits)
+    _mode, _pick_bn, inverted_residual_pallas, ir_fits)
 
 
 def _ref(x, ew, eb, dww, dwb, pw, pb, stride, residual):
@@ -66,7 +66,9 @@ def test_bf16_close(rng):
 
 
 def test_block_n_override_and_autopick(rng):
-    args = _make(rng, 8, 7, 160, 960, 320, np.float32)
+    # e=384 keeps the f32 whole-image estimate under the cap (960 would
+    # bust it at itemsize 4 — the bf16 production shape fits, test_mode_*).
+    args = _make(rng, 8, 7, 160, 384, 320, np.float32)
     base = np.asarray(inverted_residual_pallas(*args, 1, False))
     for bn in (1, 2, 8):
         got = np.asarray(inverted_residual_pallas(*args, 1, False, block_n=bn))
@@ -81,18 +83,40 @@ def test_block_n_override_and_autopick(rng):
     assert _pick_bn(3, 7, 7, 160, 1024, 320, 1, 2) == 3  # bn==n is legal
 
 
-def test_ir_fits_gates_the_big_spatial_blocks():
-    # 1.0-224 batch 256: the 112-squared blocks must NOT claim fused
-    # (whole-image tile exceeds the VMEM budget); the 14/7-squared s1
-    # blocks must. blk13 (14->7 s2) is forced to bn=8 by the sublane rule
-    # and its estimate exceeds the cap -> xla fallback.
-    assert not ir_fits(256, 112, 112, 16, 96, 24, 2, 2)
-    assert ir_fits(256, 14, 14, 64, 384, 64, 1, 2)
-    assert ir_fits(256, 7, 7, 160, 960, 320, 1, 2)
-    assert not ir_fits(256, 14, 14, 96, 576, 160, 2, 2)
+def test_mode_selection_across_the_v2_grid():
+    # 1.0-224 batch 256: small-spatial blocks take whole-image tiles; the
+    # 112/56-squared blocks (whole-image tile busts VMEM) take the
+    # row-tiled mode — before it existed they fell to xla and held 51.6 of
+    # V2's 62.4 ms/batch (tools/prefix_attr.py --model v2, v5e).
+    assert _mode(256, 14, 14, 64, 384, 64, 1, 2)[0] == "whole"
+    assert _mode(256, 7, 7, 160, 960, 320, 1, 2)[0] == "whole"
+    assert _mode(256, 112, 112, 16, 96, 24, 2, 2)[0] == "rows"
+    assert _mode(256, 112, 112, 32, 32, 16, 1, 2)[0] == "rows"
+    assert _mode(256, 56, 56, 24, 144, 24, 1, 2)[0] == "rows"
     assert ir_fits(1, 14, 14, 96, 576, 160, 2, 2)  # batch 1: bn==n, fits
+    # blk13 (14->7 s2) is forced to bn=8 by the sublane rule and its
+    # whole-image estimate exceeds the cap; rows can't tile h_out=7 -> xla
+    assert not ir_fits(256, 14, 14, 96, 576, 160, 2, 2)
     # odd spatial at stride 2 is never eligible (TF-SAME even contract)
     assert not ir_fits(256, 15, 15, 96, 576, 160, 2, 2)
+
+
+@pytest.mark.parametrize(
+    "n,h,cin,e,cout,stride,residual",
+    [
+        (2, 112, 32, 32, 16, 1, False),   # block0 shape (identity-exp class)
+        (2, 112, 16, 96, 24, 2, False),   # block1
+        (2, 56, 24, 144, 24, 1, True),    # block2: residual across row tiles
+        (1, 48, 24, 144, 24, 1, True),    # g=3 interior-tile residual path
+    ],
+)
+def test_rows_mode_vs_xla_ops(rng, n, h, cin, e, cout, stride, residual):
+    args = _make(rng, n, h, cin, e, cout)
+    assert _mode(n, h, h, cin, e, cout, stride, 4)[0] == "rows"
+    got = inverted_residual_pallas(*args, stride, residual)
+    want = _ref(*args, stride, residual)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-5)
 
 
 def test_residual_requires_matching_channels(rng):

@@ -23,6 +23,8 @@ def _measure(label, make_fn, x):
           flush=True)
 
 def main():
+    if "--model" in sys.argv and "v2" in sys.argv:
+        return main_v2()
     cfg = ModelConfig(alpha=1.0, resolution=224, compute_dtype="bfloat16")
     folded = fold_bn(init_params(cfg, 0), eps=cfg.bn_eps)
     for dw_backend, dt in [("fused", jnp.bfloat16), ("xla", jnp.bfloat16),
@@ -68,6 +70,31 @@ def main():
         u8 = jnp.asarray(np.random.default_rng(0).integers(
             0, 256, (1, 224, 224, 3), dtype=np.uint8))
         _measure(label, make_i8, u8)
+
+def main_v2():
+    """V2 batch-1 device latency (xla vs the fused IR-kernel routing),
+    same differenced-chain method. Usage: latency_probe.py --model v2."""
+    from mobilenet_tpu.checkpoints.v2 import fold_bn_v2, init_params_v2
+    from mobilenet_tpu.models.mobilenet_v2 import V2Config, predict_probs_v2
+
+    cfg = V2Config(alpha=1.0, resolution=224, compute_dtype="bfloat16")
+    params = jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.bfloat16),
+        fold_bn_v2(init_params_v2(cfg, 0), eps=cfg.bn_eps))
+    for backend in ("xla", "fused"):
+        def make(length, backend=backend):
+            def chain(x):
+                def body(carry, _):
+                    probs = predict_probs_v2(params, carry, cfg,
+                                             dw_backend=backend)
+                    nxt = carry * (1.0 + 1e-6 * jnp.sum(probs).astype(carry.dtype))
+                    return nxt, jnp.argmax(probs)
+                return jax.lax.scan(body, x, None, length=length)
+            return jax.jit(chain)
+        x = jnp.asarray(np.random.default_rng(0).uniform(
+            -1, 1, (1, 224, 224, 3)), jnp.bfloat16)
+        _measure(f"v2 {backend}", make, x)
+
 
 if __name__ == "__main__":
     main()
