@@ -77,6 +77,47 @@ def pad_channels(folded: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def pad_block0_v2(folded: Dict[str, Any]) -> Dict[str, Any]:
+    """V2 twin, minimal by design: pad ONLY block 0's projection Cout up to
+    a multiple of its Cin (the packed kernel's lane-group unit, so
+    R*Cout % 128 == 0 and the lane-packed route applies to the t==1 block),
+    and block 1's expansion rows to consume the padded channels. All other
+    V2 blocks run the IR kernel, which pads its expanded dim in VMEM and
+    needs NO host-side padding (ops/pallas_ir_block.py). Exactness: the
+    zero-channel argument at the top of this file; block 0 is never a
+    residual block (its Cout != Cin at every keras alpha), so no residual
+    sees the padded width."""
+
+    def pad_to(arr, axis, target):
+        arr = np.asarray(arr)
+        if arr.shape[axis] >= target:
+            return arr
+        widths = [(0, 0)] * arr.ndim
+        widths[axis] = (0, target - arr.shape[axis])
+        return np.pad(arr, widths)
+
+    blk0 = folded["blocks"][0]
+    cin = blk0["prj"]["w"].shape[0]  # == stem channels (t == 1)
+    cout = blk0["prj"]["w"].shape[1]
+    if cin >= 128 or 128 % cin or cout % cin == 0:
+        return folded
+    coutp = -(-cout // cin) * cin
+    out = dict(folded)
+    out["blocks"] = list(folded["blocks"])
+    out["blocks"][0] = {
+        **blk0,
+        "prj": {"w": pad_to(blk0["prj"]["w"], 1, coutp),
+                "b": pad_to(blk0["prj"]["b"], 0, coutp)},
+    }
+    blk1 = folded["blocks"][1]
+    out["blocks"][1] = {
+        **blk1,
+        "exp": {"w": pad_to(blk1["exp"]["w"], 0, coutp),
+                "b": np.asarray(blk1["exp"]["b"])},
+    }
+    return out
+
+
 def needs_padding(folded: Dict[str, Any]) -> bool:
     c = folded["conv1"]["w"].shape[3]
     if c < 128 and 128 % c:

@@ -180,9 +180,32 @@ def forward_v2(
         if num_blocks is not None and i >= num_blocks:
             return y
         has_res = stride == 1 and cin == cout
+        # Shapes come from the ACTUAL params: the device tree may carry
+        # block 0's lane-divisor projection padding (checkpoints.padding.
+        # pad_block0_v2) — zero channels, logits exactly unchanged.
+        cin_a = int(y.shape[-1])
+        e_a = int(blk["exp"]["w"].shape[1]) if "exp" in blk else cin_a
+        cout_a = int(blk["prj"]["w"].shape[1])
+        if routing[i] == "fused" and not collect and "exp" not in blk:
+            # t == 1 (block 0 only): its dw runs at Cin < 128 — lane-pack
+            # R = 128/Cin pixels per vector (the measured V1 fix for 112²
+            # narrow layers) when the shapes allow, with the packed
+            # kernel's LINEAR projection mode.
+            r = 128 // cin_a if (cin_a < 128 and 128 % cin_a == 0) else 0
+            if (stride == 1 and r and (int(y.shape[2]) * cin_a) % 128 == 0
+                    and (r * cout_a) % 128 == 0):
+                from ..ops.pallas_block_packed import (  # noqa: PLC0415
+                    pack, separable_block_packed, unpack)
+
+                yp = separable_block_packed(
+                    pack(y, cin_a), blk["dw"]["w"], blk["dw"]["b"],
+                    blk["prj"]["w"], blk["prj"]["b"], cin_a, cout_a, True,
+                    pw_epilogue=False)
+                y = unpack(yp, cout_a)
+                continue
         if (routing[i] == "fused" and not collect and ("exp" in blk or i == 0)
                 and ir_fits(int(y.shape[0]), int(y.shape[1]), int(y.shape[2]),
-                            cin, t * cin, cout, stride,
+                            cin_a, e_a, cout_a, stride,
                             jnp.dtype(y.dtype).itemsize)):
             # Whole inverted-residual block as ONE Pallas kernel: the
             # expanded (t*Cin-wide) tensor never touches HBM. Block 0
@@ -195,8 +218,8 @@ def forward_v2(
             if "exp" in blk:
                 ew, eb = blk["exp"]["w"], blk["exp"]["b"]
             else:
-                ew = jnp.eye(cin, dtype=y.dtype)
-                eb = jnp.zeros((cin,), y.dtype)
+                ew = jnp.eye(cin_a, dtype=y.dtype)
+                eb = jnp.zeros((cin_a,), y.dtype)
             y = inverted_residual_pallas(
                 y, ew, eb, blk["dw"]["w"], blk["dw"]["b"],
                 blk["prj"]["w"], blk["prj"]["b"], stride, has_res, True)

@@ -57,7 +57,7 @@ def _shift_cols(v, direction):
 
 def _packed_kernel(
     x_ref, dww_ref, dwb_ref, pww_ref, pwb_ref, o_ref, s_ref,
-    *, th, w4, r, cin, relu6, out_dtype, g, bn, out_cols,
+    *, th, w4, r, cin, relu6, out_dtype, g, bn, out_cols, pw_epilogue=True,
 ):
     i = pl.program_id(1)
     is_first_step = jnp.logical_and(pl.program_id(0) == 0, i == 0)
@@ -114,14 +114,20 @@ def _packed_kernel(
         else jax.lax.Precision.DEFAULT
     )
     out = jnp.dot(y2, pww_ref[...], preferred_element_type=jnp.float32, precision=prec)
-    out = _act(out + pwb_ref[0].astype(jnp.float32), relu6)
+    out = out + pwb_ref[0].astype(jnp.float32)
+    if pw_epilogue:
+        out = _act(out, relu6)
+    # pw_epilogue=False emits bias-added but UNACTIVATED output — the V2
+    # linear-bottleneck projection (models/mobilenet_v2.py block 0 routes
+    # here; the V1 dense kernel's partial mode is the TP analog).
     # (BN*th*W4, R*Cout) -> (BN, th, out_cols, 128): contiguous lane regroup.
     o_ref[...] = out.reshape(bn, th, out_cols, 128).astype(out_dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cin", "cout", "relu6", "block_h", "block_n", "interpret"),
+    static_argnames=("cin", "cout", "relu6", "block_h", "block_n",
+                     "pw_epilogue", "interpret"),
 )
 def separable_block_packed(
     x_packed: jax.Array,  # (N, H, W/R, 128), lane = j*Cin + c
@@ -135,11 +141,15 @@ def separable_block_packed(
     *,
     block_h: Optional[int] = None,
     block_n: Optional[int] = None,
+    pw_epilogue: bool = True,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Stride-1 fused dw+pw on lane-packed input. Returns packed
     (N, H, W*Cout/128, 128) — the packed layout for Cout (dense NHWC when
-    Cout >= 128 after one free reshape in the caller)."""
+    Cout >= 128 after one free reshape in the caller).
+
+    pw_epilogue=False emits bias-added UNACTIVATED pointwise output (the
+    V2 linear bottleneck; the dw epilogue keeps its activation)."""
     if interpret is None:
         interpret = _should_interpret()
     n, h, w4, lanes = x_packed.shape
@@ -202,6 +212,7 @@ def separable_block_packed(
     kernel = functools.partial(
         _packed_kernel, th=th, w4=w4, r=r, cin=cin, relu6=relu6,
         out_dtype=x_packed.dtype, g=g, bn=bn, out_cols=out_cols,
+        pw_epilogue=pw_epilogue,
     )
 
     return pl.pallas_call(

@@ -101,21 +101,34 @@ def _est_rows_bytes(th: int, h: int, w: int, cin: int, ep: int, cout: int,
 
 def _pick_th(h: int, w: int, cin: int, ep: int, cout: int, stride: int,
              itemsize: int) -> int:
-    """Row tile for the row-tiled mode: largest th <= 16 dividing H_out with
-    a comfortable estimate and %8-legal 2D blocks (the output rows
-    th*W_out must hit the sublane rule; the input window is an Element
-    block). Returns 0 when no legal tile exists."""
+    """Row tile for the row-tiled mode: a th dividing H_out (with g >= 2)
+    whose estimate fits the cap and whose 2D blocks are %8-legal (output
+    rows th*W_out hit the sublane rule). Direction is stride-dependent and
+    MEASURED (v5e, 112sq blocks, tools/ab_ir_rows.py, interleaved medians):
+
+      stride 1 (block 0): bigger tiles win monotonically — 8.34 ms at
+        th=56 vs 8.49 (28) / 8.73 (16) / 9.29 (8) / 10.62 (4) standalone;
+        fewer grid steps beat smaller live sets.
+      stride 2 (block 1): SMALLEST wins — 8.22 ms at th=4 vs 8.42 (28) /
+        8.77 (8) / 8.91 (14); the full-width f32 accumulator doubles the
+        live set per row, so small tiles keep it resident.
+
+    Returns 0 when no legal tile exists."""
     h_out = -(-h // stride)
     w_out = -(-w // stride)
-    th = min(h_out, 16)
-    while th >= 1:
-        while th > 1 and h_out % th:
-            th -= 1
-        if h_out % th == 0 and (th * w_out) % 8 == 0 and h_out // th >= 2 \
-                and _est_rows_bytes(th, h, w, cin, ep, cout, stride,
-                                    itemsize) <= 6 * 1024 * 1024:
+    cands = (range(h_out // 2, 0, -1) if stride == 1
+             else range(4, h_out // 2 + 1))
+    for th in cands:
+        if h_out % th or (th * w_out) % 8:
+            continue
+        if _est_rows_bytes(th, h, w, cin, ep, cout, stride,
+                           itemsize) <= _VMEM_CAP:
             return th
-        th -= 1
+    # stride-2 fallback: nothing >= 4 legal; take anything that fits
+    for th in range(min(3, h_out // 2), 0, -1):
+        if h_out % th == 0 and (th * w_out) % 8 == 0 and _est_rows_bytes(
+                th, h, w, cin, ep, cout, stride, itemsize) <= _VMEM_CAP:
+            return th
     return 0
 
 
@@ -368,7 +381,8 @@ def inverted_residual_pallas(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("stride", "residual", "relu6", "block_n", "interpret"),
+    static_argnames=("stride", "residual", "relu6", "block_n", "block_th",
+                     "interpret"),
 )
 def _ir_impl(
     x: jax.Array,       # (N, H, W, Cin)

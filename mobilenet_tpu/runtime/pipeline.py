@@ -104,6 +104,14 @@ class InferencePipeline:
             host_params = fold_bn(
                 init_params(config, seed=seed), eps=config.bn_eps)
         rb = self.dw_backend
+        if self.is_v2 and (rb in ("auto", "fused") or (
+                isinstance(rb, (tuple, list)) and "fused" in rb)):
+            # V2's IR kernel pads its expanded dim in VMEM (no host padding
+            # needed); only block 0's lane-packed projection wants its Cout
+            # padded to a lane-divisor multiple. Logits exactly unchanged.
+            from ..checkpoints.padding import pad_block0_v2
+
+            host_params = pad_block0_v2(host_params)
         if not self.is_v2 and (rb in ("auto", "fused", "mixed") or (
                 isinstance(rb, (tuple, list)) and "fused" in rb)):
             # alpha=0.75-style channel counts (24/48/96) divide neither 128

@@ -119,6 +119,54 @@ def test_rows_mode_vs_xla_ops(rng, n, h, cin, e, cout, stride, residual):
                                atol=3e-5, rtol=1e-5)
 
 
+def test_packed_linear_projection_mode(rng):
+    """Block 0's lane-packed route: packed dw + LINEAR (pw_epilogue=False)
+    projection with the pad_block0_v2 Cout padding, vs the XLA ops."""
+    from mobilenet_tpu.ops.pallas_block_packed import (
+        pack, separable_block_packed, unpack)
+
+    n, h, cin, cout = 2, 16, 32, 16
+    x = np.clip(rng.uniform(0, 6, (n, h, h, cin)), 0, 6).astype(np.float32)
+    dww = rng.normal(0, 0.3, (3, 3, 1, cin)).astype(np.float32)
+    dwb = rng.normal(0, 0.1, (cin,)).astype(np.float32)
+    pw = rng.normal(0, cin ** -0.5, (cin, cout)).astype(np.float32)
+    pb = rng.normal(0, 0.1, (cout,)).astype(np.float32)
+    coutp = 32
+    pw_p = np.pad(pw, ((0, 0), (0, coutp - cout)))
+    pb_p = np.pad(pb, (0, coutp - cout))
+    got = unpack(separable_block_packed(
+        pack(jnp.asarray(x), cin), jnp.asarray(dww), jnp.asarray(dwb),
+        jnp.asarray(pw_p), jnp.asarray(pb_p), cin, coutp, True,
+        pw_epilogue=False), coutp)
+    want = ops.pointwise_conv(
+        ops.depthwise_conv_xla(jnp.asarray(x), jnp.asarray(dww), 1,
+                               bias=jnp.asarray(dwb), relu6=True),
+        jnp.asarray(pw), bias=jnp.asarray(pb), relu6=None)
+    got = np.asarray(got)
+    np.testing.assert_allclose(got[..., :cout], np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+    assert np.abs(got[..., cout:]).max() == 0.0  # padded lanes stay zero
+
+
+def test_pad_block0_v2_model_equivalence(rng):
+    """Padded fused tree vs unpadded xla tree: logits must agree within the
+    V2 gate (padding itself is exact; kernels carry bf16-class tolerance)."""
+    from mobilenet_tpu.checkpoints.padding import pad_block0_v2
+    from mobilenet_tpu.checkpoints.v2 import fold_bn_v2, init_params_v2
+    from mobilenet_tpu.models.mobilenet_v2 import V2Config, forward_v2
+
+    cfg = V2Config(alpha=1.0, resolution=96)
+    folded = fold_bn_v2(init_params_v2(cfg, seed=0), eps=cfg.bn_eps)
+    padded = pad_block0_v2(folded)
+    assert padded["blocks"][0]["prj"]["w"].shape[1] == 32
+    assert padded["blocks"][1]["exp"]["w"].shape[0] == 32
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 96, 96, 3)), jnp.float32)
+    ref = forward_v2(folded, x, cfg, dw_backend="xla")
+    got = forward_v2(padded, x, cfg, dw_backend="fused")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-3, rtol=1e-3)
+
+
 def test_residual_requires_matching_channels(rng):
     args = _make(rng, 1, 8, 32, 192, 64, np.float32)
     with pytest.raises(AssertionError):

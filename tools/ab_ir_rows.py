@@ -70,6 +70,22 @@ def main():
     entries = {"xla": jax.jit(xla_fn)}
     if identity:
         entries["pallas_dw"] = jax.jit(pdw_fn)
+        # lane-packed route with the Cout lane-divisor padding the pipeline
+        # ships (checkpoints.padding.pad_block0_v2): R=128/Cin pixel packing
+        # restores full VPU occupancy for the 112-squared dw.
+        from mobilenet_tpu.ops.pallas_block_packed import (
+            pack, separable_block_packed, unpack)
+
+        coutp = -(-cout // cin) * cin
+        pw_p = jnp.pad(pw, ((0, 0), (0, coutp - cout)))
+        pb_p = jnp.pad(pb, (0, coutp - cout))
+
+        def packed_fn(x):
+            yp = separable_block_packed(pack(x, cin), dww, dwb, pw_p, pb_p,
+                                        cin, coutp, True, pw_epilogue=False)
+            return unpack(yp, coutp)[..., :cout]  # slice only for numerics
+
+        entries["packed"] = jax.jit(packed_fn)
     for th in (4, 8, 14, 16, 28, 56):
         if h_out % th or h_out // th < 2:
             continue

@@ -40,19 +40,26 @@ def main():
     from mobilenet_tpu.models.mobilenet_v2 import V2Config, forward_v2
     from mobilenet_tpu.utils.timing import fenced_window
 
+    from mobilenet_tpu.checkpoints.padding import pad_block0_v2
+
     cfg = V2Config(alpha=args.alpha, resolution=args.res,
                    compute_dtype="bfloat16")
+    folded = fold_bn_v2(init_params_v2(cfg, seed=0), eps=cfg.bn_eps)
     params = jax.tree.map(
         lambda a: jax.device_put(jnp.asarray(a, jnp.bfloat16)),
-        fold_bn_v2(init_params_v2(cfg, seed=0), eps=cfg.bn_eps))
+        {"xla": folded, "fused": pad_block0_v2(folded)})
 
     rng = np.random.default_rng(0)
     x = jax.device_put(jnp.asarray(
         rng.uniform(-1, 1, (args.batch, args.res, args.res, 3)),
         jnp.bfloat16))
 
+    # Each arm's tree is built exactly as production ships it (xla unpadded,
+    # fused with the block-0 lane-divisor padding) — the round-3 autotune
+    # lesson: padding is bit-neutral but not time-neutral.
     entries = {
-        name: jax.jit(lambda p, v, b=name: forward_v2(p, v, cfg, dw_backend=b))
+        name: jax.jit(lambda v, p=params[name], b=name: forward_v2(
+            p, v, cfg, dw_backend=b))
         for name in ("xla", "fused")
     }
 
@@ -62,7 +69,7 @@ def main():
     # numerics gate: logits agreement before any timing
     lg = {}
     for name, fn in entries.items():
-        out = fn(params, x)
+        out = fn(x)
         sync(out)
         lg[name] = np.asarray(out[:8], np.float32)
     d = np.abs(lg["xla"] - lg["fused"]).max()
@@ -73,9 +80,9 @@ def main():
     for r in range(args.rounds):
         for name, fn in entries.items():
             for _ in range(3):
-                out = fn(params, x)
+                out = fn(x)
             sync(out)
-            dt, steps = fenced_window(lambda: fn(params, x), sync, args.steps)
+            dt, steps = fenced_window(lambda: fn(x), sync, args.steps)
             ips = steps * args.batch / dt
             results[name].append(ips)
             print(f"round {r} {name:6s}: {ips:,.0f} img/s", flush=True)

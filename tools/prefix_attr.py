@@ -34,14 +34,17 @@ def build_entries(args, prefixes, int8=None):
         int8 = args.int8
     if getattr(args, "model", "v1") == "v2":
         assert not int8, "--model v2 attribution is bf16-only"
+        from mobilenet_tpu.checkpoints.padding import pad_block0_v2
         from mobilenet_tpu.checkpoints.v2 import fold_bn_v2, init_params_v2
         from mobilenet_tpu.models.mobilenet_v2 import V2Config, forward_v2
 
         cfg = V2Config(alpha=args.alpha, resolution=args.res,
                        compute_dtype="bfloat16")
+        folded = fold_bn_v2(init_params_v2(cfg, seed=0), eps=cfg.bn_eps)
+        if args.routing != "xla":  # build as production ships it
+            folded = pad_block0_v2(folded)
         params = jax.tree.map(
-            lambda a: jnp.asarray(a, jnp.bfloat16),
-            fold_bn_v2(init_params_v2(cfg, seed=0), eps=cfg.bn_eps))
+            lambda a: jnp.asarray(a, jnp.bfloat16), folded)
         entries = {}
         for k in prefixes:
             nb = None if k == "full" else int(k)
