@@ -56,17 +56,26 @@ def cmd_classify(args):
     # — one resize, no lossy uint8 round-trip.
     img = decode_image_host(args.image)
     if getattr(args, "int8", False):
-        if getattr(args, "model", "v1") == "v2":
-            sys.exit("--int8 supports MobileNet-V1 only (the quant/ stack "
-                     "mirrors the reference's fixed-point V1 path)")
         from .checkpoints import load_npz
-        from .quant.model import Int8Pipeline
 
-        qpipe = Int8Pipeline(
-            cfg, seed=args.seed,
-            params=load_npz(args.ckpt) if getattr(args, "ckpt", None) else None,
-        )
-        probs = qpipe.run_batch(img[None])[0]
+        params = load_npz(args.ckpt) if getattr(args, "ckpt", None) else None
+        if getattr(args, "model", "v1") == "v2":
+            import jax
+            import jax.numpy as jnp
+
+            from .checkpoints.v2 import fold_bn_v2, init_params_v2
+            from .quant.v2 import make_int8_infer_v2, quantize_v2
+
+            folded = params if params is not None else fold_bn_v2(
+                init_params_v2(cfg, seed=args.seed), eps=cfg.bn_eps)
+            infer, _ = make_int8_infer_v2(quantize_v2(folded, cfg), cfg)
+            logits = infer(jnp.asarray(img[None]))
+            probs = np.asarray(jax.nn.softmax(logits, axis=-1))[0]
+        else:
+            from .quant.model import Int8Pipeline
+
+            qpipe = Int8Pipeline(cfg, seed=args.seed, params=params)
+            probs = qpipe.run_batch(img[None])[0]
         idx = np.argsort(-probs)[: args.top_k]
         top = [(int(i), float(probs[i])) for i in idx]
     else:
@@ -84,9 +93,9 @@ def _verify_v2(args) -> bool:
     from .runtime.pipeline import InferencePipeline
     from .utils import golden
 
-    if args.int8 or args.routing != "xla":
-        sys.exit("--int8 / --routing are MobileNet-V1 flows; the V2 verify "
-                 "gate runs the fp32 per-layer comparison")
+    if args.routing != "xla":
+        sys.exit("--routing is a MobileNet-V1 flow; the V2 verify gate runs "
+                 "the per-layer comparison on the xla route")
     cfg = V2Config(alpha=args.alpha, resolution=args.res)
     folded = (load_npz(args.ckpt) if getattr(args, "ckpt", None)
               else fold_bn_v2(init_params_v2(cfg, seed=args.seed),
@@ -94,6 +103,10 @@ def _verify_v2(args) -> bool:
     rng = np.random.default_rng(args.seed + 1)
     x = rng.uniform(
         -1, 1, (args.batch, cfg.resolution, cfg.resolution, 3)).astype(np.float32)
+    if args.int8:
+        from .quant.v2 import verify_int8_v2
+
+        return verify_int8_v2(cfg, folded, x)
     pipe = InferencePipeline(cfg, params=folded, dtype=np.float32,
                              dw_backend="xla")
     _, acts = pipe.activations(x)
@@ -331,6 +344,8 @@ def _bench_int8(args):
     BASELINE.json:10): uint8 images -> quantize -> int8 network."""
     from .config import ModelConfig
 
+    if getattr(args, "model", "v1") == "v2":
+        return _bench_int8_v2(args)
     cfg = ModelConfig(alpha=args.alpha, resolution=args.res)
     profile_dir, ctx = _profile_ctx(args)  # --int8 mirrors every bench flag
     with ctx:
@@ -339,6 +354,44 @@ def _bench_int8(args):
     if profile_dir:
         stats["profile_dir"] = profile_dir
     print(json.dumps(stats))
+
+
+def _bench_int8_v2(args):
+    """INT8 MobileNet-V2 throughput (XLA int8 route; quant/v2.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .checkpoints import load_npz
+    from .checkpoints.v2 import fold_bn_v2, init_params_v2
+    from .models.mobilenet_v2 import V2Config
+    from .quant.v2 import make_int8_infer_v2, quantize_v2
+    from .utils.timing import fenced_window
+
+    cfg = V2Config(alpha=args.alpha, resolution=args.res)
+    ckpt = getattr(args, "ckpt", None)
+    folded = (load_npz(ckpt) if ckpt
+              else fold_bn_v2(init_params_v2(cfg, seed=args.seed),
+                              eps=cfg.bn_eps))
+    infer, _ = make_int8_infer_v2(quantize_v2(folded, cfg), cfg)
+    rng = np.random.default_rng(0)
+    img = jax.device_put(jnp.asarray(rng.integers(
+        0, 256, (args.batch, cfg.resolution, cfg.resolution, 3),
+        dtype=np.uint8)))
+
+    def sync(o):
+        return np.asarray(o[0, :4])
+
+    sync(infer(img))
+    for _ in range(3):
+        out = infer(img)
+    sync(out)
+    dt, steps = fenced_window(lambda: infer(img), sync, args.steps)
+    print(json.dumps({
+        "variant": cfg.variant_name(), "dtype": "int8",
+        "images_per_sec": round(steps * args.batch / dt, 1),
+        "batch_size": args.batch, "steps": steps,
+        "backend": jax.default_backend(),
+    }))
 
 
 def _int8_throughput(cfg, batch, steps, seed, ckpt=None, latency=True):
