@@ -33,6 +33,8 @@ regress:           ## fresh measurement vs recorded sweep artifacts (real TPU)
 regress-full:      ## every recorded bf16 + int8 sweep row, variance-aware tolerances (real TPU, slow)
 	python tools/regress.py --configs all
 	python tools/regress.py --configs all --int8
+	python tools/regress.py --model v2 --configs all
+	python tools/regress.py --model v2 --configs all --int8
 
 clean:
 	rm -f mobilenet_tpu/cpu_ref/libcpuref.so mobilenet_tpu/native_io/libnativeio.so

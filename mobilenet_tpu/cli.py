@@ -271,11 +271,9 @@ def cmd_eval(args):
     """End-to-end top-1 agreement vs the golden CPU oracle (the reference's
     accuracy acceptance check, BASELINE.json:5 / SURVEY.md §4). Exit 1 when
     agreement falls below --min-agreement."""
-    from .config import ModelConfig
     from .runtime.eval import evaluate_agreement, load_dir_images, synth_images
 
-    cfg = ModelConfig(alpha=args.alpha, resolution=args.res,
-                      compute_dtype=args.dtype)
+    cfg = _make_config(args)
     if args.dir:
         images = load_dir_images(args.dir)
     else:
@@ -386,12 +384,14 @@ def _bench_int8_v2(args):
         out = infer(img)
     sync(out)
     dt, steps = fenced_window(lambda: infer(img), sync, args.steps)
-    print(json.dumps({
+    row = {
         "variant": cfg.variant_name(), "dtype": "int8",
         "images_per_sec": round(steps * args.batch / dt, 1),
         "batch_size": args.batch, "steps": steps,
         "backend": jax.default_backend(),
-    }))
+    }
+    print(json.dumps(row))
+    return row
 
 
 def _int8_throughput(cfg, batch, steps, seed, ckpt=None, latency=True):
@@ -449,19 +449,39 @@ def cmd_sweep(args):
     from .config import ALPHAS, RESOLUTIONS, ModelConfig
     from .runtime.pipeline import InferencePipeline
 
-    alphas = [float(a) for a in args.alphas.split(",")] if args.alphas else ALPHAS
+    is_v2 = getattr(args, "model", "v1") == "v2"
+    if is_v2:
+        from .models.mobilenet_v2 import V2_ALPHAS, V2Config
+
+        default_alphas, make_cfg = V2_ALPHAS, (
+            lambda a, r: V2Config(alpha=a, resolution=r,
+                                  compute_dtype=args.dtype))
+    else:
+        default_alphas = ALPHAS
+        make_cfg = lambda a, r: ModelConfig(  # noqa: E731
+            alpha=a, resolution=r, compute_dtype=args.dtype)
+    alphas = ([float(a) for a in args.alphas.split(",")] if args.alphas
+              else default_alphas)
     resolutions = ([int(r) for r in args.resolutions.split(",")]
                    if args.resolutions else RESOLUTIONS)
     results = []
     for alpha in alphas:
         for res in resolutions:
-            cfg = ModelConfig(alpha=alpha, resolution=res, compute_dtype=args.dtype)
+            cfg = make_cfg(alpha, res)
             if getattr(args, "int8", False):
-                row = _int8_throughput(cfg, args.batch, args.steps, args.seed,
-                                       ckpt=getattr(args, "ckpt", None),
-                                       latency=False)
+                if is_v2:
+                    # _bench_int8_v2 prints its own row
+                    row = _bench_int8_v2(argparse.Namespace(
+                        alpha=alpha, res=res, batch=args.batch,
+                        steps=args.steps, seed=args.seed,
+                        ckpt=getattr(args, "ckpt", None), model="v2"))
+                else:
+                    row = _int8_throughput(cfg, args.batch, args.steps,
+                                           args.seed,
+                                           ckpt=getattr(args, "ckpt", None),
+                                           latency=False)
+                    print(json.dumps(row), flush=True)
                 results.append(row)
-                print(json.dumps(row), flush=True)
                 continue
             pipe = InferencePipeline(cfg, seed=args.seed)
             stats = pipe.benchmark(batch_size=args.batch, steps=args.steps)
@@ -480,11 +500,9 @@ def cmd_autotune(args):
     (runtime.autotune): throughput windows at --batch >= 2, RTT-cancelled
     differenced latency chains at --batch 1; --int8 races the fixed-point
     path's candidates."""
-    from .config import ModelConfig
     from .runtime.autotune import autotune_backend
 
-    cfg = ModelConfig(alpha=args.alpha, resolution=args.res,
-                      compute_dtype=args.dtype)
+    cfg = _make_config(args)
     params = None
     if getattr(args, "ckpt", None):
         from .checkpoints import load_npz
@@ -517,9 +535,18 @@ def cmd_train(args):
     from .models.train import make_optax_trainer
 
     # training runs in fp32 regardless of --dtype (gradient stability)
-    cfg = ModelConfig(alpha=args.alpha, resolution=args.res)
-    folded = (load_npz(args.ckpt) if getattr(args, "ckpt", None)
-              else fold_bn(init_params(cfg, seed=args.seed), eps=cfg.bn_eps))
+    if getattr(args, "model", "v1") == "v2":
+        from .checkpoints.v2 import fold_bn_v2, init_params_v2
+        from .models.mobilenet_v2 import V2Config
+
+        cfg = V2Config(alpha=args.alpha, resolution=args.res)
+        folded = (load_npz(args.ckpt) if getattr(args, "ckpt", None)
+                  else fold_bn_v2(init_params_v2(cfg, seed=args.seed),
+                                  eps=cfg.bn_eps))
+    else:
+        cfg = ModelConfig(alpha=args.alpha, resolution=args.res)
+        folded = (load_npz(args.ckpt) if getattr(args, "ckpt", None)
+                  else fold_bn(init_params(cfg, seed=args.seed), eps=cfg.bn_eps))
     params = to_device(folded)
     init_fn, step_fn = make_optax_trainer(cfg, lr=args.lr)
     opt_state = init_fn(params)
@@ -596,7 +623,7 @@ def cmd_serve(args):
         streams=args.streams, port=args.port, seed=args.seed,
         int8=getattr(args, "int8", False), dp=args.dp, params=params,
         variants=(args.variants.split(",") if args.variants else None),
-        selftest_only=not args.tcp,
+        selftest_only=not args.tcp, model=getattr(args, "model", "v1"),
     )
 
 
@@ -718,7 +745,7 @@ def main(argv=None):
                          "flip counts as a near-tie, not a mismatch (the "
                          "float path is tolerance-gated vs the oracle, so "
                          "true ties can flip within rounding; 0 = strict)")
-    common(sp, 16)
+    common(sp, 16, model_flag=True)
     # The gate compares against a float32 oracle with a default threshold of
     # 1.0 — run the device side in float32 too (like verify). A bf16 eval is
     # legal but should pair with a sub-1.0 --min-agreement: near-tie logits
@@ -741,21 +768,21 @@ def main(argv=None):
     sp.add_argument("--resolutions", default=None, help="comma list, e.g. 128,224")
     sp.add_argument("--int8", action="store_true",
                     help="sweep the INT8 fixed-point path")
-    common(sp, 256)
+    common(sp, 256, model_flag=True)
     sp.set_defaults(fn=cmd_sweep)
 
     sp = sub.add_parser("train")
     sp.add_argument("--steps", type=int, default=10)
     sp.add_argument("--lr", type=float, default=1e-2)
     sp.add_argument("--out", default=None, help="save trained .npz here")
-    common(sp, 32)
+    common(sp, 32, model_flag=True)
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("autotune")
     sp.add_argument("--steps", type=int, default=10)
     sp.add_argument("--int8", action="store_true",
                     help="race the INT8 fixed-point routing candidates")
-    common(sp)
+    common(sp, model_flag=True)
     sp.set_defaults(fn=cmd_autotune)
 
     sp = sub.add_parser("export")
@@ -782,7 +809,7 @@ def main(argv=None):
     sp.add_argument("--tcp", action="store_true",
                     help="after the selftest, bind the NDJSON TCP front end "
                          "on --port and serve until killed")
-    common(sp, 32)
+    common(sp, 32, model_flag=True)
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("warmup")

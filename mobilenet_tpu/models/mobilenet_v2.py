@@ -115,7 +115,7 @@ class V2Config:
         return f"mobilenet_v2_{self.alpha:g}_{self.resolution}"
 
 
-def _routing_v2(config: V2Config, dw_backend) -> Tuple[str, ...]:
+def _routing_v2(config: V2Config, dw_backend, batch: int) -> Tuple[str, ...]:
     """Per-block backend list (len == 17). "xla" | "fused" | tuple.
 
     "fused" routes a block through the fused inverted-residual Pallas
@@ -129,10 +129,20 @@ def _routing_v2(config: V2Config, dw_backend) -> Tuple[str, ...]:
     (t == 1) and blocks whose whole-image tile exceeds the VMEM budget
     (ir_fits — e.g. the 112-squared block at high resolution) fall back to
     xla; eligibility is static shape math, identical on every tier.
+
+    "auto": measured crossover on v5e at 1.0-224 bf16 (2026-08-17,
+    tools/ab_v2_routing.py interleaved races + the padded
+    latency_probe --model v2): fused wins every batch >= 2 (6,105 vs
+    5,643 img/s at batch 2; 9,478 vs 7,713 at 8; 12,737 vs 6,189 at 64);
+    at batch 1 ALL-XLA wins (0.1756 vs 0.1933 ms RTT-cancelled) — the
+    row-tiled IR kernels lose their grid pipelining at a single image,
+    the same launch-gap pattern as V1's packed 112-squared blocks.
     """
     n = len(config.block_defs)
-    if dw_backend in (None, "auto"):
+    if dw_backend is None:  # plain-JAX default (the sw_emu/CPU tier)
         dw_backend = "xla"
+    elif dw_backend == "auto":
+        dw_backend = "fused" if batch >= 2 else "xla"
     if isinstance(dw_backend, str):
         assert dw_backend in ("xla", "fused"), dw_backend
         routing = (dw_backend,) * n
@@ -166,7 +176,7 @@ def forward_v2(
     tools/prefix_attr.py's differenced segment attribution.
     """
     acts: Dict[str, jax.Array] = {}
-    routing = _routing_v2(config, dw_backend)
+    routing = _routing_v2(config, dw_backend, int(x.shape[0]))
 
     y = ops.conv2d_same(x, params["conv1"]["w"], 2,
                         bias=params["conv1"]["b"], relu6=True)

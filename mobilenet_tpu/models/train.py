@@ -18,14 +18,27 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..config import ModelConfig
 from . import mobilenet_v1
 
 
+def model_forward(params: Dict[str, Any], images: jax.Array, config) -> jax.Array:
+    """Differentiable forward for ANY model family config: dispatches on the
+    config type the way the runtime does (runtime/pipeline.py) — V1's
+    ModelConfig or V2's V2Config — always on the XLA route (the Pallas
+    kernels are inference-only until they grow custom VJPs)."""
+    from .mobilenet_v2 import V2Config  # noqa: PLC0415
+
+    if isinstance(config, V2Config):
+        from . import mobilenet_v2  # noqa: PLC0415
+
+        return mobilenet_v2.forward_v2(params, images, config, dw_backend="xla")
+    return mobilenet_v1.forward(params, images, config, use_pallas_dw=False)
+
+
 def cross_entropy_loss(
-    params: Dict[str, Any], images: jax.Array, labels: jax.Array, config: ModelConfig
+    params: Dict[str, Any], images: jax.Array, labels: jax.Array, config
 ) -> jax.Array:
-    logits = mobilenet_v1.forward(params, images, config, use_pallas_dw=False)
+    logits = model_forward(params, images, config)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
     return jnp.mean(nll)
@@ -35,7 +48,7 @@ def sgd_train_step(
     params: Dict[str, Any],
     images: jax.Array,
     labels: jax.Array,
-    config: ModelConfig,
+    config,
     lr: float = 1e-2,
 ) -> Tuple[Dict[str, Any], jax.Array]:
     """One SGD step: returns (updated params, loss)."""
@@ -44,11 +57,12 @@ def sgd_train_step(
     return new_params, loss
 
 
-def make_optax_trainer(config: ModelConfig, lr: float = 1e-2,
+def make_optax_trainer(config, lr: float = 1e-2,
                        momentum: float = 0.9, weight_decay: float = 4e-5):
     """Optax SGD-momentum trainer (MobileNet paper hyperparameter style:
-    weight decay 4e-5). Returns (init_fn, step_fn); both jittable and
-    shardable with the parallel.mesh layouts.
+    weight decay 4e-5) for any model-family config (`model_forward`).
+    Returns (init_fn, step_fn); both jittable and shardable with the
+    parallel.mesh layouts.
 
     accuracy-reporting variant: step_fn returns (params, opt_state, loss, top1).
     """
@@ -64,7 +78,7 @@ def make_optax_trainer(config: ModelConfig, lr: float = 1e-2,
 
     def step_fn(params, opt_state, images, labels):
         def loss_fn(p):
-            logits = mobilenet_v1.forward(p, images, config, use_pallas_dw=False)
+            logits = model_forward(p, images, config)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
             return jnp.mean(nll), logits

@@ -338,3 +338,62 @@ def make_int8_infer_v2(q: V2QuantizedParams, config: V2Config):
         return forward_v2_i8(dev, x_q, config)
 
     return jax.jit(infer), dev
+
+
+class Int8PipelineV2:
+    """Pipeline-shaped adapter over the int8 V2 network: the same
+    `run_batch(uint8) -> probs` + `.config` surface MicroBatchServer needs
+    (the V2 twin of quant.model.Int8Pipeline). With `mesh`, the batch shards
+    over its 'data' axis — the int8 V2 route is pure XLA ops, so jit's
+    sharding propagation partitions it with no shard_map plumbing; the
+    quantized constants are replicated like the float pipeline's weights."""
+
+    def __init__(self, config: V2Config, *, seed: int = 0, params=None,
+                 mesh=None):
+        import jax
+        import jax.numpy as jnp
+
+        from ..checkpoints.v2 import fold_bn_v2, init_params_v2
+        from ..ops import preprocess as prep
+        from . import ops as qops
+
+        self.config = config
+        if mesh is not None:
+            from ..runtime.pipeline import _require_dp_only_mesh
+
+            _require_dp_only_mesh(mesh)
+        self.mesh = mesh
+        folded = params if params is not None else fold_bn_v2(
+            init_params_v2(config, seed=seed), eps=config.bn_eps)
+        self.q = quantize_v2(folded, config)
+        dev = _as_device_tree_v2(self.q)
+        self._in_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            dev = jax.tree.map(
+                lambda a: jax.device_put(jnp.asarray(a),
+                                         NamedSharding(mesh, P())), dev)
+            self._in_sharding = NamedSharding(mesh, P(DATA_AXIS))
+        self._dev = dev
+        cfg = config
+
+        def probs(images_u8):
+            x = prep.preprocess(images_u8, cfg.resolution, jnp.float32)
+            x_q = qops.quantize_input_dev(x, ACT_IN_SCALE,
+                                          out_dtype=jnp.bfloat16)
+            logits = forward_v2_i8(dev, x_q, cfg)
+            return jax.nn.softmax(logits, axis=-1)
+
+        self._probs = jax.jit(probs)
+
+    def run_batch(self, images_u8):
+        import jax
+        import jax.numpy as jnp
+
+        imgs = jnp.asarray(images_u8)
+        if self._in_sharding is not None:
+            imgs = jax.device_put(imgs, self._in_sharding)
+        return np.asarray(self._probs(imgs))

@@ -90,6 +90,88 @@ def _int8_latency_ms(config: ModelConfig, dev, use_fused,
     return differenced_chain_ms(make, u8, chain_len)
 
 
+def _float_latency_ms_v2(config, params, dw_backend, dtype,
+                         chain_len: int = 50) -> float:
+    """Batch-1 device latency of the V2 float path under one routing.
+    `params` must already carry the routing's production padding
+    (pad_block0_v2 for fused — the shipped tree, runtime/pipeline.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.mobilenet_v2 import predict_probs_v2
+    from ..utils.timing import differenced_chain_ms
+
+    def make(length):
+        def chain(x):
+            def body(carry, _):
+                probs = predict_probs_v2(
+                    params, carry, config, dw_backend=dw_backend)
+                nxt = carry * (1.0 + 1e-6 * jnp.sum(probs).astype(carry.dtype))
+                return nxt, jnp.argmax(probs)
+
+            return jax.lax.scan(body, x, None, length=length)
+
+        return jax.jit(chain)
+
+    res = config.resolution
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (1, res, res, 3)), dtype)
+    return differenced_chain_ms(make, x, chain_len)
+
+
+def _autotune_v2(config, batch_size, steps, candidates, seed, params,
+                 int8, mode) -> Tuple[str, Dict[str, float]]:
+    """V2 family race: xla vs the fused IR-kernel routing. The int8 V2
+    path has exactly one route (XLA int8 ops), so --int8 just measures it."""
+    import jax
+    import jax.numpy as jnp
+
+    on_tpu = jax.default_backend() == "tpu"
+    if candidates is None:
+        if int8 or not on_tpu:
+            candidates = ("xla",)
+        else:
+            candidates = ("xla", "fused")
+
+    results: Dict[str, float] = {}
+    if int8:
+        from ..quant.v2 import Int8PipelineV2
+
+        pipe = Int8PipelineV2(config, seed=seed, params=params)
+        if mode == "latency":
+            raise NotImplementedError(
+                "int8 V2 has one route; race batch>=2 throughput instead")
+        results["xla"] = _throughput(
+            lambda imgs: pipe._probs(imgs), None, config, batch_size, steps)
+        return "xla", results
+
+    if mode == "latency":
+        from ..checkpoints.padding import pad_block0_v2
+        from ..checkpoints.v2 import fold_bn_v2, init_params_v2
+
+        dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
+                 else jnp.float32)
+        folded = params if params is not None else fold_bn_v2(
+            init_params_v2(config, seed=seed), eps=config.bn_eps)
+        for cand in candidates:
+            tree = pad_block0_v2(folded) if cand == "fused" else folded
+            dev = jax.tree.map(lambda a: jnp.asarray(a, dtype), tree)
+            results[cand] = _float_latency_ms_v2(config, dev, cand, dtype)
+        valid = {k: v for k, v in results.items() if v == v}
+        best = min(valid, key=valid.get) if valid else candidates[0]
+        return best, results
+
+    from .pipeline import InferencePipeline
+
+    for cand in candidates:
+        pipe = InferencePipeline(config, seed=seed, dw_backend=cand,
+                                 params=params)
+        entry = pipe._entry("probs_u8")
+        results[cand] = _throughput(entry, pipe.params, config,
+                                    batch_size, steps)
+    return max(results, key=results.get), results
+
+
 def autotune_backend(
     config: ModelConfig,
     batch_size: int = 256,
@@ -106,16 +188,21 @@ def autotune_backend(
     default picks latency for batch_size == 1. Candidates default to the
     routings worth racing on the current device: all backends + "mixed" on
     TPU, just "xla" on CPU (Pallas would run in interpret mode there — the
-    sw_emu tier, not a performance candidate).
+    sw_emu tier, not a performance candidate). A V2Config races the V2
+    family's candidates (xla vs the fused IR routing) the same way.
     """
     import jax
     import jax.numpy as jnp
 
     from ..models.mobilenet_v1 import DW_BACKENDS
+    from ..models.mobilenet_v2 import V2Config
 
     on_tpu = jax.default_backend() == "tpu"
     if mode is None:
         mode = "latency" if batch_size == 1 else "throughput"
+    if isinstance(config, V2Config):
+        return _autotune_v2(config, batch_size, steps, candidates, seed,
+                            params, int8, mode)
     if candidates is None:
         if not on_tpu:
             candidates = ("xla",)

@@ -89,24 +89,47 @@ def load_dir_images(path: str) -> List[np.ndarray]:
     return images
 
 
-def _oracle_scores(folded, q, batch_u8: np.ndarray, config: ModelConfig, *,
+def _is_v2(config) -> bool:
+    from ..models.mobilenet_v2 import V2Config  # noqa: PLC0415
+
+    return isinstance(config, V2Config)
+
+
+def _oracle_scores(folded, q, batch_u8: np.ndarray, config, *,
                    int8: bool, oracle: str) -> np.ndarray:
     """Golden logits for a uint8 batch, preprocessed identically to the
     device path (resize isn't an oracle layer — SURVEY.md §3.4). `q` is the
     pre-quantized weight set for the int8 path (quantized ONCE by the
-    caller, not per batch)."""
+    caller, not per batch). V2 configs route the V2 oracle twins."""
     x = np.asarray(prep.preprocess(batch_u8, config.resolution, np.float32))
     if int8:
         from ..quant import quantize_input
-        from ..quant import oracle as qoracle
 
         x_i8 = quantize_input(x)
-        if oracle == "cpp":
+        if _is_v2(config):
+            # cpu_ref has no int8 V2 twin (quant/v2.py module doc): the
+            # NumPy int8 V2 oracle is THE exactness reference here.
+            from ..quant.v2 import forward_all_v2_i8
+
+            logits, _ = forward_all_v2_i8(q, x_i8, config)
+        elif oracle == "cpp":
             from ..quant.verify import _cpp_forward_all
 
             logits, _ = _cpp_forward_all(q, x_i8, config)
         else:
+            from ..quant import oracle as qoracle
+
             logits, _ = qoracle.forward_all(q, x_i8, config)
+        return np.asarray(logits, np.float32)
+    if _is_v2(config):
+        if oracle == "cpp":
+            from .. import cpu_ref
+
+            logits, _ = cpu_ref.forward_all_v2(folded, x, config)
+        else:
+            from ..oracle import numpy_ref
+
+            logits, _ = numpy_ref.forward_all_v2(folded, x, config)
         return np.asarray(logits, np.float32)
     if oracle == "cpp":
         from .. import cpu_ref
@@ -142,13 +165,27 @@ def evaluate_agreement(
     razor-thin margins are common, and a strict 1.0 gate would flake on
     them. Raw `top1_agreement` is always reported unmodified; int8 is exact
     arithmetic, so the two numbers can only differ on float paths."""
-    from ..checkpoints import fold_bn, init_params
+    if _is_v2(config):
+        from ..checkpoints.v2 import fold_bn_v2, init_params_v2
 
-    folded = params if params is not None else fold_bn(
-        init_params(config, seed=seed), eps=config.bn_eps)
+        folded = params if params is not None else fold_bn_v2(
+            init_params_v2(config, seed=seed), eps=config.bn_eps)
+    else:
+        from ..checkpoints import fold_bn, init_params
+
+        folded = params if params is not None else fold_bn(
+            init_params(config, seed=seed), eps=config.bn_eps)
 
     q = None
-    if int8:
+    if int8 and _is_v2(config):
+        from ..quant.v2 import Int8PipelineV2
+
+        pipe = Int8PipelineV2(config, params=folded)
+        # Reuse the pipeline's quantized set for the oracle side — V2
+        # calibration is deterministic but costs an oracle sweep; quantize
+        # once for both (same as the V1 branch's 'both derive from folded').
+        q = pipe.q
+    elif int8:
         from ..quant.model import Int8Pipeline
 
         pipe = Int8Pipeline(config, params=folded)

@@ -144,9 +144,11 @@ class InferencePipeline:
         if self.is_v2:
             from ..models import mobilenet_v2 as mv2
 
-            # V2's dense blocks need no channel padding; "auto" resolves to
-            # the always-correct xla routing (V2 has not been chip-raced the
-            # way V1 was — models/mobilenet_v2.py module docstring).
+            # "auto" resolves per batch inside forward_v2 (_routing_v2):
+            # measured on v5e — fused IR kernels from batch 2 up, ALL-XLA
+            # at batch 1 (launch-gap regime). The xla batch-1 entry runs on
+            # the block0-padded tree (pad_block0_v2 above) — zero channels,
+            # logits exactly unchanged.
             if kind == "probs_u8":
                 def fn(params, images_u8):
                     return mv2.predict_probs_v2_u8(

@@ -439,7 +439,14 @@ async def selftest_multi(server: "MultiVariantServer", streams: int = 64,
 def build_pipeline(cfg, seed, mesh, params, int8):
     if int8:
         # Quantized serving — the reference's multi-stream mode ran its
-        # fixed-point FPGA pipeline (SURVEY.md SS2 C7/C12).
+        # fixed-point FPGA pipeline (SURVEY.md SS2 C7/C12). Model family
+        # dispatches on the config type, like InferencePipeline.
+        from ..models.mobilenet_v2 import V2Config
+
+        if isinstance(cfg, V2Config):
+            from ..quant.v2 import Int8PipelineV2
+
+            return Int8PipelineV2(cfg, seed=seed, mesh=mesh, params=params)
         from ..quant.model import Int8Pipeline
 
         return Int8Pipeline(cfg, seed=seed, mesh=mesh, params=params)
@@ -472,15 +479,16 @@ def build_server(cfgs: Dict[str, ModelConfig], streams: int, *, seed: int = 0,
 
 def serve_main(alpha: float, res: int, dtype: str, streams: int, port: int,
                seed: int = 0, selftest_only: bool = True, int8: bool = False,
-               dp: int = 1, params=None, variants=None):
+               dp: int = 1, params=None, variants=None, model: str = "v1"):
     """`dp`: data-parallel width — batches shard over a `dp`-device mesh
     (ICI collectives via shard_map; params replicated). 1 = single chip,
     the contract configuration.
 
-    `variants`: optional list of "alpha:res" strings — serve SEVERAL model
-    variants from one process (MultiVariantServer); the first is the
-    default, requests pick one with a "variant" field named like
-    "mobilenet_v1_0.25_128". alpha/res are ignored when set."""
+    `variants`: optional list of "alpha:res" (or "v2:alpha:res") strings —
+    serve SEVERAL model variants from one process (MultiVariantServer),
+    across model FAMILIES if named; the first is the default, requests pick
+    one with a "variant" field named like "mobilenet_v1_0.25_128" or
+    "mobilenet_v2_1.0_224". alpha/res/model are ignored when set."""
     mesh = None
     if dp > 1:
         from ..parallel.mesh import make_mesh
@@ -491,6 +499,15 @@ def serve_main(alpha: float, res: int, dtype: str, streams: int, port: int,
                 "the padded micro-batch shards evenly over the mesh")
         mesh = make_mesh(dp, model_parallel=1)
 
+    def _make_cfg(model_name, a, r):
+        if model_name == "v2":
+            from ..models.mobilenet_v2 import V2Config
+
+            return V2Config(alpha=float(a), resolution=int(r),
+                            compute_dtype=dtype)
+        return ModelConfig(alpha=float(a), resolution=int(r),
+                           compute_dtype=dtype)
+
     if variants:
         if params is not None:
             raise ValueError(
@@ -498,12 +515,15 @@ def serve_main(alpha: float, res: int, dtype: str, streams: int, port: int,
                 "uses each variant's default weight set")
         pairs = []
         for v in variants:
-            a, r = v.split(":")
-            pairs.append(ModelConfig(alpha=float(a), resolution=int(r),
-                                     compute_dtype=dtype))
+            parts = v.split(":")
+            if len(parts) == 3:  # "v2:alpha:res" — family-qualified
+                m, a, r = parts
+            else:
+                (a, r), m = parts, "v1"
+            pairs.append(_make_cfg(m, a, r))
         cfgs = {c.variant_name(): c for c in pairs}
     else:
-        cfg = ModelConfig(alpha=alpha, resolution=res, compute_dtype=dtype)
+        cfg = _make_cfg(model, alpha, res)
         cfgs = {cfg.variant_name(): cfg}
 
     async def run():

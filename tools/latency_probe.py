@@ -74,14 +74,16 @@ def main():
 def main_v2():
     """V2 batch-1 device latency (xla vs the fused IR-kernel routing),
     same differenced-chain method. Usage: latency_probe.py --model v2."""
+    from mobilenet_tpu.checkpoints.padding import pad_block0_v2
     from mobilenet_tpu.checkpoints.v2 import fold_bn_v2, init_params_v2
     from mobilenet_tpu.models.mobilenet_v2 import V2Config, predict_probs_v2
 
     cfg = V2Config(alpha=1.0, resolution=224, compute_dtype="bfloat16")
-    params = jax.tree.map(
-        lambda a: jnp.asarray(a, jnp.bfloat16),
-        fold_bn_v2(init_params_v2(cfg, 0), eps=cfg.bn_eps))
+    folded = fold_bn_v2(init_params_v2(cfg, 0), eps=cfg.bn_eps)
+    trees = {"xla": folded, "fused": pad_block0_v2(folded)}  # as shipped
     for backend in ("xla", "fused"):
+        params = jax.tree.map(
+            lambda a: jnp.asarray(a, jnp.bfloat16), trees[backend])
         def make(length, backend=backend):
             def chain(x):
                 def body(carry, _):

@@ -9,6 +9,7 @@ recorded number by more than a tolerance.
     python tools/regress.py --configs all            # every recorded bf16 row
     python tools/regress.py --configs all --int8     # every recorded int8 row
     python tools/regress.py --configs 0.25:128,1.0:224 --tolerance 0.10
+    python tools/regress.py --model v2 --configs all # the V2 family rows
 
 Tolerances default PER ROW from the measured tunnel-variance model
 (BASELINE.md): configs under ~2 ms/batch spread ±15% run-to-run through the
@@ -48,8 +49,9 @@ def recorded(path: str) -> dict:
 
 
 def variant_to_pair(variant: str):
-    """'mobilenet_v1_0.25_128' -> (0.25, 128)."""
-    alpha_s, res_s = variant.removeprefix("mobilenet_v1_").rsplit("_", 1)
+    """'mobilenet_v1_0.25_128' / 'mobilenet_v2_1_224' -> (alpha, res)."""
+    stem = variant.removeprefix("mobilenet_v1_").removeprefix("mobilenet_v2_")
+    alpha_s, res_s = stem.rsplit("_", 1)
     return float(alpha_s), int(res_s)
 
 
@@ -74,18 +76,24 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--model", default="v1", choices=["v1", "v2"])
     args = ap.parse_args()
 
     from mobilenet_tpu.config import ModelConfig
 
+    v2 = args.model == "v2"
     if args.int8:
         from mobilenet_tpu.cli import _int8_throughput
 
-        baseline = recorded(os.path.join(ART, "sweep_int8_batch256_v5e.jsonl"))
+        baseline = recorded(os.path.join(
+            ART, "sweep_v2_int8_batch256_v5e.jsonl" if v2
+            else "sweep_int8_batch256_v5e.jsonl"))
     else:
         from mobilenet_tpu.runtime.pipeline import InferencePipeline
 
-        baseline = recorded(os.path.join(ART, "sweep_bf16_batch256_v5e.jsonl"))
+        baseline = recorded(os.path.join(
+            ART, "sweep_v2_bf16_batch256_v5e.jsonl" if v2
+            else "sweep_bf16_batch256_v5e.jsonl"))
 
     if args.configs == "all":
         pairs = sorted(variant_to_pair(v) for v in baseline)
@@ -100,9 +108,24 @@ def main() -> int:
     for alpha, res in pairs:
         # bfloat16 matches how the bf16 sweep artifact was recorded
         # (cmd_sweep's default dtype); the int8 path quantizes internally.
-        cfg = ModelConfig(alpha=alpha, resolution=res,
-                          compute_dtype="bfloat16")
-        if args.int8:
+        if v2:
+            from mobilenet_tpu.models.mobilenet_v2 import V2Config
+
+            cfg = V2Config(alpha=alpha, resolution=res,
+                           compute_dtype="bfloat16")
+        else:
+            cfg = ModelConfig(alpha=alpha, resolution=res,
+                              compute_dtype="bfloat16")
+        if args.int8 and v2:
+            import argparse as _ap
+
+            from mobilenet_tpu.cli import _bench_int8_v2
+
+            row = _bench_int8_v2(_ap.Namespace(
+                alpha=alpha, res=res, batch=args.batch, steps=args.steps,
+                seed=0, ckpt=None, model="v2"))
+            fresh = row["images_per_sec"]
+        elif args.int8:
             row = _int8_throughput(cfg, args.batch, args.steps, 0, latency=False)
             fresh = row["images_per_sec"]
         else:
