@@ -1,0 +1,147 @@
+"""MobileNet-V3 weight init + BN folding (twin of v2.py / io.py).
+
+Pytree layout (folded form consumed by models.mobilenet_v3.forward_v3):
+
+    conv1:     {w (3,3,3,16), b}
+    blocks[i]: {exp: {w (Cin, Ce), b}?,        # absent at block 0
+                dw:  {w (k,k,1,Ce), b},        # k in {3, 5}
+                se:  {w1 (Ce, Cr), b1, w2 (Cr, Ce), b2}?,  # bias convs, no BN
+                prj: {w (Ce, Cout), b}}        # LINEAR
+    conv_last: {w (C, C6), b}                  # BN-folded + act
+    head:      {w (C6, Cp), b}                 # bias conv, no BN (keras :345)
+    fc:        {w (Cp, classes), b}            # the 1x1 "logits" conv
+
+SE convs and the head conv carry a plain bias in keras (use_bias default
+True, no BatchNormalization follows) — they pass through folding unchanged.
+save_npz/load_npz from io.py work on this form (layout-agnostic flattener).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+from ..models.mobilenet_v3 import V3Config
+from .io import _he_std
+
+Params = Dict[str, Any]
+
+
+# Per-conv damping on the block weights: V3's ReLU (unbounded) + hard-swish
+# chains have no ReLU6 re-bounding, so plain He init grows ~1.4x per block
+# and Large's logits explode to O(1e4) over 15 blocks — useless as a gate
+# signal. 0.8 per conv keeps the measured profile healthy (block14_prj ~8,
+# logits ~32 on the seeded set) while every activation stays well away
+# from zero.
+_V3_BLOCK_GAIN = 0.8
+
+
+def init_params_v3(config: V3Config, seed: int = 0) -> Params:
+    """Seeded reference weight set with non-identity BN stats (io.py:33)."""
+    rng = np.random.default_rng(seed)
+
+    def bn(c):
+        return {
+            "gamma": rng.uniform(0.5, 1.5, size=(c,)).astype(np.float32),
+            "beta": rng.uniform(-0.2, 0.2, size=(c,)).astype(np.float32),
+            "mean": rng.normal(0.0, 0.3, size=(c,)).astype(np.float32),
+            "var": rng.uniform(0.5, 1.5, size=(c,)).astype(np.float32),
+        }
+
+    c1 = config.stem_channels
+    params: Params = {
+        "conv1": {
+            "w": (rng.standard_normal((3, 3, 3, c1)) * _he_std(27)).astype(
+                np.float32),
+            "bn": bn(c1),
+        },
+        "blocks": [],
+    }
+    for bd in config.block_defs:
+        blk: Params = {}
+        g = _V3_BLOCK_GAIN
+        if bd.has_expand:
+            blk["exp"] = {
+                "w": (rng.standard_normal((bd.cin, bd.cexp))
+                      * (g * _he_std(bd.cin))).astype(np.float32),
+                "bn": bn(bd.cexp),
+            }
+        k = bd.kernel
+        blk["dw"] = {
+            "w": (rng.standard_normal((k, k, 1, bd.cexp))
+                  * (g * _he_std(k * k))).astype(np.float32),
+            "bn": bn(bd.cexp),
+        }
+        if bd.se_mid:
+            blk["se"] = {
+                "w1": (rng.standard_normal((bd.cexp, bd.se_mid))
+                       * _he_std(bd.cexp)).astype(np.float32),
+                "b1": np.zeros((bd.se_mid,), np.float32),
+                "w2": (rng.standard_normal((bd.se_mid, bd.cexp))
+                       * _he_std(bd.se_mid)).astype(np.float32),
+                "b2": np.zeros((bd.cexp,), np.float32),
+            }
+        blk["prj"] = {
+            "w": (rng.standard_normal((bd.cexp, bd.cout))
+                  * (g * _he_std(bd.cexp))).astype(np.float32),
+            "bn": bn(bd.cout),
+        }
+        params["blocks"].append(blk)
+    c_in = config.block_defs[-1].cout
+    c6 = config.last_conv_channels
+    cp = config.last_point_channels
+    params["conv_last"] = {
+        "w": (rng.standard_normal((c_in, c6)) * _he_std(c_in)).astype(
+            np.float32),
+        "bn": bn(c6),
+    }
+    params["head"] = {
+        "w": (rng.standard_normal((c6, cp)) * _he_std(c6)).astype(np.float32),
+        "b": np.zeros((cp,), np.float32),
+    }
+    params["fc"] = {
+        "w": (rng.standard_normal((cp, config.num_classes))
+              * _he_std(cp)).astype(np.float32),
+        "b": np.zeros((config.num_classes,), np.float32),
+    }
+    return params
+
+
+def fold_bn_v3(params: Params, eps: float = 1e-3) -> Params:
+    """Fold BN into conv weight + per-channel bias (float64 math, io.py:83).
+    SE and head entries have no BN — copied through as-is."""
+
+    def fold(w: np.ndarray, bnp: Dict[str, np.ndarray], out_axis: int):
+        s64 = bnp["gamma"].astype(np.float64) / np.sqrt(
+            bnp["var"].astype(np.float64) + eps)
+        b64 = (bnp["beta"].astype(np.float64)
+               - bnp["mean"].astype(np.float64) * s64)
+        shape = [1] * w.ndim
+        shape[out_axis] = -1
+        w_f = (w.astype(np.float64) * s64.reshape(shape)).astype(np.float32)
+        return w_f, b64.astype(np.float32)
+
+    out: Params = {"blocks": []}
+    w, b = fold(params["conv1"]["w"], params["conv1"]["bn"], out_axis=3)
+    out["conv1"] = {"w": w, "b": b}
+    for blk in params["blocks"]:
+        fblk: Params = {}
+        if "exp" in blk:
+            ew, eb = fold(blk["exp"]["w"], blk["exp"]["bn"], out_axis=1)
+            fblk["exp"] = {"w": ew, "b": eb}
+        dw_w, dw_b = fold(blk["dw"]["w"], blk["dw"]["bn"], out_axis=3)
+        fblk["dw"] = {"w": dw_w, "b": dw_b}
+        if "se" in blk:
+            fblk["se"] = {k: np.asarray(v) for k, v in blk["se"].items()}
+        pj_w, pj_b = fold(blk["prj"]["w"], blk["prj"]["bn"], out_axis=1)
+        fblk["prj"] = {"w": pj_w, "b": pj_b}
+        out["blocks"].append(fblk)
+    cw, cb = fold(params["conv_last"]["w"], params["conv_last"]["bn"],
+                  out_axis=1)
+    out["conv_last"] = {"w": cw, "b": cb}
+    out["head"] = {"w": np.asarray(params["head"]["w"]),
+                   "b": np.asarray(params["head"]["b"])}
+    out["fc"] = {"w": np.asarray(params["fc"]["w"]),
+                 "b": np.asarray(params["fc"]["b"])}
+    return out

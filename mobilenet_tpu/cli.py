@@ -25,12 +25,22 @@ import numpy as np
 
 
 def _make_config(args, dtype=None):
-    """ModelConfig (v1) or V2Config per --model; same flag surface."""
+    """ModelConfig (v1) / V2Config / V3Config per --model; same flag
+    surface. --model v3 = V3-Large, v3small = V3-Small; --minimalistic
+    selects the kernel-3/relu/no-SE V3 variants."""
     compute_dtype = args.dtype if dtype is None else dtype
-    if getattr(args, "model", "v1") == "v2":
+    model = getattr(args, "model", "v1")
+    if model == "v2":
         from .models.mobilenet_v2 import V2Config
 
         return V2Config(alpha=args.alpha, resolution=args.res,
+                        compute_dtype=compute_dtype)
+    if model in ("v3", "v3small"):
+        from .models.mobilenet_v3 import V3Config
+
+        return V3Config(variant="large" if model == "v3" else "small",
+                        alpha=args.alpha, resolution=args.res,
+                        minimalistic=getattr(args, "minimalistic", False),
                         compute_dtype=compute_dtype)
     from .config import ModelConfig
 
@@ -59,6 +69,8 @@ def cmd_classify(args):
         from .checkpoints import load_npz
 
         params = load_npz(args.ckpt) if getattr(args, "ckpt", None) else None
+        if getattr(args, "model", "v1") in ("v3", "v3small"):
+            sys.exit("int8 is implemented for the V1/V2 families; V3's unbounded activations need their own calibrated scheme")
         if getattr(args, "model", "v1") == "v2":
             import jax
             import jax.numpy as jnp
@@ -131,10 +143,59 @@ def _verify_v2(args) -> bool:
     return False
 
 
+def _verify_v3(args) -> bool:
+    """Per-layer golden gate for the MobileNet-V3 family (V3_TOL —
+    unbounded relu/hard-swish activations, utils/golden.py)."""
+    from .checkpoints import load_npz
+    from .checkpoints.v3 import fold_bn_v3, init_params_v3
+    from .runtime.pipeline import InferencePipeline
+    from .utils import golden
+
+    if args.routing != "xla":
+        sys.exit("--routing is a MobileNet-V1 flow; V3 has only the xla "
+                 "route")
+    if args.int8:
+        sys.exit("int8 is implemented for the V1/V2 families; V3's "
+                 "unbounded activations need their own calibrated scheme")
+    cfg = _make_config(args, dtype="float32")
+    folded = (load_npz(args.ckpt) if getattr(args, "ckpt", None)
+              else fold_bn_v3(init_params_v3(cfg, seed=args.seed),
+                              eps=cfg.bn_eps))
+    rng = np.random.default_rng(args.seed + 1)
+    x = rng.uniform(
+        -1, 1, (args.batch, cfg.resolution, cfg.resolution, 3)).astype(
+            np.float32)
+    pipe = InferencePipeline(cfg, params=folded, dtype=np.float32,
+                             dw_backend="xla")
+    _, acts = pipe.activations(x)
+    if args.oracle == "cpp":
+        from . import cpu_ref
+
+        _, ref = cpu_ref.forward_all_v3(folded, x, cfg)
+    else:
+        from .oracle import numpy_ref
+
+        _, ref = numpy_ref.forward_all_v3(folded, x, cfg)
+    reports = golden.compare_activations(
+        acts, ref, tols={n: golden.V3_TOL for n in ref})
+    for r in reports:
+        print(r)
+    bad = golden.first_divergence(reports)
+    if bad is None:
+        print(f"VERIFY OK: all {len(reports)} layers match "
+              f"({args.oracle} oracle, {cfg.variant_name()})")
+        return True
+    print(f"VERIFY FAILED at {bad.name}")
+    return False
+
+
 def cmd_verify(args):
     """Per-layer golden verification (SURVEY.md SS3.6). Exit 1 on divergence."""
-    if getattr(args, "model", "v1") == "v2":
+    model = getattr(args, "model", "v1")
+    if model == "v2":
         sys.exit(0 if _verify_v2(args) else 1)
+    if model in ("v3", "v3small"):
+        sys.exit(0 if _verify_v3(args) else 1)
     from . import cpu_ref
     from .checkpoints import fold_bn, init_params
     from .config import ModelConfig
@@ -344,6 +405,8 @@ def _bench_int8(args):
 
     if getattr(args, "model", "v1") == "v2":
         return _bench_int8_v2(args)
+    if getattr(args, "model", "v1") in ("v3", "v3small"):
+        sys.exit("int8 is implemented for the V1/V2 families; V3's unbounded activations need their own calibrated scheme")
     cfg = ModelConfig(alpha=args.alpha, resolution=args.res)
     profile_dir, ctx = _profile_ctx(args)  # --int8 mirrors every bench flag
     with ctx:
@@ -449,13 +512,25 @@ def cmd_sweep(args):
     from .config import ALPHAS, RESOLUTIONS, ModelConfig
     from .runtime.pipeline import InferencePipeline
 
-    is_v2 = getattr(args, "model", "v1") == "v2"
+    model = getattr(args, "model", "v1")
+    is_v2 = model == "v2"
     if is_v2:
         from .models.mobilenet_v2 import V2_ALPHAS, V2Config
 
         default_alphas, make_cfg = V2_ALPHAS, (
             lambda a, r: V2Config(alpha=a, resolution=r,
                                   compute_dtype=args.dtype))
+    elif model in ("v3", "v3small"):
+        from .models.mobilenet_v3 import V3Config
+
+        if getattr(args, "int8", False):
+            sys.exit("int8 is implemented for the V1/V2 families; V3's unbounded activations need their own calibrated scheme")
+        default_alphas = (0.75, 1.0)  # the keras pretrained V3 grid
+        make_cfg = lambda a, r: V3Config(  # noqa: E731
+            variant="large" if model == "v3" else "small",
+            alpha=a, resolution=r,
+            minimalistic=getattr(args, "minimalistic", False),
+            compute_dtype=args.dtype)
     else:
         default_alphas = ALPHAS
         make_cfg = lambda a, r: ModelConfig(  # noqa: E731
@@ -530,23 +605,13 @@ def cmd_train(args):
     import jax
     import jax.numpy as jnp
 
-    from .checkpoints import fold_bn, init_params, load_npz, save_npz, to_device
-    from .config import ModelConfig
+    from .checkpoints import default_folded, load_npz, save_npz, to_device
     from .models.train import make_optax_trainer
 
     # training runs in fp32 regardless of --dtype (gradient stability)
-    if getattr(args, "model", "v1") == "v2":
-        from .checkpoints.v2 import fold_bn_v2, init_params_v2
-        from .models.mobilenet_v2 import V2Config
-
-        cfg = V2Config(alpha=args.alpha, resolution=args.res)
-        folded = (load_npz(args.ckpt) if getattr(args, "ckpt", None)
-                  else fold_bn_v2(init_params_v2(cfg, seed=args.seed),
-                                  eps=cfg.bn_eps))
-    else:
-        cfg = ModelConfig(alpha=args.alpha, resolution=args.res)
-        folded = (load_npz(args.ckpt) if getattr(args, "ckpt", None)
-                  else fold_bn(init_params(cfg, seed=args.seed), eps=cfg.bn_eps))
+    cfg = _make_config(args, dtype="float32")
+    folded = (load_npz(args.ckpt) if getattr(args, "ckpt", None)
+              else default_folded(cfg, seed=args.seed))
     params = to_device(folded)
     init_fn, step_fn = make_optax_trainer(cfg, lr=args.lr)
     opt_state = init_fn(params)
@@ -698,9 +763,14 @@ def main(argv=None):
         sp.add_argument("--batch", type=int, default=batch_default)
         if model_flag:
             sp.add_argument(
-                "--model", default="v1", choices=["v1", "v2"],
-                help="model family: v1 (the reference network, default) or "
-                     "v2 (inverted residuals; alphas 0.35-1.4)")
+                "--model", default="v1",
+                choices=["v1", "v2", "v3", "v3small"],
+                help="model family: v1 (the reference network, default), "
+                     "v2 (inverted residuals; alphas 0.35-1.4), v3 "
+                     "(V3-Large: +SE/hard-swish) or v3small")
+            sp.add_argument(
+                "--minimalistic", action="store_true",
+                help="V3 only: the kernel-3/relu/no-SE minimalistic variant")
 
     sp = sub.add_parser("classify")
     sp.add_argument("image")

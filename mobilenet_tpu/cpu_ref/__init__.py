@@ -55,6 +55,9 @@ def _load() -> ctypes.CDLL:
     lib.pw_f32.argtypes = [_F32, _F32, ctypes.c_void_p, _F32, _c64] + [_c] * 4
     lib.avgpool_f32.argtypes = [_F32, _F32] + [_c] * 4
     lib.fc_f32.argtypes = [_F32, _F32, ctypes.c_void_p, _F32] + [_c] * 3
+    lib.dwka_f32.argtypes = [_F32, _F32, ctypes.c_void_p, _F32] + [_c] * 7
+    lib.pwa_f32.argtypes = [_F32, _F32, ctypes.c_void_p, _F32, _c64] + [_c] * 3
+    lib.conv3x3a_f32.argtypes = [_F32, _F32, ctypes.c_void_p, _F32] + [_c] * 7
     lib.dw3x3_i8.argtypes = [_I8, _I8, ctypes.c_void_p, _F32, _cf, _I8] + [_c] * 6
     lib.pw_i8.argtypes = [_I8, _I8, ctypes.c_void_p, _F32, _cf, _I8, _c64] + [_c] * 3
     lib.conv3x3_i8.argtypes = [_I8, _I8, ctypes.c_void_p, _F32, _cf, _I8] + [_c] * 7
@@ -107,6 +110,51 @@ def pw(x, w, bias=None, relu6=True, apply_act=True):
     _load().pw_f32(x.reshape(pixels, cin), w, bp[0] if bp else None,
                    out.reshape(pixels, cout), pixels, cin, cout,
                    int(relu6), int(apply_act))
+    return out
+
+
+_ACT_KINDS = {None: 0, "relu": 1, "relu6": 2, "hswish": 3, "hsigmoid": 4}
+
+
+def conv3x3a(x, w, bias=None, stride=1, act=None):
+    """Stem conv with a NAMED activation (V3: hswish)."""
+    x = np.ascontiguousarray(x, np.float32)
+    w = np.ascontiguousarray(w, np.float32)
+    n, h, wd, cin = x.shape
+    cout = w.shape[3]
+    out = np.empty((n, _out_hw(h, stride), _out_hw(wd, stride), cout),
+                   np.float32)
+    bp = _bias_ptr(bias, np.float32)
+    _load().conv3x3a_f32(x, w, bp[0] if bp else None, out, n, h, wd, cin,
+                         cout, stride, _ACT_KINDS[act])
+    return out
+
+
+def dwk(x, w, bias=None, stride=1, act=None):
+    """Depthwise kxk (k from w.shape; V3 uses 3 and 5), named activation."""
+    x = np.ascontiguousarray(x, np.float32)
+    w = np.ascontiguousarray(w, np.float32)  # (k,k,1,C)
+    n, h, wd, c = x.shape
+    k = int(w.shape[0])
+    out = np.empty((n, _out_hw(h, stride), _out_hw(wd, stride), c), np.float32)
+    bp = _bias_ptr(bias, np.float32)
+    _load().dwka_f32(x, w, bp[0] if bp else None, out, n, h, wd, c, k,
+                     stride, _ACT_KINDS[act])
+    return out
+
+
+def pwa(x, w, bias=None, act=None):
+    """Pointwise matmul with a NAMED activation (V3 expand/project/head)."""
+    x = np.ascontiguousarray(x, np.float32)
+    w = np.ascontiguousarray(w, np.float32)
+    shape = x.shape
+    cin, cout = w.shape
+    pixels = int(np.prod(shape[:-1]))
+    out = np.empty(shape[:-1] + (cout,), np.float32)
+    bp = _bias_ptr(bias, np.float32)
+    _load().pwa_f32(x.reshape(pixels, cin), w, bp[0] if bp else None,
+                    out.reshape(pixels, cout), pixels, cin, cout,
+                    _ACT_KINDS[act])
     return out
 
 
@@ -183,6 +231,47 @@ def forward_all(params: Dict[str, Any], x: np.ndarray, config) -> Any:
     pooled = avgpool(y)
     acts["pool"] = pooled
     logits = fc(pooled, params["fc"]["w"], params["fc"]["b"])
+    acts["logits"] = logits
+    return logits, acts
+
+
+def forward_all_v3(params: Dict[str, Any], x: np.ndarray, config) -> Any:
+    """Native-oracle MobileNet-V3 forward (C++ primitives,
+    -ffp-contract=off), layer names matching forward_v3(collect=True).
+    Twin of oracle/numpy_ref.forward_all_v3; config is a V3Config. The SE
+    gate's scale multiply and the residual adds are plain NumPy f32
+    elementwise ops (same status as V2's residual adds)."""
+    acts: Dict[str, np.ndarray] = {}
+    head_act = config.head_act
+    y = conv3x3a(x, params["conv1"]["w"], params["conv1"]["b"], 2, head_act)
+    acts["conv1"] = y
+    for i, (bd, blk) in enumerate(zip(config.block_defs, params["blocks"])):
+        z = y
+        if bd.has_expand:
+            z = pwa(z, blk["exp"]["w"], blk["exp"]["b"], bd.act)
+            acts[f"block{i:02d}_exp"] = z
+        z = dwk(z, blk["dw"]["w"], blk["dw"]["b"], bd.stride, bd.act)
+        acts[f"block{i:02d}_dw"] = z
+        if bd.se_mid:
+            se = blk["se"]
+            pooled = avgpool(z)
+            g = pwa(pooled, se["w1"], se["b1"], "relu")
+            g = pwa(g, se["w2"], se["b2"], "hsigmoid")
+            z = (z * g[:, None, None, :]).astype(np.float32)
+            acts[f"block{i:02d}_se"] = z
+        out = pwa(z, blk["prj"]["w"], blk["prj"]["b"], None)
+        acts[f"block{i:02d}_prj"] = out
+        if bd.has_res:
+            out = (out + y).astype(np.float32)
+            acts[f"block{i:02d}_out"] = out
+        y = out
+    y = pwa(y, params["conv_last"]["w"], params["conv_last"]["b"], head_act)
+    acts["conv_last"] = y
+    pooled = avgpool(y)
+    acts["pool"] = pooled
+    h = pwa(pooled, params["head"]["w"], params["head"]["b"], head_act)
+    acts["head"] = h
+    logits = fc(h, params["fc"]["w"], params["fc"]["b"])
     acts["logits"] = logits
     return logits, acts
 

@@ -25,6 +25,20 @@ static inline float act(float v, int relu6) {
   return v;
 }
 
+// Named activations for the V3 family (keras mobilenet_v3.py:542-553),
+// same formula order as the NumPy twin (oracle/numpy_ref.act_named_ref):
+// 0 = linear, 1 = relu, 2 = relu6, 3 = hswish, 4 = hsigmoid.
+static inline float act_named(float v, int kind) {
+  if (kind == 0) return v;
+  if (kind == 1) return v > 0.0f ? v : 0.0f;
+  if (kind == 2) { v = v > 0.0f ? v : 0.0f; return v > 6.0f ? 6.0f : v; }
+  float g = v + 3.0f;
+  g = g > 0.0f ? g : 0.0f;
+  if (g > 6.0f) g = 6.0f;
+  g = g * (1.0f / 6.0f);
+  return kind == 3 ? v * g : g;  // 3 = hswish, 4 = hsigmoid
+}
+
 static inline void same_pad(int in, int stride, int k, int* lo) {
   int out = (in + stride - 1) / stride;
   int total = (out - 1) * stride + k - in;
@@ -109,6 +123,64 @@ void pw_f32(const float* x, const float* w, const float* bias, float* out,
     if (bias) for (int oc = 0; oc < cout; ++oc) o[oc] += bias[oc];
     if (apply_act) for (int oc = 0; oc < cout; ++oc) o[oc] = act(o[oc], relu6);
   }
+}
+
+// Depthwise kxk with a NAMED activation (V3: k in {3,5}, relu/hswish).
+// x: (N,H,W,C), w: (k,k,1,C) flattened as (k*k, C).
+void dwka_f32(const float* x, const float* w, const float* bias, float* out,
+              int n, int h, int wdim, int c, int k, int stride,
+              int act_kind) {
+  int pad_lo;
+  same_pad(h, stride, k, &pad_lo);
+  const int h_out = (h + stride - 1) / stride;
+  const int w_out = (wdim + stride - 1) / stride;
+  for (int b = 0; b < n; ++b)
+    for (int oy = 0; oy < h_out; ++oy)
+      for (int ox = 0; ox < w_out; ++ox) {
+        float* o = out + (((int64_t)b * h_out + oy) * w_out + ox) * c;
+        for (int ch = 0; ch < c; ++ch) o[ch] = 0.0f;
+        for (int dy = 0; dy < k; ++dy) {
+          const int iy = oy * stride + dy - pad_lo;
+          if (iy < 0 || iy >= h) continue;
+          for (int dx = 0; dx < k; ++dx) {
+            const int ix = ox * stride + dx - pad_lo;
+            if (ix < 0 || ix >= wdim) continue;
+            const float* px = x + (((int64_t)b * h + iy) * wdim + ix) * c;
+            const float* pw = w + ((int64_t)dy * k + dx) * c;
+            for (int ch = 0; ch < c; ++ch) o[ch] += px[ch] * pw[ch];
+          }
+        }
+        if (bias) for (int ch = 0; ch < c; ++ch) o[ch] += bias[ch];
+        for (int ch = 0; ch < c; ++ch) o[ch] = act_named(o[ch], act_kind);
+      }
+}
+
+// Pointwise 1x1 with a NAMED activation (V3 expand/project/head matmuls).
+void pwa_f32(const float* x, const float* w, const float* bias, float* out,
+             int64_t pixels, int cin, int cout, int act_kind) {
+  for (int64_t p = 0; p < pixels; ++p) {
+    const float* px = x + p * cin;
+    float* o = out + p * cout;
+    for (int oc = 0; oc < cout; ++oc) o[oc] = 0.0f;
+    for (int ic = 0; ic < cin; ++ic) {
+      const float xv = px[ic];
+      const float* wrow = w + (int64_t)ic * cout;
+      for (int oc = 0; oc < cout; ++oc) o[oc] += xv * wrow[oc];
+    }
+    if (bias) for (int oc = 0; oc < cout; ++oc) o[oc] += bias[oc];
+    for (int oc = 0; oc < cout; ++oc) o[oc] = act_named(o[oc], act_kind);
+  }
+}
+
+// Standard 3x3 conv with a NAMED activation (V3 stem: hswish).
+void conv3x3a_f32(const float* x, const float* w, const float* bias,
+                  float* out, int n, int h, int wdim, int cin, int cout,
+                  int stride, int act_kind) {
+  conv3x3_f32(x, w, bias, out, n, h, wdim, cin, cout, stride, 0, 0);
+  const int h_out = (h + stride - 1) / stride;
+  const int w_out = (wdim + stride - 1) / stride;
+  const int64_t total = (int64_t)n * h_out * w_out * cout;
+  for (int64_t i = 0; i < total; ++i) out[i] = act_named(out[i], act_kind);
 }
 
 // Global average pool: (N,H,W,C) -> (N,C); row-major spatial accumulation.

@@ -27,11 +27,16 @@ def model_forward(params: Dict[str, Any], images: jax.Array, config) -> jax.Arra
     ModelConfig or V2's V2Config — always on the XLA route (the Pallas
     kernels are inference-only until they grow custom VJPs)."""
     from .mobilenet_v2 import V2Config  # noqa: PLC0415
+    from .mobilenet_v3 import V3Config  # noqa: PLC0415
 
     if isinstance(config, V2Config):
         from . import mobilenet_v2  # noqa: PLC0415
 
         return mobilenet_v2.forward_v2(params, images, config, dw_backend="xla")
+    if isinstance(config, V3Config):
+        from . import mobilenet_v3  # noqa: PLC0415
+
+        return mobilenet_v3.forward_v3(params, images, config)
     return mobilenet_v1.forward(params, images, config, use_pallas_dw=False)
 
 

@@ -43,9 +43,31 @@ def apply_activation(y: jax.Array, relu6: bool) -> jax.Array:
     return jnp.maximum(y, zero)
 
 
-def bias_act(y: jax.Array, bias: Optional[jax.Array], relu6: Optional[bool]) -> jax.Array:
+# Named activations for the V3 family (keras mobilenet_v3.py:542-553):
+# hard_sigmoid = relu6(x + 3) / 6; hard_swish = x * hard_sigmoid(x). The
+# bool `relu6` interface stays for V1/V2; `act=` overrides it when given.
+def apply_act_named(y: jax.Array, act: str) -> jax.Array:
+    zero = jnp.asarray(0, y.dtype)
+    six = jnp.asarray(6, y.dtype)
+    if act == "relu":
+        return jnp.maximum(y, zero)
+    if act == "relu6":
+        return jnp.clip(y, zero, six)
+    if act == "hsigmoid":
+        return jnp.clip(y + jnp.asarray(3, y.dtype), zero, six) * jnp.asarray(
+            1.0 / 6.0, y.dtype)
+    if act == "hswish":
+        return y * (jnp.clip(y + jnp.asarray(3, y.dtype), zero, six)
+                    * jnp.asarray(1.0 / 6.0, y.dtype))
+    raise ValueError(f"unknown activation {act!r}")
+
+
+def bias_act(y: jax.Array, bias: Optional[jax.Array], relu6: Optional[bool],
+             act: Optional[str] = None) -> jax.Array:
     if bias is not None:
         y = y + bias.astype(y.dtype)
+    if act is not None:
+        return apply_act_named(y, act)
     if relu6 is not None:
         y = apply_activation(y, relu6)
     return y
@@ -57,6 +79,7 @@ def conv2d_same(
     stride: int,
     bias: Optional[jax.Array] = None,
     relu6: Optional[bool] = None,
+    act: Optional[str] = None,
 ) -> jax.Array:
     """Standard conv, NHWC x HWIO -> NHWC, SAME padding.
 
@@ -71,7 +94,7 @@ def conv2d_same(
         precision=_precision(x),
         preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
     )
-    return bias_act(y, bias, relu6).astype(x.dtype)
+    return bias_act(y, bias, relu6, act).astype(x.dtype)
 
 
 def depthwise_conv_xla(
@@ -80,15 +103,21 @@ def depthwise_conv_xla(
     stride: int,
     bias: Optional[jax.Array] = None,
     relu6: Optional[bool] = None,
+    act: Optional[str] = None,
 ) -> jax.Array:
-    """Depthwise 3x3 via XLA grouped conv. w: (3, 3, 1, C) HWIO.
+    """Depthwise kxk via XLA grouped conv. w: (k, k, 1, C) HWIO; k in {3, 5}
+    (5 is the V3 family's late-stage kernel, keras mobilenet_v3.py:421-519;
+    SAME padding equals keras's explicit correct_pad+valid at every even
+    input size, which resolution % 32 == 0 guarantees at each stride-2
+    point).
 
     Reference analog: the dw_conv OpenCL kernel (SURVEY.md SS2 C4). The Pallas
     channel-tiled kernel (ops/pallas_dw.py) is the optimized path; this is the
     always-correct fallback and the differentiable path for the train step.
     """
     c = x.shape[-1]
-    assert w.shape == (3, 3, 1, c), (w.shape, c)
+    assert w.shape[2:] == (1, c) and w.shape[0] == w.shape[1] in (3, 5), (
+        w.shape, c)
     y = lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
@@ -99,7 +128,7 @@ def depthwise_conv_xla(
         precision=_precision(x),
         preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
     )
-    return bias_act(y, bias, relu6).astype(x.dtype)
+    return bias_act(y, bias, relu6, act).astype(x.dtype)
 
 
 def pointwise_conv(
@@ -107,6 +136,7 @@ def pointwise_conv(
     w: jax.Array,
     bias: Optional[jax.Array] = None,
     relu6: Optional[bool] = None,
+    act: Optional[str] = None,
 ) -> jax.Array:
     """Pointwise 1x1 conv as an explicit MXU matmul: (N*H*W, Cin) @ (Cin, Cout).
 
@@ -123,7 +153,7 @@ def pointwise_conv(
         precision=_precision(x),
         preferred_element_type=jnp.float32,
     )
-    y = bias_act(y, bias, relu6)
+    y = bias_act(y, bias, relu6, act)
     return y.reshape(n, h, ww, cout).astype(x.dtype)
 
 

@@ -203,6 +203,48 @@ def autotune_backend(
     if isinstance(config, V2Config):
         return _autotune_v2(config, batch_size, steps, candidates, seed,
                             params, int8, mode)
+    from ..models.mobilenet_v3 import V3Config
+
+    if isinstance(config, V3Config):
+        # V3 has exactly one route (xla — models/mobilenet_v3.py); the
+        # "race" just measures it, so autotune keeps a uniform surface.
+        if int8:
+            raise NotImplementedError("int8 covers the V1/V2 families only")
+        from .pipeline import InferencePipeline
+
+        pipe = InferencePipeline(config, seed=seed, params=params)
+        if mode == "latency":
+            import jax.numpy as jnp
+
+            dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
+                     else jnp.float32)
+            from ..checkpoints import default_folded
+            from ..models.mobilenet_v3 import predict_probs_v3
+            from ..utils.timing import differenced_chain_ms
+
+            folded = params if params is not None else default_folded(
+                config, seed=seed)
+            dev = jax.tree.map(lambda a: jnp.asarray(a, dtype), folded)
+
+            def make(length):
+                def chain(x):
+                    def body(carry, _):
+                        probs = predict_probs_v3(dev, carry, config)
+                        nxt = carry * (1.0 + 1e-6 * jnp.sum(probs).astype(
+                            carry.dtype))
+                        return nxt, jnp.argmax(probs)
+
+                    return jax.lax.scan(body, x, None, length=length)
+
+                return jax.jit(chain)
+
+            res = config.resolution
+            x = jnp.asarray(np.random.default_rng(0).uniform(
+                -1, 1, (1, res, res, 3)), dtype)
+            return "xla", {"xla": differenced_chain_ms(make, x, 50)}
+        entry = pipe._entry("probs_u8")
+        return "xla", {"xla": _throughput(entry, pipe.params, config,
+                                          batch_size, steps)}
     if candidates is None:
         if not on_tpu:
             candidates = ("xla",)

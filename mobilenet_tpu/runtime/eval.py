@@ -95,6 +95,12 @@ def _is_v2(config) -> bool:
     return isinstance(config, V2Config)
 
 
+def _is_v3(config) -> bool:
+    from ..models.mobilenet_v3 import V3Config  # noqa: PLC0415
+
+    return isinstance(config, V3Config)
+
+
 def _oracle_scores(folded, q, batch_u8: np.ndarray, config, *,
                    int8: bool, oracle: str) -> np.ndarray:
     """Golden logits for a uint8 batch, preprocessed identically to the
@@ -130,6 +136,16 @@ def _oracle_scores(folded, q, batch_u8: np.ndarray, config, *,
             from ..oracle import numpy_ref
 
             logits, _ = numpy_ref.forward_all_v2(folded, x, config)
+        return np.asarray(logits, np.float32)
+    if _is_v3(config):
+        if oracle == "cpp":
+            from .. import cpu_ref
+
+            logits, _ = cpu_ref.forward_all_v3(folded, x, config)
+        else:
+            from ..oracle import numpy_ref
+
+            logits, _ = numpy_ref.forward_all_v3(folded, x, config)
         return np.asarray(logits, np.float32)
     if oracle == "cpp":
         from .. import cpu_ref
@@ -170,6 +186,16 @@ def evaluate_agreement(
 
         folded = params if params is not None else fold_bn_v2(
             init_params_v2(config, seed=seed), eps=config.bn_eps)
+    elif _is_v3(config):
+        from ..checkpoints.v3 import fold_bn_v3, init_params_v3
+
+        if int8:
+            raise NotImplementedError(
+                "int8 is implemented for the V1 and V2 families; V3's "
+                "unbounded ReLU/hard-swish activations need their own "
+                "calibrated scheme")
+        folded = params if params is not None else fold_bn_v3(
+            init_params_v3(config, seed=seed), eps=config.bn_eps)
     else:
         from ..checkpoints import fold_bn, init_params
 

@@ -24,6 +24,7 @@ from ..config import ModelConfig
 from ..checkpoints import fold_bn, init_params, to_device
 from ..models import mobilenet_v1
 from ..models.mobilenet_v2 import V2Config
+from ..models.mobilenet_v3 import V3Config
 from ..ops import preprocess as prep
 
 
@@ -73,6 +74,7 @@ class InferencePipeline:
         # a V2Config routes the MobileNet-V2 forward (models.mobilenet_v2)
         # through the same HBM-resident-params + compiled-entry machinery.
         self.is_v2 = isinstance(config, V2Config)
+        self.is_v3 = isinstance(config, V3Config)
         if dtype is None:
             dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
         self.dtype = dtype
@@ -100,6 +102,11 @@ class InferencePipeline:
 
             host_params = fold_bn_v2(
                 init_params_v2(config, seed=seed), eps=config.bn_eps)
+        elif self.is_v3:
+            from ..checkpoints.v3 import fold_bn_v3, init_params_v3
+
+            host_params = fold_bn_v3(
+                init_params_v3(config, seed=seed), eps=config.bn_eps)
         else:
             host_params = fold_bn(
                 init_params(config, seed=seed), eps=config.bn_eps)
@@ -112,7 +119,7 @@ class InferencePipeline:
             from ..checkpoints.padding import pad_block0_v2
 
             host_params = pad_block0_v2(host_params)
-        if not self.is_v2 and (rb in ("auto", "fused", "mixed") or (
+        if not (self.is_v2 or self.is_v3) and (rb in ("auto", "fused", "mixed") or (
                 isinstance(rb, (tuple, list)) and "fused" in rb)):
             # alpha=0.75-style channel counts (24/48/96) divide neither 128
             # nor any lane group: zero-pad them to the next divisor of 128 so
@@ -141,7 +148,26 @@ class InferencePipeline:
             return self._entries[key]
         cfg = self.config
 
-        if self.is_v2:
+        if self.is_v3:
+            from ..models import mobilenet_v3 as mv3
+
+            # V3 has only the xla route (SE's mid-block global reduction
+            # breaks the fused-IR pattern — models/mobilenet_v3.py).
+            if kind == "probs_u8":
+                def fn(params, images_u8):
+                    return mv3.predict_probs_v3_u8(
+                        params, images_u8, cfg, dtype=self.dtype)
+            elif kind == "probs_f":
+                def fn(params, x):
+                    return mv3.predict_probs_v3(
+                        params, x.astype(self.dtype), cfg)
+            elif kind == "collect":
+                def fn(params, x):
+                    return mv3.forward_v3(
+                        params, x.astype(self.dtype), cfg, collect=True)
+            else:
+                raise KeyError(kind)
+        elif self.is_v2:
             from ..models import mobilenet_v2 as mv2
 
             # "auto" resolves per batch inside forward_v2 (_routing_v2):

@@ -505,6 +505,16 @@ def serve_main(alpha: float, res: int, dtype: str, streams: int, port: int,
 
             return V2Config(alpha=float(a), resolution=int(r),
                             compute_dtype=dtype)
+        if model_name in ("v3", "v3small"):
+            from ..models.mobilenet_v3 import V3Config
+
+            if int8:
+                raise ValueError(
+                    "int8 serving covers the V1/V2 families; V3's unbounded "
+                    "activations need their own calibrated scheme")
+            return V3Config(variant="large" if model_name == "v3" else "small",
+                            alpha=float(a), resolution=int(r),
+                            compute_dtype=dtype)
         return ModelConfig(alpha=float(a), resolution=int(r),
                            compute_dtype=dtype)
 

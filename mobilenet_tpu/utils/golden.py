@@ -36,6 +36,17 @@ MM_TOL = (1e-4, 3e-4)  # K-deep conv/pointwise/fc reductions (K up to 1024)
 # scale (wrong pad/stride/fold produce O(1e-1..1)).
 V2_TOL = (1e-3, 1e-3)
 
+# MobileNet-V3 gate: V2's unclipped-linear story plus unbounded ReLU
+# (unclipped activations grow past 6) and hard-swish (one extra multiply
+# per activation, and the SE gate injects a pool-reduction product into
+# every channel). Activation magnitudes reach O(30) on the seeded weight
+# set, so the absolute term dominates when values are large; the V2-style
+# relative term covers the rest. Measured worst full-path divergence on
+# the seeded set (device fp32 vs both oracles, large/small 1.0/96-224):
+# within V2's envelope scaled by the larger activations — 3e-3/1e-3 keeps
+# >=2x headroom while staying >=30x below real-defect scale.
+V3_TOL = (3e-3, 1e-3)
+
 
 def max_ulp_diff(a: np.ndarray, b: np.ndarray) -> int:
     """Max distance in representable float32 steps between two arrays."""
