@@ -105,9 +105,6 @@ def _verify_v2(args) -> bool:
     from .runtime.pipeline import InferencePipeline
     from .utils import golden
 
-    if args.routing != "xla":
-        sys.exit("--routing is a MobileNet-V1 flow; the V2 verify gate runs "
-                 "the per-layer comparison on the xla route")
     cfg = V2Config(alpha=args.alpha, resolution=args.res)
     folded = (load_npz(args.ckpt) if getattr(args, "ckpt", None)
               else fold_bn_v2(init_params_v2(cfg, seed=args.seed),
@@ -115,6 +112,11 @@ def _verify_v2(args) -> bool:
     rng = np.random.default_rng(args.seed + 1)
     x = rng.uniform(
         -1, 1, (args.batch, cfg.resolution, cfg.resolution, 3)).astype(np.float32)
+    if args.routing != "xla":
+        if args.int8:
+            sys.exit("--routing races float routings; the int8 gate is "
+                     "EXACT per layer already")
+        return _verify_routing(args, cfg, folded, x)
     if args.int8:
         from .quant.v2 import verify_int8_v2
 
@@ -151,9 +153,6 @@ def _verify_v3(args) -> bool:
     from .runtime.pipeline import InferencePipeline
     from .utils import golden
 
-    if args.routing != "xla":
-        sys.exit("--routing is a MobileNet-V1 flow; V3 has only the xla "
-                 "route")
     if args.int8:
         sys.exit("int8 is implemented for the V1/V2 families; V3's "
                  "unbounded activations need their own calibrated scheme")
@@ -165,6 +164,8 @@ def _verify_v3(args) -> bool:
     x = rng.uniform(
         -1, 1, (args.batch, cfg.resolution, cfg.resolution, 3)).astype(
             np.float32)
+    if args.routing != "xla":
+        return _verify_routing(args, cfg, folded, x)
     pipe = InferencePipeline(cfg, params=folded, dtype=np.float32,
                              dw_backend="xla")
     _, acts = pipe.activations(x)
@@ -265,9 +266,17 @@ def _verify_routing(args, cfg, folded, x) -> bool:
     import jax
     import jax.numpy as jnp
 
-    from .models import mobilenet_v1
+    from .models.mobilenet_v2 import V2Config
+    from .models.mobilenet_v3 import V3Config
     from .runtime.pipeline import InferencePipeline
     from .utils import golden
+
+    if isinstance(cfg, V2Config):
+        from .models.mobilenet_v2 import forward_v2 as fwd
+    elif isinstance(cfg, V3Config):
+        from .models.mobilenet_v3 import forward_v3 as fwd
+    else:
+        from .models.mobilenet_v1 import forward as fwd
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     pipe_r = InferencePipeline(cfg, params=folded, dtype=dtype,
@@ -277,7 +286,7 @@ def _verify_routing(args, cfg, folded, x) -> bool:
     xj = jnp.asarray(x)
 
     def logits_fn(pipe, backend):
-        return jax.jit(lambda p, v: mobilenet_v1.forward(
+        return jax.jit(lambda p, v: fwd(
             p, v.astype(dtype), cfg, dw_backend=backend))(pipe.params, xj)
 
     got = np.asarray(logits_fn(pipe_r, args.routing), np.float32)
@@ -310,13 +319,13 @@ def _verify_routing(args, cfg, folded, x) -> bool:
     # Informational oracle anchor (fp32): strict gating of oracle top-1 is
     # `cli eval`'s job; here it contextualizes any near-tie flips.
     if args.oracle == "cpp":
-        from . import cpu_ref
-
-        ora, _ = cpu_ref.forward_all(folded, np.asarray(x, np.float32), cfg)
+        from . import cpu_ref as omod
     else:
-        from .oracle import numpy_ref
-
-        ora, _ = numpy_ref.forward_all(folded, np.asarray(x, np.float32), cfg)
+        from .oracle import numpy_ref as omod
+    fwd_all = (omod.forward_all_v2 if isinstance(cfg, V2Config)
+               else omod.forward_all_v3 if isinstance(cfg, V3Config)
+               else omod.forward_all)
+    ora, _ = fwd_all(folded, np.asarray(x, np.float32), cfg)
     ora_match = int((got.argmax(-1) == np.asarray(ora).argmax(-1)).sum())
     print(f"top-1 routing({args.routing}) == {args.oracle} oracle (fp32): "
           f"{ora_match}/{len(got)} [informational]")

@@ -10,11 +10,15 @@ against the on-disk keras source, the same citation style as V1/V2:
 `_inverted_res_block` at :593-661, activations at :542-553, stem/head in
 MobileNetV3 at :313-372.
 
-TPU mapping: the xla route only for now — expand/project as MXU matmuls
+TPU mapping: two routes. The xla route — expand/project as MXU matmuls
 with fused epilogues, dw via XLA grouped conv (k in {3,5}), SE as a
-(N,C)x(C,Cr) matmul pair around a global pool. SE's mid-block global
-reduction breaks the V2 IR kernel's fusion story; a fused V3 block kernel
-is future work and would need an in-kernel cross-tile reduction.
+(N,C)x(C,Cr) matmul pair around a global pool — is always-correct and the
+collect/train path. The FUSED route runs each bottleneck as one Pallas
+kernel (ops/pallas_ir_v3.py) with the SE gate computed in-kernel in
+whole-image mode (the full spatial extent is VMEM-resident there, so the
+mid-block global pool is an in-register reduction); SE blocks whose
+whole-image tile busts VMEM (V3-Small block 0 at 112-squared) fall back
+to XLA per block, statically (v3_fits).
 
 Padding note: keras pads stride-2 dw convs explicitly (correct_pad +
 valid); at EVEN input sizes that equals TF 'SAME', and resolution % 32 == 0
@@ -177,6 +181,24 @@ def se_apply(z: jax.Array, se: Dict[str, Any]) -> jax.Array:
     return z * g[:, None, None, :]
 
 
+def _routing_v3(config: V3Config, dw_backend, batch: int) -> Tuple[str, ...]:
+    """Per-block backend tuple, the V2 pattern (_routing_v2). None (the
+    plain-JAX/CPU tier) -> xla; "auto" -> fused at throughput batches, xla
+    at batch 1 (V2's measured crossover class, benchmarks/
+    routing_crossover_v5e.jsonl — re-raced for V3 in benchmarks/
+    v3_fused_v5e.md); per-block v3_fits still gates each fused pick."""
+    n = len(config.block_defs)
+    if dw_backend is None:
+        dw_backend = "xla"
+    elif dw_backend == "auto":
+        dw_backend = "fused" if batch >= 2 else "xla"
+    if isinstance(dw_backend, str):
+        assert dw_backend in ("xla", "fused"), dw_backend
+        return (dw_backend,) * n
+    assert len(dw_backend) == n, dw_backend
+    return tuple(dw_backend)
+
+
 def forward_v3(
     params: Dict[str, Any],
     x: jax.Array,
@@ -195,23 +217,47 @@ def forward_v3(
     taps: conv1, block{i:02d}_exp/_dw/_se/_prj/_out, conv_last, pool, head,
     logits. num_blocks: truncated prefix entry for segment attribution.
 
-    dw_backend: accepted for pipeline-interface parity; only the xla route
-    exists for V3 (module docstring — SE's mid-block global reduction
-    breaks the fused-IR-kernel pattern).
+    dw_backend: None/"xla" (always-correct, the collect/train path),
+    "fused" (one Pallas kernel per bottleneck, SE in-kernel — module
+    docstring), "auto" (measured crossover), or a per-block tuple.
     """
-    if dw_backend not in (None, "auto", "xla"):
-        raise ValueError(
-            f"V3 has only the xla route (got dw_backend={dw_backend!r})")
     acts: Dict[str, jax.Array] = {}
+    routing = _routing_v3(config, dw_backend, int(x.shape[0]))
 
     y = ops.conv2d_same(x, params["conv1"]["w"], 2,
                         bias=params["conv1"]["b"], act=config.head_act)
     if collect:
         acts["conv1"] = y
 
+    from ..ops.pallas_ir_v3 import v3_fits  # noqa: PLC0415
+
     for i, (bd, blk) in enumerate(zip(config.block_defs, params["blocks"])):
         if num_blocks is not None and i >= num_blocks:
             return y
+        # Shapes from the ACTUAL params (the V2 discipline: a padded device
+        # tree must route by what it carries, not the nominal config).
+        cin_a = int(y.shape[-1])
+        e_a = int(blk["exp"]["w"].shape[1]) if "exp" in blk else cin_a
+        cout_a = int(blk["prj"]["w"].shape[1])
+        if (routing[i] == "fused" and not collect
+                and v3_fits(int(y.shape[0]), int(y.shape[1]),
+                            int(y.shape[2]), cin_a, e_a, cout_a, bd.kernel,
+                            bd.stride, bd.se_mid,
+                            jnp.dtype(y.dtype).itemsize)):
+            from ..ops.pallas_ir_v3 import v3_block_pallas  # noqa: PLC0415
+
+            se_kw = {}
+            if bd.se_mid:
+                se_kw = dict(
+                    se_w1=blk["se"]["w1"], se_b1=blk["se"]["b1"],
+                    se_w2=blk["se"]["w2"], se_b2=blk["se"]["b2"])
+            ew, eb = ((blk["exp"]["w"], blk["exp"]["b"])
+                      if "exp" in blk else (None, None))
+            y = v3_block_pallas(
+                y, ew, eb, blk["dw"]["w"], blk["dw"]["b"],
+                blk["prj"]["w"], blk["prj"]["b"], k=bd.kernel,
+                stride=bd.stride, act=bd.act, residual=bd.has_res, **se_kw)
+            continue
         z = y
         if bd.has_expand:
             z = ops.pointwise_conv(z, blk["exp"]["w"], bias=blk["exp"]["b"],

@@ -172,6 +172,63 @@ def _autotune_v2(config, batch_size, steps, candidates, seed, params,
     return max(results, key=results.get), results
 
 
+def _autotune_v3(config, batch_size, steps, candidates, seed, params,
+                 int8, mode) -> Tuple[str, Dict[str, float]]:
+    """V3 family race: xla vs the fused bottleneck routing (SE in-kernel,
+    ops/pallas_ir_v3.py). int8 has no V3 scheme (documented boundary)."""
+    import jax
+    import jax.numpy as jnp
+
+    if int8:
+        raise NotImplementedError("int8 covers the V1/V2 families only")
+    on_tpu = jax.default_backend() == "tpu"
+    if candidates is None:
+        candidates = ("xla",) if not on_tpu else ("xla", "fused")
+
+    results: Dict[str, float] = {}
+    if mode == "latency":
+        from ..checkpoints.v3 import fold_bn_v3, init_params_v3
+        from ..models.mobilenet_v3 import predict_probs_v3
+        from ..utils.timing import differenced_chain_ms
+
+        dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
+                 else jnp.float32)
+        folded = params if params is not None else fold_bn_v3(
+            init_params_v3(config, seed=seed), eps=config.bn_eps)
+        dev = jax.tree.map(lambda a: jnp.asarray(a, dtype), folded)
+        res = config.resolution
+        x = jnp.asarray(np.random.default_rng(0).uniform(
+            -1, 1, (1, res, res, 3)), dtype)
+        for cand in candidates:
+            def make(length, _cand=cand):
+                def chain(x0):
+                    def body(carry, _):
+                        probs = predict_probs_v3(dev, carry, config,
+                                                 dw_backend=_cand)
+                        nxt = carry * (1.0 + 1e-6 * jnp.sum(probs).astype(
+                            carry.dtype))
+                        return nxt, jnp.argmax(probs)
+
+                    return jax.lax.scan(body, x0, None, length=length)
+
+                return jax.jit(chain)
+
+            results[cand] = differenced_chain_ms(make, x, 50)
+        valid = {k: v for k, v in results.items() if v == v}
+        best = min(valid, key=valid.get) if valid else candidates[0]
+        return best, results
+
+    from .pipeline import InferencePipeline
+
+    for cand in candidates:
+        pipe = InferencePipeline(config, seed=seed, dw_backend=cand,
+                                 params=params)
+        entry = pipe._entry("probs_u8")
+        results[cand] = _throughput(entry, pipe.params, config,
+                                    batch_size, steps)
+    return max(results, key=results.get), results
+
+
 def autotune_backend(
     config: ModelConfig,
     batch_size: int = 256,
@@ -206,45 +263,8 @@ def autotune_backend(
     from ..models.mobilenet_v3 import V3Config
 
     if isinstance(config, V3Config):
-        # V3 has exactly one route (xla — models/mobilenet_v3.py); the
-        # "race" just measures it, so autotune keeps a uniform surface.
-        if int8:
-            raise NotImplementedError("int8 covers the V1/V2 families only")
-        from .pipeline import InferencePipeline
-
-        pipe = InferencePipeline(config, seed=seed, params=params)
-        if mode == "latency":
-            import jax.numpy as jnp
-
-            dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
-                     else jnp.float32)
-            from ..checkpoints import default_folded
-            from ..models.mobilenet_v3 import predict_probs_v3
-            from ..utils.timing import differenced_chain_ms
-
-            folded = params if params is not None else default_folded(
-                config, seed=seed)
-            dev = jax.tree.map(lambda a: jnp.asarray(a, dtype), folded)
-
-            def make(length):
-                def chain(x):
-                    def body(carry, _):
-                        probs = predict_probs_v3(dev, carry, config)
-                        nxt = carry * (1.0 + 1e-6 * jnp.sum(probs).astype(
-                            carry.dtype))
-                        return nxt, jnp.argmax(probs)
-
-                    return jax.lax.scan(body, x, None, length=length)
-
-                return jax.jit(chain)
-
-            res = config.resolution
-            x = jnp.asarray(np.random.default_rng(0).uniform(
-                -1, 1, (1, res, res, 3)), dtype)
-            return "xla", {"xla": differenced_chain_ms(make, x, 50)}
-        entry = pipe._entry("probs_u8")
-        return "xla", {"xla": _throughput(entry, pipe.params, config,
-                                          batch_size, steps)}
+        return _autotune_v3(config, batch_size, steps, candidates, seed,
+                            params, int8, mode)
     if candidates is None:
         if not on_tpu:
             candidates = ("xla",)

@@ -151,16 +151,19 @@ class InferencePipeline:
         if self.is_v3:
             from ..models import mobilenet_v3 as mv3
 
-            # V3 has only the xla route (SE's mid-block global reduction
-            # breaks the fused-IR pattern — models/mobilenet_v3.py).
+            # V3 routes per block: fused Pallas bottlenecks (SE in-kernel,
+            # whole-image mode — ops/pallas_ir_v3.py) where v3_fits, xla
+            # otherwise; collect stays on the always-correct xla ops.
             if kind == "probs_u8":
                 def fn(params, images_u8):
                     return mv3.predict_probs_v3_u8(
-                        params, images_u8, cfg, dtype=self.dtype)
+                        params, images_u8, cfg, dtype=self.dtype,
+                        dw_backend=self.dw_backend)
             elif kind == "probs_f":
                 def fn(params, x):
                     return mv3.predict_probs_v3(
-                        params, x.astype(self.dtype), cfg)
+                        params, x.astype(self.dtype), cfg,
+                        dw_backend=self.dw_backend)
             elif kind == "collect":
                 def fn(params, x):
                     return mv3.forward_v3(
