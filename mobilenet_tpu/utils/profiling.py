@@ -56,8 +56,16 @@ class CompileClock:
 
 
 def flops_per_image(config) -> float:
-    """Analytic MAC model of the 28 layers (SURVEY.md SS2 table) — the
-    roofline denominator. Returns MACs (multiply 2x for FLOPs)."""
+    """Analytic MAC model — the roofline denominator for every family
+    (V1: the 28 layers of SURVEY.md SS2; V2/V3: the keras schedules the
+    model modules encode). Returns MACs (multiply 2x for FLOPs)."""
+    from ..models.mobilenet_v2 import V2Config
+    from ..models.mobilenet_v3 import V3Config
+
+    if isinstance(config, V2Config):
+        return _flops_v2(config)
+    if isinstance(config, V3Config):
+        return _flops_v3(config)
     total = 0
     for _, kind, cin, cout, stride, hw in config.layer_shapes():
         out_hw = hw // stride
@@ -68,4 +76,44 @@ def flops_per_image(config) -> float:
         else:
             total += out_hw * out_hw * cin * cout
     total += config.feature_channels * config.num_classes
+    return float(total)
+
+
+def _flops_v2(config) -> float:
+    """MACs of one MobileNet-V2 image: stem + t-expand/dw/project blocks
+    + conv_last + fc. Expansion width is exactly t*cin (keras rounds only
+    output channels)."""
+    hw = config.resolution // 2
+    total = hw * hw * 9 * 3 * config.stem_channels
+    for t, cin, cout, stride in config.block_defs:
+        e = int(round(t * cin))
+        if t != 1:
+            total += hw * hw * cin * e          # expand at INPUT spatial
+        out_hw = hw // stride
+        total += out_hw * out_hw * 9 * e        # dw 3x3
+        total += out_hw * out_hw * e * cout     # linear project
+        hw = out_hw
+    total += hw * hw * config.block_defs[-1][2] * config.last_channels
+    total += config.last_channels * config.num_classes
+    return float(total)
+
+
+def _flops_v3(config) -> float:
+    """MACs of one MobileNet-V3 image: stem + bottlenecks (expand/dw kxk/
+    SE/project) + conv_last + post-pool head + fc. SE adds 2*Cexp*Se MACs
+    per image (two tiny matmuls on the pooled vector)."""
+    hw = config.resolution // 2
+    total = hw * hw * 9 * 3 * config.stem_channels
+    for bd in config.block_defs:
+        if bd.has_expand:
+            total += hw * hw * bd.cin * bd.cexp
+        out_hw = hw // bd.stride
+        total += out_hw * out_hw * bd.kernel * bd.kernel * bd.cexp
+        if bd.se_mid:
+            total += 2 * bd.cexp * bd.se_mid
+        total += out_hw * out_hw * bd.cexp * bd.cout
+        hw = out_hw
+    total += hw * hw * config.block_defs[-1].cout * config.last_conv_channels
+    total += config.last_conv_channels * config.last_point_channels
+    total += config.last_point_channels * config.num_classes
     return float(total)

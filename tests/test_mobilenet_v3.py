@@ -264,3 +264,23 @@ def test_cli_v3_int8_rejected():
         cli.main(["--backend", "cpu", "verify", "--model", "v3",
                   "--alpha", "1.0", "--res", "96", "--int8"])
     assert e.value.code != 0
+
+
+def test_flops_model_matches_published_mac_counts():
+    """Analytic MAC model vs the published MAdds (paper Table 3 / keras
+    docs): V1 1.0-224 569M, V2 1.0-224 300.8M, V3-Large 219M (ours counts
+    conv MACs only -> slightly under), V3-Small 56M. A wrong stride/width
+    in any family's schedule would miss these by >10%."""
+    from mobilenet_tpu.config import ModelConfig
+    from mobilenet_tpu.models.mobilenet_v2 import V2Config
+    from mobilenet_tpu.models.mobilenet_v3 import V3Config
+    from mobilenet_tpu.utils.profiling import flops_per_image
+
+    assert abs(flops_per_image(ModelConfig(alpha=1.0, resolution=224))
+               / 569e6 - 1) < 0.01
+    assert abs(flops_per_image(V2Config(alpha=1.0, resolution=224))
+               / 300.8e6 - 1) < 0.01
+    assert abs(flops_per_image(V3Config(variant="large", resolution=224))
+               / 219e6 - 1) < 0.02
+    assert abs(flops_per_image(V3Config(variant="small", resolution=224))
+               / 56e6 - 1) < 0.02

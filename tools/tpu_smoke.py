@@ -135,6 +135,59 @@ def main(quick: bool = False, only: str = ""):
         check(f"ir_block h={h} {cin}->{e}->{cout} s={s} res={res}",
               got, ref, 3e-5)
 
+    # --- fused V3 bottleneck (k5 stencils, hswish, SE in-kernel) -----------
+    # The three generalizations beyond ir_block each carry hw-only risk:
+    # the 5-tap full-width gather geometry, the in-kernel (BN,HW,Ep)
+    # reduction feeding the SE matmuls, and the (Ep,Se)/(Se,Ep) matmuls at
+    # unaligned Se widths — interpret mode proves none of them on Mosaic.
+    from mobilenet_tpu.ops.pallas_ir_v3 import v3_block_pallas
+
+    rng = rng_for("v3_block")
+    v3_shapes = [  # (h, cin, e, cout, k, s, se_mid, act, res)
+        (28, 24, 72, 40, 5, 2, 24, "relu", False),      # blk3-L class
+        (14, 40, 120, 40, 5, 1, 32, "relu", True),      # SE + residual
+        (8, 160, 960, 160, 5, 1, 240, "hswish", True),  # widest tail + SE
+        (14, 80, 184, 80, 3, 1, 0, "hswish", True),     # k3 hswish, no SE
+    ]
+    if quick:
+        v3_shapes = v3_shapes[:2]
+    for (h, cin, e, cout, k, s, se_mid, act, res) in (
+            v3_shapes if want("v3_block") else []):
+        x = rng.uniform(-1, 1, (8, h, h, cin)).astype(np.float32)
+        ew = (rng.normal(0, 1, (cin, e)) * cin ** -0.5).astype(np.float32)
+        eb = rng.normal(0, 0.1, (e,)).astype(np.float32)
+        dw_w = rng.normal(0, 0.3, (k, k, 1, e)).astype(np.float32)
+        dw_b = rng.normal(0, 0.1, (e,)).astype(np.float32)
+        pw_w = (rng.normal(0, 1, (e, cout)) * e ** -0.5).astype(np.float32)
+        pw_b = rng.normal(0, 0.1, (cout,)).astype(np.float32)
+        se_kw, se_d = {}, None
+        if se_mid:
+            se_d = dict(
+                w1=(rng.normal(0, 1, (e, se_mid)) * e ** -0.5).astype(
+                    np.float32),
+                b1=rng.normal(0, 0.1, (se_mid,)).astype(np.float32),
+                w2=(rng.normal(0, 1, (se_mid, e)) * se_mid ** -0.5).astype(
+                    np.float32),
+                b2=rng.normal(0, 0.1, (e,)).astype(np.float32))
+            se_kw = dict(se_w1=jnp.asarray(se_d["w1"]),
+                         se_b1=jnp.asarray(se_d["b1"]),
+                         se_w2=jnp.asarray(se_d["w2"]),
+                         se_b2=jnp.asarray(se_d["b2"]))
+        z = numpy_ref.depthwise_ref_any(
+            numpy_ref.pointwise_ref_any(x, ew, eb, act), dw_w, s, dw_b, act)
+        if se_d is not None:
+            z = numpy_ref.se_ref(z, se_d)
+        ref = numpy_ref.pointwise_ref_any(z, pw_w, pw_b, None)
+        if res:
+            ref = ref + x
+        got = v3_block_pallas(
+            jnp.asarray(x), jnp.asarray(ew), jnp.asarray(eb),
+            jnp.asarray(dw_w), jnp.asarray(dw_b), jnp.asarray(pw_w),
+            jnp.asarray(pw_b), k=k, stride=s, act=act, residual=res,
+            **se_kw)
+        check(f"v3_block h={h} {cin}->{e}->{cout} k={k} s={s} se={se_mid}",
+              got, ref, 3e-5)
+
     # --- packed fused block ------------------------------------------------
     rng = rng_for("packed_block")
     for (h, cin, cout) in [(112, 32, 64), (16, 8, 16)] if want("packed_block") else []:
