@@ -70,7 +70,22 @@ def cmd_classify(args):
 
         params = load_npz(args.ckpt) if getattr(args, "ckpt", None) else None
         if getattr(args, "model", "v1") in ("v3", "v3small"):
-            sys.exit("int8 is implemented for the V1/V2 families; V3's unbounded activations need their own calibrated scheme")
+            import jax
+            import jax.numpy as jnp
+
+            from .checkpoints.v3 import fold_bn_v3, init_params_v3
+            from .quant.v3 import make_int8_infer_v3, quantize_v3
+
+            folded = params if params is not None else fold_bn_v3(
+                init_params_v3(cfg, seed=args.seed), eps=cfg.bn_eps)
+            infer, _ = make_int8_infer_v3(quantize_v3(folded, cfg), cfg)
+            logits = infer(jnp.asarray(img[None]))
+            probs = np.asarray(jax.nn.softmax(logits, axis=-1))[0]
+            idx = np.argsort(-probs)[: args.top_k]
+            top = [(int(i), float(probs[i])) for i in idx]
+            for rank, (cls, prob) in enumerate(top, 1):
+                print(f"top-{rank}: class {cls}  p={prob:.4f}")
+            return
         if getattr(args, "model", "v1") == "v2":
             import jax
             import jax.numpy as jnp
@@ -153,9 +168,6 @@ def _verify_v3(args) -> bool:
     from .runtime.pipeline import InferencePipeline
     from .utils import golden
 
-    if args.int8:
-        sys.exit("int8 is implemented for the V1/V2 families; V3's "
-                 "unbounded activations need their own calibrated scheme")
     cfg = _make_config(args, dtype="float32")
     folded = (load_npz(args.ckpt) if getattr(args, "ckpt", None)
               else fold_bn_v3(init_params_v3(cfg, seed=args.seed),
@@ -165,7 +177,14 @@ def _verify_v3(args) -> bool:
         -1, 1, (args.batch, cfg.resolution, cfg.resolution, 3)).astype(
             np.float32)
     if args.routing != "xla":
+        if args.int8:
+            sys.exit("--routing races float routings; the int8 gate is "
+                     "EXACT per layer already")
         return _verify_routing(args, cfg, folded, x)
+    if args.int8:
+        from .quant.v3 import verify_int8_v3
+
+        return verify_int8_v3(cfg, folded, x)
     pipe = InferencePipeline(cfg, params=folded, dtype=np.float32,
                              dw_backend="xla")
     _, acts = pipe.activations(x)
@@ -412,10 +431,8 @@ def _bench_int8(args):
     BASELINE.json:10): uint8 images -> quantize -> int8 network."""
     from .config import ModelConfig
 
-    if getattr(args, "model", "v1") == "v2":
-        return _bench_int8_v2(args)
-    if getattr(args, "model", "v1") in ("v3", "v3small"):
-        sys.exit("int8 is implemented for the V1/V2 families; V3's unbounded activations need their own calibrated scheme")
+    if getattr(args, "model", "v1") in ("v2", "v3", "v3small"):
+        return _bench_int8_family(args)
     cfg = ModelConfig(alpha=args.alpha, resolution=args.res)
     profile_dir, ctx = _profile_ctx(args)  # --int8 mirrors every bench flag
     with ctx:
@@ -426,23 +443,33 @@ def _bench_int8(args):
     print(json.dumps(stats))
 
 
-def _bench_int8_v2(args):
-    """INT8 MobileNet-V2 throughput (XLA int8 route; quant/v2.py)."""
+def _bench_int8_family(args):
+    """INT8 MobileNet-V2/V3 throughput (XLA int8 routes; quant/v2.py,
+    quant/v3.py)."""
     import jax
     import jax.numpy as jnp
 
     from .checkpoints import load_npz
-    from .checkpoints.v2 import fold_bn_v2, init_params_v2
-    from .models.mobilenet_v2 import V2Config
-    from .quant.v2 import make_int8_infer_v2, quantize_v2
     from .utils.timing import fenced_window
 
-    cfg = V2Config(alpha=args.alpha, resolution=args.res)
+    cfg = _make_config(args, dtype="float32")
     ckpt = getattr(args, "ckpt", None)
-    folded = (load_npz(ckpt) if ckpt
-              else fold_bn_v2(init_params_v2(cfg, seed=args.seed),
-                              eps=cfg.bn_eps))
-    infer, _ = make_int8_infer_v2(quantize_v2(folded, cfg), cfg)
+    if getattr(args, "model", "v1") == "v2":
+        from .checkpoints.v2 import fold_bn_v2, init_params_v2
+        from .quant.v2 import make_int8_infer_v2, quantize_v2
+
+        folded = (load_npz(ckpt) if ckpt
+                  else fold_bn_v2(init_params_v2(cfg, seed=args.seed),
+                                  eps=cfg.bn_eps))
+        infer, _ = make_int8_infer_v2(quantize_v2(folded, cfg), cfg)
+    else:
+        from .checkpoints.v3 import fold_bn_v3, init_params_v3
+        from .quant.v3 import make_int8_infer_v3, quantize_v3
+
+        folded = (load_npz(ckpt) if ckpt
+                  else fold_bn_v3(init_params_v3(cfg, seed=args.seed),
+                                  eps=cfg.bn_eps))
+        infer, _ = make_int8_infer_v3(quantize_v3(folded, cfg), cfg)
     rng = np.random.default_rng(0)
     img = jax.device_put(jnp.asarray(rng.integers(
         0, 256, (args.batch, cfg.resolution, cfg.resolution, 3),
@@ -532,8 +559,6 @@ def cmd_sweep(args):
     elif model in ("v3", "v3small"):
         from .models.mobilenet_v3 import V3Config
 
-        if getattr(args, "int8", False):
-            sys.exit("int8 is implemented for the V1/V2 families; V3's unbounded activations need their own calibrated scheme")
         default_alphas = (0.75, 1.0)  # the keras pretrained V3 grid
         make_cfg = lambda a, r: V3Config(  # noqa: E731
             variant="large" if model == "v3" else "small",
@@ -553,12 +578,13 @@ def cmd_sweep(args):
         for res in resolutions:
             cfg = make_cfg(alpha, res)
             if getattr(args, "int8", False):
-                if is_v2:
-                    # _bench_int8_v2 prints its own row
-                    row = _bench_int8_v2(argparse.Namespace(
+                if model != "v1":
+                    # _bench_int8_family prints its own row
+                    row = _bench_int8_family(argparse.Namespace(
                         alpha=alpha, res=res, batch=args.batch,
                         steps=args.steps, seed=args.seed,
-                        ckpt=getattr(args, "ckpt", None), model="v2"))
+                        ckpt=getattr(args, "ckpt", None), model=model,
+                        minimalistic=getattr(args, "minimalistic", False)))
                 else:
                     row = _int8_throughput(cfg, args.batch, args.steps,
                                            args.seed,

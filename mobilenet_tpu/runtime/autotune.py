@@ -175,13 +175,22 @@ def _autotune_v2(config, batch_size, steps, candidates, seed, params,
 def _autotune_v3(config, batch_size, steps, candidates, seed, params,
                  int8, mode) -> Tuple[str, Dict[str, float]]:
     """V3 family race: xla vs the fused bottleneck routing (SE in-kernel,
-    ops/pallas_ir_v3.py). int8 has no V3 scheme (documented boundary)."""
+    ops/pallas_ir_v3.py). The int8 V3 path has exactly one route (XLA int8
+    ops, quant/v3.py), so --int8 just measures it — the V2 convention."""
     import jax
     import jax.numpy as jnp
 
-    if int8:
-        raise NotImplementedError("int8 covers the V1/V2 families only")
     on_tpu = jax.default_backend() == "tpu"
+    if int8:
+        from ..quant.v3 import Int8PipelineV3
+
+        if mode == "latency":
+            raise NotImplementedError(
+                "int8 V3 has one route; race batch>=2 throughput instead")
+        pipe = Int8PipelineV3(config, seed=seed, params=params)
+        res = {"xla": _throughput(
+            lambda imgs: pipe._probs(imgs), None, config, batch_size, steps)}
+        return "xla", res
     if candidates is None:
         candidates = ("xla",) if not on_tpu else ("xla", "fused")
 

@@ -118,6 +118,10 @@ def _oracle_scores(folded, q, batch_u8: np.ndarray, config, *,
             from ..quant.v2 import forward_all_v2_i8
 
             logits, _ = forward_all_v2_i8(q, x_i8, config)
+        elif _is_v3(config):
+            from ..quant.v3 import forward_all_v3_i8
+
+            logits, _ = forward_all_v3_i8(q, x_i8, config)
         elif oracle == "cpp":
             from ..quant.verify import _cpp_forward_all
 
@@ -189,11 +193,6 @@ def evaluate_agreement(
     elif _is_v3(config):
         from ..checkpoints.v3 import fold_bn_v3, init_params_v3
 
-        if int8:
-            raise NotImplementedError(
-                "int8 is implemented for the V1 and V2 families; V3's "
-                "unbounded ReLU/hard-swish activations need their own "
-                "calibrated scheme")
         folded = params if params is not None else fold_bn_v3(
             init_params_v3(config, seed=seed), eps=config.bn_eps)
     else:
@@ -211,6 +210,11 @@ def evaluate_agreement(
         # calibration is deterministic but costs an oracle sweep; quantize
         # once for both (same as the V1 branch's 'both derive from folded').
         q = pipe.q
+    elif int8 and _is_v3(config):
+        from ..quant.v3 import Int8PipelineV3
+
+        pipe = Int8PipelineV3(config, params=folded)
+        q = pipe.q  # same quantize-once reuse as the V2 branch
     elif int8:
         from ..quant.model import Int8Pipeline
 

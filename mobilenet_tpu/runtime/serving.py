@@ -447,6 +447,12 @@ def build_pipeline(cfg, seed, mesh, params, int8):
             from ..quant.v2 import Int8PipelineV2
 
             return Int8PipelineV2(cfg, seed=seed, mesh=mesh, params=params)
+        from ..models.mobilenet_v3 import V3Config
+
+        if isinstance(cfg, V3Config):
+            from ..quant.v3 import Int8PipelineV3
+
+            return Int8PipelineV3(cfg, seed=seed, mesh=mesh, params=params)
         from ..quant.model import Int8Pipeline
 
         return Int8Pipeline(cfg, seed=seed, mesh=mesh, params=params)
@@ -508,10 +514,6 @@ def serve_main(alpha: float, res: int, dtype: str, streams: int, port: int,
         if model_name in ("v3", "v3small"):
             from ..models.mobilenet_v3 import V3Config
 
-            if int8:
-                raise ValueError(
-                    "int8 serving covers the V1/V2 families; V3's unbounded "
-                    "activations need their own calibrated scheme")
             return V3Config(variant="large" if model_name == "v3" else "small",
                             alpha=float(a), resolution=int(r),
                             compute_dtype=dtype)

@@ -257,13 +257,17 @@ def test_cli_v3_verify_and_classify(tmp_path, capsys):
     assert "top-1" in capsys.readouterr().out
 
 
-def test_cli_v3_int8_rejected():
+def test_cli_v3_int8_verify_exact(capsys):
+    """The int8 V3 EXACT-equality gate through the CLI (quant/v3.py —
+    the calibrated scheme that replaced the round-3 rejection message)."""
     from mobilenet_tpu import cli
 
     with pytest.raises(SystemExit) as e:
-        cli.main(["--backend", "cpu", "verify", "--model", "v3",
-                  "--alpha", "1.0", "--res", "96", "--int8"])
-    assert e.value.code != 0
+        cli.main(["--backend", "cpu", "verify", "--model", "v3small",
+                  "--alpha", "1.0", "--res", "96", "--int8", "--batch", "1"])
+    out = capsys.readouterr().out
+    assert e.value.code == 0, out
+    assert "EXACT" in out and "int8" in out
 
 
 def test_flops_model_matches_published_mac_counts():
