@@ -669,13 +669,20 @@ def cmd_train(args):
 
 def cmd_export(args):
     """Weight export (reference analog: C9, SURVEY.md SS2): raw -> folded ->
-    int8 flat .npz files with documented layouts."""
+    int8 flat .npz files with documented layouts. All three families."""
     import os
 
     from .checkpoints import fold_bn, init_params, load_npz, save_npz
     from .config import ModelConfig
     from .quant import quantize
 
+    model = getattr(args, "model", "v1")
+    if model != "v1":
+        if getattr(args, "from_keras", None) or getattr(
+                args, "from_tf_slim", None):
+            sys.exit("--from-keras/--from-tf-slim import the V1 layouts; "
+                     "V2/V3 export starts from --ckpt or the seeded set")
+        return _export_family(args, model)
     cfg = ModelConfig(alpha=args.alpha, resolution=args.res)
     if getattr(args, "from_keras", None):
         from .checkpoints.io import import_keras_h5
@@ -706,6 +713,59 @@ def cmd_export(args):
         ],
         "fc": {"w_i8": q.fc_w_i8, "s_w": q.fc_s_w, "b": q.fc_b_f32},
     }
+    save_npz(os.path.join(args.out, f"{cfg.variant_name()}_int8.npz"), qtree)
+    print(f"exported raw/folded/int8 checkpoints to {args.out}")
+
+
+def _export_family(args, model):
+    """V2/V3 export: raw + folded + int8 (the family quant constants —
+    QuantLayer's w_i8/bias_i32/m for V2, QLayerN's w_i8/bias_i32/a/inv_s
+    for V3; scales ride along so a loader can requant without re-running
+    calibration)."""
+    import os
+
+    from .checkpoints import load_npz, save_npz
+
+    cfg = _make_config(args, dtype="float32")
+    if model == "v2":
+        from .checkpoints.v2 import fold_bn_v2, init_params_v2
+        from .quant.v2 import quantize_v2
+
+        raw = (load_npz(args.ckpt) if getattr(args, "ckpt", None)
+               else init_params_v2(cfg, seed=args.seed))
+        folded = fold_bn_v2(raw, eps=cfg.bn_eps)
+        q = quantize_v2(folded, cfg)
+        lay = lambda l: {"w_i8": l.w_i8, "bias_i32": l.bias_i32,  # noqa: E731
+                         "m": l.m}
+        qtree = {
+            "conv1": lay(q.conv1),
+            "blocks": [{k: lay(v) for k, v in b.items()} for b in q.blocks],
+            "conv_last": lay(q.conv_last),
+            "fc": {"w_i8": q.fc_w_i8, "s_w": q.fc_s_w, "b": q.fc_b_f32},
+            "s_blk": np.asarray(q.s_blk, np.float32),
+        }
+    else:
+        from .checkpoints.v3 import fold_bn_v3, init_params_v3
+        from .quant.v3 import quantize_v3
+
+        raw = (load_npz(args.ckpt) if getattr(args, "ckpt", None)
+               else init_params_v3(cfg, seed=args.seed))
+        folded = fold_bn_v3(raw, eps=cfg.bn_eps)
+        q = quantize_v3(folded, cfg)
+        lay = lambda l: {"w_i8": l.w_i8, "bias_i32": l.bias_i32,  # noqa: E731
+                         "a": l.a, "inv_s": np.float32(l.inv_s)}
+        qtree = {
+            "conv1": lay(q.conv1),
+            "blocks": [{k: lay(v) for k, v in b.items()} for b in q.blocks],
+            "conv_last": lay(q.conv_last),
+            "head": lay(q.head),
+            "fc": {"w_i8": q.fc_w_i8, "s_w": q.fc_s_w, "b": q.fc_b_f32},
+            "s_head": np.float32(q.s_head),
+        }
+    os.makedirs(args.out, exist_ok=True)
+    save_npz(os.path.join(args.out, f"{cfg.variant_name()}_raw.npz"), raw)
+    save_npz(os.path.join(args.out, f"{cfg.variant_name()}_folded.npz"),
+             folded)
     save_npz(os.path.join(args.out, f"{cfg.variant_name()}_int8.npz"), qtree)
     print(f"exported raw/folded/int8 checkpoints to {args.out}")
 
@@ -896,7 +956,7 @@ def main(argv=None):
                     help="convert a keras MobileNet .h5 checkpoint")
     sp.add_argument("--from-tf-slim", metavar="CKPT_PREFIX",
                     help="convert a TF-slim MobilenetV1 checkpoint prefix")
-    common(sp, 1)
+    common(sp, 1, model_flag=True)
     sp.set_defaults(fn=cmd_export)
 
     sp = sub.add_parser("serve")

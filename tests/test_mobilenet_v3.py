@@ -288,3 +288,28 @@ def test_flops_model_matches_published_mac_counts():
                / 219e6 - 1) < 0.02
     assert abs(flops_per_image(V3Config(variant="small", resolution=224))
                / 56e6 - 1) < 0.02
+
+
+def test_cli_v3_export_roundtrip(tmp_path, capsys):
+    """export --model v3small writes raw/folded/int8; the folded file
+    reloads through --ckpt with identical logits (C9 portability, all
+    families)."""
+    import jax.numpy as jnp
+
+    from mobilenet_tpu import cli
+    from mobilenet_tpu.checkpoints import load_npz
+    from mobilenet_tpu.checkpoints.v3 import fold_bn_v3, init_params_v3
+    from mobilenet_tpu.models.mobilenet_v3 import V3Config, forward_v3
+
+    out = str(tmp_path / "exp")
+    cli.main(["--backend", "cpu", "export", "--model", "v3small",
+              "--res", "96", "--out", out])
+    assert "exported" in capsys.readouterr().out
+    cfg = V3Config(variant="small", alpha=1.0, resolution=96)
+    folded = fold_bn_v3(init_params_v3(cfg, seed=0), eps=cfg.bn_eps)
+    re = load_npz(f"{out}/mobilenet_v3_small_1_96_folded.npz")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 96, 96, 3)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(forward_v3(re, x, cfg)),
+        np.asarray(forward_v3(folded, x, cfg)))
