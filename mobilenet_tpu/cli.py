@@ -804,11 +804,9 @@ def cmd_warmup(args):
 
     import numpy as np  # noqa: PLC0415
 
-    from .config import ModelConfig
     from .runtime.serving import build_pipeline, default_buckets
 
-    cfg = ModelConfig(alpha=args.alpha, resolution=args.res,
-                      compute_dtype=args.dtype)
+    cfg = _make_config(args)  # any family; build_pipeline dispatches
     params = None
     if getattr(args, "ckpt", None):
         from .checkpoints import load_npz
@@ -989,7 +987,7 @@ def main(argv=None):
     sp.add_argument("--dp", type=int, default=1,
                     help="match `serve --dp N`: dp-sharded jit entries are "
                          "distinct compiles from the unsharded ones")
-    common(sp, None)
+    common(sp, None, model_flag=True)
     sp.set_defaults(fn=cmd_warmup)
 
     args = p.parse_args(argv)
