@@ -183,12 +183,39 @@ def forward_v2(
     if collect:
         acts["conv1"] = y
 
+    y = run_blocks_v2(params, y, config, routing,
+                      stop=num_blocks if num_blocks is not None else None,
+                      acts=acts if collect else None)
+    if num_blocks is not None:  # truncated prefix entry: blocks only, no head
+        return y
+
+    y = ops.pointwise_conv(y, params["conv_last"]["w"],
+                           bias=params["conv_last"]["b"], relu6=True)
+    if collect:
+        acts["conv_last"] = y
+    pooled = ops.global_avg_pool(y)
+    if collect:
+        acts["pool"] = pooled
+    logits = ops.fc(pooled, params["fc"]["w"], params["fc"]["b"])
+    if collect:
+        acts["logits"] = logits
+        return logits, acts
+    return logits
+
+
+def run_blocks_v2(params, y, config: V2Config, routing, *,
+                  start: int = 0, stop: Optional[int] = None,
+                  acts: Optional[Dict[str, Any]] = None) -> jax.Array:
+    """Run inverted-residual blocks [start, stop) on activation `y` —
+    forward_v2's block loop, exposed for stage-partitioned runners
+    (parallel/pp.py) with identical routing/eligibility semantics."""
+    collect = acts is not None
     from ..ops.pallas_ir_block import ir_fits  # noqa: PLC0415
 
-    for i, ((t, cin, cout, stride), blk) in enumerate(
-            zip(config.block_defs, params["blocks"])):
-        if num_blocks is not None and i >= num_blocks:
-            return y
+    stop = len(config.block_defs) if stop is None else stop
+    for i in range(start, stop):
+        (t, cin, cout, stride), blk = (config.block_defs[i],
+                                       params["blocks"][i])
         has_res = stride == 1 and cin == cout
         # Shapes come from the ACTUAL params: the device tree may carry
         # block 0's lane-divisor projection padding (checkpoints.padding.
@@ -253,22 +280,7 @@ def forward_v2(
             if collect:
                 acts[f"block{i:02d}_out"] = out
         y = out
-
-    if num_blocks is not None:  # truncated prefix entry: blocks only, no head
-        return y
-
-    y = ops.pointwise_conv(y, params["conv_last"]["w"],
-                           bias=params["conv_last"]["b"], relu6=True)
-    if collect:
-        acts["conv_last"] = y
-    pooled = ops.global_avg_pool(y)
-    if collect:
-        acts["pool"] = pooled
-    logits = ops.fc(pooled, params["fc"]["w"], params["fc"]["b"])
-    if collect:
-        acts["logits"] = logits
-        return logits, acts
-    return logits
+    return y
 
 
 def predict_probs_v2(params, x, config: V2Config, **kw) -> jax.Array:

@@ -229,11 +229,45 @@ def forward_v3(
     if collect:
         acts["conv1"] = y
 
+    y = run_blocks_v3(params, y, config, routing,
+                      stop=num_blocks if num_blocks is not None else None,
+                      acts=acts if collect else None)
+    if num_blocks is not None:
+        return y
+
+    y = ops.pointwise_conv(y, params["conv_last"]["w"],
+                           bias=params["conv_last"]["b"], act=config.head_act)
+    if collect:
+        acts["conv_last"] = y
+    pooled = ops.global_avg_pool(y)
+    if collect:
+        acts["pool"] = pooled
+    # Head conv_2 runs AFTER the pool on a (N, C) vector (keras :345-356):
+    # 1x1 conv with bias (no BN) + activation — an MXU matmul here.
+    h = pooled @ params["head"]["w"].astype(pooled.dtype) + params["head"][
+        "b"].astype(pooled.dtype)
+    h = ops.apply_act_named(h, config.head_act)
+    if collect:
+        acts["head"] = h
+    logits = ops.fc(h, params["fc"]["w"], params["fc"]["b"])
+    if collect:
+        acts["logits"] = logits
+        return logits, acts
+    return logits
+
+
+def run_blocks_v3(params, y, config: V3Config, routing, *,
+                  start: int = 0, stop: Optional[int] = None,
+                  acts: Optional[Dict[str, Any]] = None) -> jax.Array:
+    """Run V3 bottlenecks [start, stop) on activation `y` — forward_v3's
+    block loop, exposed for stage-partitioned runners (parallel/pp.py)
+    with identical routing/eligibility semantics."""
+    collect = acts is not None
     from ..ops.pallas_ir_v3 import v3_fits  # noqa: PLC0415
 
-    for i, (bd, blk) in enumerate(zip(config.block_defs, params["blocks"])):
-        if num_blocks is not None and i >= num_blocks:
-            return y
+    stop = len(config.block_defs) if stop is None else stop
+    for i in range(start, stop):
+        bd, blk = config.block_defs[i], params["blocks"][i]
         # Shapes from the ACTUAL params (the V2 discipline: a padded device
         # tree must route by what it carries, not the nominal config).
         cin_a = int(y.shape[-1])
@@ -280,29 +314,7 @@ def forward_v3(
             if collect:
                 acts[f"block{i:02d}_out"] = out
         y = out
-
-    if num_blocks is not None:
-        return y
-
-    y = ops.pointwise_conv(y, params["conv_last"]["w"],
-                           bias=params["conv_last"]["b"], act=config.head_act)
-    if collect:
-        acts["conv_last"] = y
-    pooled = ops.global_avg_pool(y)
-    if collect:
-        acts["pool"] = pooled
-    # Head conv_2 runs AFTER the pool on a (N, C) vector (keras :345-356):
-    # 1x1 conv with bias (no BN) + activation — an MXU matmul here.
-    h = pooled @ params["head"]["w"].astype(pooled.dtype) + params["head"][
-        "b"].astype(pooled.dtype)
-    h = ops.apply_act_named(h, config.head_act)
-    if collect:
-        acts["head"] = h
-    logits = ops.fc(h, params["fc"]["w"], params["fc"]["b"])
-    if collect:
-        acts["logits"] = logits
-        return logits, acts
-    return logits
+    return y
 
 
 def predict_probs_v3(params, x, config: V3Config, **kw) -> jax.Array:

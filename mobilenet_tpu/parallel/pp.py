@@ -33,6 +33,11 @@ straight through scan + switch + ppermute (the transpose of a shift is the
 reverse shift) and cross-replica param cotangents reduce via the replicated
 in_spec, giving pipeline-parallel training with zero extra schedule code.
 
+All three model families ride the same schedule: a per-family unit
+adapter (`_units_for`) supplies the unit count (stem + blocks + head),
+entering shapes, MAC costs, and a `run(p, y, start, stop)` stage body —
+the scan/switch/ppermute machinery is family-agnostic.
+
 Tested against the single-device forward on the 8-device virtual CPU mesh
 (tests/test_pp.py); compiled+executed in the driver's multi-chip dryrun.
 """
@@ -101,27 +106,185 @@ def _unit_costs(config: ModelConfig, params: Dict[str, Any]) -> List[float]:
     return costs
 
 
-def plan_stages(config: ModelConfig, params: Dict[str, Any],
+def _v1_units(config, params, dw_backend, b):
+    """V1 family adapter: (n_units, in_shapes, costs, run). `run(p, y,
+    start, stop)` executes units [start, stop) — unit 0 = stem, 1..n-2 =
+    blocks, n-1 = head (emits (b, nc) f32 logits)."""
+    from ..models import mobilenet_v1 as mv1  # noqa: PLC0415
+
+    shapes = _unit_in_shapes(config, params)
+    costs = _unit_costs(config, params)
+    routing = mv1._routing(config, False, dw_backend, b)
+    relu6 = config.relu6
+    n = N_UNITS
+
+    def run(p, y, start, stop):
+        u = start
+        if u == 0:
+            y = cops.conv2d_same(y, p["conv1"]["w"], 2,
+                                 bias=p["conv1"]["b"], relu6=relu6)
+            u = 1
+        blk_stop = min(stop, n - 1) - 1
+        if blk_stop > u - 1:
+            y = mv1._run_blocks(p, y, config, routing, relu6, None,
+                                start=u - 1, stop=blk_stop)
+        if stop == n:
+            pooled = cops.global_avg_pool(y)
+            y = cops.fc(pooled, p["fc"]["w"],
+                        p["fc"]["b"]).astype(jnp.float32)
+        return y
+
+    return n, shapes, costs, run
+
+
+def _v2_units(config, params, dw_backend, b):
+    """V2 family adapter (stem + 17 inverted-residual blocks + head)."""
+    from ..models import mobilenet_v2 as mv2  # noqa: PLC0415
+
+    defs = config.block_defs
+    n = len(defs) + 2
+    res = config.resolution
+    shapes = [(res, res, 3)]
+    hw = -(-res // 2)
+    c = int(params["conv1"]["w"].shape[3])
+    for i, (_, _, _, stride) in enumerate(defs):
+        shapes.append((hw, hw, c))
+        hw = -(-hw // stride)
+        c = int(params["blocks"][i]["prj"]["w"].shape[1])
+    shapes.append((hw, hw, c))
+    costs = [0.0] * n
+    h0 = shapes[1][0]
+    costs[0] = h0 * h0 * 9 * 3 * float(params["conv1"]["w"].shape[3])
+    for i, (_, _, _, stride) in enumerate(defs):
+        hin, _, cin_a = shapes[1 + i]
+        blk = params["blocks"][i]
+        e = int(blk["exp"]["w"].shape[1]) if "exp" in blk else cin_a
+        hout = -(-hin // stride)
+        exp_macs = hin * hin * cin_a * e if "exp" in blk else 0
+        costs[1 + i] = float(
+            exp_macs + hout * hout * (9 * e
+                                      + e * int(blk["prj"]["w"].shape[1])))
+    hh, _, cc = shapes[n - 1]
+    cl = int(params["conv_last"]["w"].shape[1])
+    costs[n - 1] = float(hh * hh * cc * cl + cl * config.num_classes)
+    routing = mv2._routing_v2(config, dw_backend, b)
+
+    def run(p, y, start, stop):
+        u = start
+        if u == 0:
+            y = cops.conv2d_same(y, p["conv1"]["w"], 2,
+                                 bias=p["conv1"]["b"], relu6=True)
+            u = 1
+        blk_stop = min(stop, n - 1) - 1
+        if blk_stop > u - 1:
+            y = mv2.run_blocks_v2(p, y, config, routing,
+                                  start=u - 1, stop=blk_stop)
+        if stop == n:
+            y = cops.pointwise_conv(y, p["conv_last"]["w"],
+                                    bias=p["conv_last"]["b"], relu6=True)
+            pooled = cops.global_avg_pool(y)
+            y = cops.fc(pooled, p["fc"]["w"],
+                        p["fc"]["b"]).astype(jnp.float32)
+        return y
+
+    return n, shapes, costs, run
+
+
+def _v3_units(config, params, dw_backend, b):
+    """V3 family adapter (stem + bottlenecks + conv_last/pool/head/fc)."""
+    from ..models import mobilenet_v3 as mv3  # noqa: PLC0415
+
+    defs = config.block_defs
+    n = len(defs) + 2
+    res = config.resolution
+    shapes = [(res, res, 3)]
+    hw = -(-res // 2)
+    c = int(params["conv1"]["w"].shape[3])
+    for i, bd in enumerate(defs):
+        shapes.append((hw, hw, c))
+        hw = -(-hw // bd.stride)
+        c = int(params["blocks"][i]["prj"]["w"].shape[1])
+    shapes.append((hw, hw, c))
+    costs = [0.0] * n
+    h0 = shapes[1][0]
+    costs[0] = h0 * h0 * 9 * 3 * float(params["conv1"]["w"].shape[3])
+    for i, bd in enumerate(defs):
+        hin, _, cin_a = shapes[1 + i]
+        blk = params["blocks"][i]
+        e = int(blk["exp"]["w"].shape[1]) if "exp" in blk else cin_a
+        hout = -(-hin // bd.stride)
+        exp_macs = hin * hin * cin_a * e if "exp" in blk else 0
+        costs[1 + i] = float(
+            exp_macs
+            + hout * hout * (bd.kernel * bd.kernel * e
+                             + e * int(blk["prj"]["w"].shape[1]))
+            + (2 * e * bd.se_mid if bd.se_mid else 0))
+    hh, _, cc = shapes[n - 1]
+    cl = int(params["conv_last"]["w"].shape[1])
+    costs[n - 1] = float(hh * hh * cc * cl
+                         + cl * int(params["head"]["w"].shape[1])
+                         + int(params["head"]["w"].shape[1])
+                         * config.num_classes)
+    routing = mv3._routing_v3(config, dw_backend, b)
+    act = config.head_act
+
+    def run(p, y, start, stop):
+        u = start
+        if u == 0:
+            y = cops.conv2d_same(y, p["conv1"]["w"], 2,
+                                 bias=p["conv1"]["b"], act=act)
+            u = 1
+        blk_stop = min(stop, n - 1) - 1
+        if blk_stop > u - 1:
+            y = mv3.run_blocks_v3(p, y, config, routing,
+                                  start=u - 1, stop=blk_stop)
+        if stop == n:
+            y = cops.pointwise_conv(y, p["conv_last"]["w"],
+                                    bias=p["conv_last"]["b"], act=act)
+            pooled = cops.global_avg_pool(y)
+            h = pooled @ p["head"]["w"].astype(pooled.dtype) + p["head"][
+                "b"].astype(pooled.dtype)
+            h = cops.apply_act_named(h, act)
+            y = cops.fc(h, p["fc"]["w"], p["fc"]["b"]).astype(jnp.float32)
+        return y
+
+    return n, shapes, costs, run
+
+
+def _units_for(config, params, dw_backend, b):
+    """Family dispatch: the per-unit decomposition pp schedules over."""
+    from ..models.mobilenet_v2 import V2Config  # noqa: PLC0415
+    from ..models.mobilenet_v3 import V3Config  # noqa: PLC0415
+
+    if isinstance(config, V2Config):
+        return _v2_units(config, params, dw_backend, b)
+    if isinstance(config, V3Config):
+        return _v3_units(config, params, dw_backend, b)
+    return _v1_units(config, params, dw_backend, b)
+
+
+def plan_stages(config, params: Dict[str, Any],
                 n_stages: int) -> List[Tuple[int, int]]:
     """Contiguous [start, stop) unit ranges, MAC-balanced greedily.
 
     Every stage gets >= 1 unit; trailing stages are never starved (the
-    greedy target re-divides the remaining mass each cut)."""
-    if not 1 <= n_stages <= N_UNITS:
-        raise ValueError(f"n_stages must be in [1, {N_UNITS}], got {n_stages}")
-    costs = _unit_costs(config, params)
+    greedy target re-divides the remaining mass each cut). Works for all
+    three families (unit count = stem + blocks + head per family)."""
+    n_units, _, costs, _ = _units_for(config, params, "xla", 1)
+    if not 1 <= n_stages <= n_units:
+        raise ValueError(
+            f"n_stages must be in [1, {n_units}], got {n_stages}")
     bounds: List[Tuple[int, int]] = []
     start = 0
     for s in range(n_stages):
         stages_left = n_stages - s
-        units_left = N_UNITS - start
         if stages_left == 1:
-            bounds.append((start, N_UNITS))
+            bounds.append((start, n_units))
             break
         target = sum(costs[start:]) / stages_left
         stop, acc = start, 0.0
         # leave at least one unit for each remaining stage
-        max_stop = N_UNITS - (stages_left - 1)
+        max_stop = n_units - (stages_left - 1)
         while stop < max_stop:
             nxt = acc + costs[stop]
             if stop > start and nxt > target and (nxt - target) > (target - acc):
@@ -131,14 +294,14 @@ def plan_stages(config: ModelConfig, params: Dict[str, Any],
         stop = max(stop, start + 1)
         bounds.append((start, stop))
         start = stop
-    assert bounds[-1][1] == N_UNITS and len(bounds) == n_stages, bounds
+    assert bounds[-1][1] == n_units and len(bounds) == n_stages, bounds
     return bounds
 
 
 def forward_pp(
     params: Dict[str, Any],
     x: jax.Array,
-    config: ModelConfig,
+    config,  # ModelConfig | V2Config | V3Config
     mesh: Mesh,
     *,
     n_microbatches: Optional[int] = None,
@@ -155,8 +318,6 @@ def forward_pp(
     stage exactly as in mobilenet_v1._run_blocks (fused Pallas works under
     shard_map — tests cover both routings).
     """
-    from ..models import mobilenet_v1 as mv1  # noqa: PLC0415
-
     S = mesh.shape[PIPE_AXIS]
     N = int(x.shape[0])
     M = int(n_microbatches or min(2 * S, N))
@@ -164,10 +325,8 @@ def forward_pp(
         raise ValueError(f"batch {N} not divisible by n_microbatches={M}")
     b = N // M
     nc = config.num_classes
-    relu6 = config.relu6
+    n_units, shapes, _, run_units = _units_for(config, params, dw_backend, b)
     bounds = plan_stages(config, params, S)
-    shapes = _unit_in_shapes(config, params)
-    routing = mv1._routing(config, False, dw_backend, b)
     # fixed inter-stage buffer: max over live boundaries (and the logits row)
     L = max([int(np.prod(shapes[bounds[s][0]])) for s in range(1, S)] + [nc])
     act_dtype = x.dtype
@@ -181,21 +340,9 @@ def forward_pp(
             else:
                 h, w, c = shapes[start]
                 y = buf_in[:, : h * w * c].reshape(b, h, w, c).astype(act_dtype)
-            blk_start = start - 1
-            if start == 0:
-                y = cops.conv2d_same(y, p["conv1"]["w"], 2,
-                                     bias=p["conv1"]["b"], relu6=relu6)
-                blk_start = 0
-            blk_stop = min(stop, 14) - 1
-            if blk_stop > blk_start:
-                y = mv1._run_blocks(p, y, config, routing, relu6, None,
-                                    start=blk_start, stop=blk_stop)
-            if stop == N_UNITS:
-                pooled = cops.global_avg_pool(y)
-                flat = cops.fc(pooled, p["fc"]["w"],
-                               p["fc"]["b"]).astype(jnp.float32)
-            else:
-                flat = y.reshape(b, -1).astype(jnp.float32)
+            y = run_units(p, y, start, stop)
+            flat = (y if stop == n_units  # head already emits (b, nc) f32
+                    else y.reshape(b, -1).astype(jnp.float32))
             pad = L - flat.shape[1]
             return jnp.pad(flat, ((0, 0), (0, pad))) if pad else flat
 
@@ -247,7 +394,7 @@ def pp_train_step(
     params: Dict[str, Any],
     x: jax.Array,
     labels: jax.Array,
-    config: ModelConfig,
+    config,  # ModelConfig | V2Config | V3Config
     mesh: Mesh,
     *,
     lr: float = 1e-3,

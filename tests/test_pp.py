@@ -91,3 +91,70 @@ def test_pp_train_step_matches_single_device(setup):
         lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
         new_pp, new_1)
     assert max(jax.tree.leaves(deltas)) < 1e-6
+
+
+@pytest.mark.parametrize("family", ["v2", "v3"])
+def test_forward_pp_family_matches_single_device(family):
+    """The GPipe schedule over the V2/V3 families (stage bodies via the
+    per-family unit adapters) must match the single-device forward."""
+    import jax.numpy as jnp
+
+    if family == "v2":
+        from mobilenet_tpu.checkpoints.v2 import fold_bn_v2, init_params_v2
+        from mobilenet_tpu.models.mobilenet_v2 import V2Config, forward_v2
+
+        cfg = V2Config(alpha=1.0, resolution=96)
+        params = fold_bn_v2(init_params_v2(cfg, seed=0), eps=cfg.bn_eps)
+        fwd = forward_v2
+    else:
+        from mobilenet_tpu.checkpoints.v3 import fold_bn_v3, init_params_v3
+        from mobilenet_tpu.models.mobilenet_v3 import V3Config, forward_v3
+
+        cfg = V3Config(variant="small", alpha=1.0, resolution=96)
+        params = fold_bn_v3(init_params_v3(cfg, seed=0), eps=cfg.bn_eps)
+        fwd = forward_v3
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-1, 1, (8, 96, 96, 3)), jnp.float32)
+    mesh = pp.make_pipe_mesh(4)
+    got = np.asarray(pp.forward_pp(params, x, cfg, mesh, n_microbatches=4))
+    want = np.asarray(fwd(params, x, cfg))
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+def test_pp_train_step_family_runs():
+    """pp_train_step differentiates through the scanned schedule for the
+    V3 family too (grad of switch + ppermute + family stage bodies)."""
+    import jax.numpy as jnp
+
+    from mobilenet_tpu.checkpoints.v3 import fold_bn_v3, init_params_v3
+    from mobilenet_tpu.models.mobilenet_v3 import V3Config
+
+    cfg = V3Config(variant="small", alpha=1.0, resolution=96)
+    params = fold_bn_v3(init_params_v3(cfg, seed=0), eps=cfg.bn_eps)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(-1, 1, (8, 96, 96, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 1000, (8,)))
+    mesh = pp.make_pipe_mesh(4)
+    new_params, loss = pp.pp_train_step(params, x, labels, cfg, mesh,
+                                        n_microbatches=4)
+    assert np.isfinite(float(loss))
+    # params actually moved
+    a = np.asarray(jax.tree.leaves(params)[0])
+    b = np.asarray(jax.tree.leaves(new_params)[0])
+    assert (a != b).any()
+
+
+def test_plan_stages_family_unit_counts():
+    from mobilenet_tpu.checkpoints.v2 import fold_bn_v2, init_params_v2
+    from mobilenet_tpu.checkpoints.v3 import fold_bn_v3, init_params_v3
+    from mobilenet_tpu.models.mobilenet_v2 import V2Config
+    from mobilenet_tpu.models.mobilenet_v3 import V3Config
+
+    cfg2 = V2Config(alpha=1.0, resolution=96)
+    p2 = fold_bn_v2(init_params_v2(cfg2, seed=0), eps=cfg2.bn_eps)
+    bounds = pp.plan_stages(cfg2, p2, 4)
+    assert bounds[0][0] == 0 and bounds[-1][1] == 19  # stem + 17 + head
+    cfg3 = V3Config(variant="large", alpha=1.0, resolution=96)
+    p3 = fold_bn_v3(init_params_v3(cfg3, seed=0), eps=cfg3.bn_eps)
+    bounds = pp.plan_stages(cfg3, p3, 4)
+    assert bounds[0][0] == 0 and bounds[-1][1] == 17  # stem + 15 + head
