@@ -78,3 +78,43 @@ def test_export_cli(tmp_path):
     q = load_npz(os.path.join(out, "mobilenet_v1_0.25_128_int8.npz"))
     assert q["conv1"]["w_i8"].dtype == np.int8
     assert q["blocks"][0]["dw"]["bias_i32"].dtype == np.int32
+
+
+def test_golden_fixture_stable_v2():
+    """V2 twin of test_golden_fixture_stable: committed fp32 + int8 golden
+    vectors must regenerate identically from the seeded weight set."""
+    from mobilenet_tpu.checkpoints.v2 import fold_bn_v2, init_params_v2
+    from mobilenet_tpu.models.mobilenet_v2 import V2Config
+    from mobilenet_tpu.quant.v2 import forward_all_v2_i8, quantize_v2
+
+    data = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                                "mnv2_1.0_96_seed0.npz"))
+    cfg = V2Config(alpha=1.0, resolution=96)
+    folded = fold_bn_v2(init_params_v2(cfg, seed=0), eps=cfg.bn_eps)
+    logits, acts = numpy_ref.forward_all_v2(folded, data["x"], cfg)
+    np.testing.assert_array_equal(logits, data["logits"])
+    assert acts["conv1"].astype(np.float64).sum() == data["conv1_sum"]
+    assert acts["block06_dw"].astype(np.float64).sum() == data["block06_dw_sum"]
+    q = quantize_v2(folded, cfg, n_calib=8)
+    logits_i8, _ = forward_all_v2_i8(q, quantize_input(data["x"]), cfg)
+    np.testing.assert_array_equal(logits_i8, data["logits_i8"])
+
+
+def test_golden_fixture_stable_v3():
+    """V3 twin — incl. an SE tap sum (pins the gate semantics) and the
+    calibrated int8 logits (pins calibration + the named-act requant)."""
+    from mobilenet_tpu.checkpoints.v3 import fold_bn_v3, init_params_v3
+    from mobilenet_tpu.models.mobilenet_v3 import V3Config
+    from mobilenet_tpu.quant.v3 import forward_all_v3_i8, quantize_v3
+
+    data = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                                "mnv3s_1.0_96_seed0.npz"))
+    cfg = V3Config(variant="small", alpha=1.0, resolution=96)
+    folded = fold_bn_v3(init_params_v3(cfg, seed=0), eps=cfg.bn_eps)
+    logits, acts = numpy_ref.forward_all_v3(folded, data["x"], cfg)
+    np.testing.assert_array_equal(logits, data["logits"])
+    assert acts["conv1"].astype(np.float64).sum() == data["conv1_sum"]
+    assert acts["block04_se"].astype(np.float64).sum() == data["block04_se_sum"]
+    q = quantize_v3(folded, cfg, n_calib=8)
+    logits_i8, _ = forward_all_v3_i8(q, quantize_input(data["x"]), cfg)
+    np.testing.assert_array_equal(logits_i8, data["logits_i8"])
