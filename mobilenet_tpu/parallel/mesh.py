@@ -48,17 +48,57 @@ def make_mesh(
 
 
 def param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """NamedSharding pytree for a folded params pytree.
+    """NamedSharding pytree for a folded params pytree — all 3 families
+    (detected by tree keys: `head` => V3, `conv_last` => V2).
 
-    Channel-TP layout: every per-channel tensor shards its channel axis over
-    MODEL_AXIS; pw weights shard Cout (their Cin arrives sharded from the
-    previous layer — XLA inserts the all-gather); fc shards Cin.
+    Channel-TP layout, V1: every per-channel tensor shards its channel
+    axis over MODEL_AXIS; pw weights shard Cout (their Cin arrives sharded
+    from the previous layer — XLA inserts the all-gather); fc shards Cin.
+
+    V2/V3 shard the EXPANDED dim — the widest tensors and where the dw
+    work lives (the tp_fused.py layout, GSPMD-annotated): expand shards
+    Cout, dw shards along, the projection shards its Cin CONTRACTION (so
+    GSPMD inserts one psum per block and block outputs/residuals stay
+    replicated). V3's SE shards w1's contraction and w2's output over the
+    same axis; the squeeze vector (Se) stays replicated.
     """
 
     def ns(spec):
         return NamedSharding(mesh, spec)
 
-    out: Dict[str, Any] = {
+    if "head" in params or "conv_last" in params:  # V2 / V3 bottlenecks
+        out: Dict[str, Any] = {
+            "conv1": {"w": ns(P(None, None, None, MODEL_AXIS)),
+                      "b": ns(P(MODEL_AXIS))},
+            "blocks": [],
+            "conv_last": {"w": ns(P(None, MODEL_AXIS)),
+                          "b": ns(P(MODEL_AXIS))},
+            "fc": {"w": ns(P(MODEL_AXIS, None)) if "head" not in params
+                   else ns(P(None, None)), "b": ns(P(None))},
+        }
+        for blk in params["blocks"]:
+            ent = {
+                "dw": {"w": ns(P(None, None, None, MODEL_AXIS)),
+                       "b": ns(P(MODEL_AXIS))},
+                # projection: Cin (the expanded dim) is the sharded
+                # CONTRACTION -> GSPMD psums; output replicated for the
+                # residual add.
+                "prj": {"w": ns(P(MODEL_AXIS, None)), "b": ns(P(None))},
+            }
+            if "exp" in blk:
+                ent["exp"] = {"w": ns(P(None, MODEL_AXIS)),
+                              "b": ns(P(MODEL_AXIS))}
+            if "se" in blk:
+                ent["se"] = {"w1": ns(P(MODEL_AXIS, None)),
+                             "b1": ns(P(None)),
+                             "w2": ns(P(None, MODEL_AXIS)),
+                             "b2": ns(P(MODEL_AXIS))}
+            out["blocks"].append(ent)
+        if "head" in params:  # V3 tail: conv_last sharded -> head psums
+            out["head"] = {"w": ns(P(MODEL_AXIS, None)), "b": ns(P(None))}
+        return out
+
+    out = {
         "conv1": {"w": ns(P(None, None, None, MODEL_AXIS)), "b": ns(P(MODEL_AXIS))},
         "blocks": [],
         "fc": {"w": ns(P(MODEL_AXIS, None)), "b": ns(P(None))},

@@ -83,3 +83,48 @@ def test_tp4_forward_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(sharded), np.asarray(single), atol=1e-4, rtol=1e-3
     )
+
+
+def test_v2_dp_tp_forward_matches_single_device():
+    """Channel-TP over the EXPANDED dim for V2 (param_shardings' V2/V3
+    layout): expand shards Cout, dw shards along, projection shards its
+    contraction (GSPMD psums per block) — logits match single-device."""
+    from mobilenet_tpu.checkpoints.v2 import fold_bn_v2, init_params_v2
+    from mobilenet_tpu.models.mobilenet_v2 import V2Config, forward_v2
+
+    mesh = pmesh.make_mesh(8, model_parallel=2)
+    cfg = V2Config(alpha=1.0, resolution=96)
+    host = fold_bn_v2(init_params_v2(cfg, seed=0), eps=cfg.bn_eps)
+    shardings = pmesh.param_shardings(host, mesh)
+    params = jax.tree.map(
+        lambda x, s: jax.device_put(jnp.asarray(x), s), host, shardings)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (16, 96, 96, 3)).astype(np.float32)
+    xs = jax.device_put(jnp.asarray(x), pmesh.batch_sharding(mesh))
+    sharded = jax.jit(lambda p, v: forward_v2(p, v, cfg))(params, xs)
+    single = jax.jit(lambda p, v: forward_v2(p, v, cfg))(
+        jax.tree.map(jnp.asarray, host), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_v3_dp_tp_forward_matches_single_device():
+    """V3 twin incl. the SE gate: w1 shards its contraction (psum to the
+    replicated squeeze vector), w2 re-shards the gate to match z."""
+    from mobilenet_tpu.checkpoints.v3 import fold_bn_v3, init_params_v3
+    from mobilenet_tpu.models.mobilenet_v3 import V3Config, forward_v3
+
+    mesh = pmesh.make_mesh(8, model_parallel=4)
+    cfg = V3Config(variant="small", alpha=1.0, resolution=96)
+    host = fold_bn_v3(init_params_v3(cfg, seed=0), eps=cfg.bn_eps)
+    shardings = pmesh.param_shardings(host, mesh)
+    params = jax.tree.map(
+        lambda x, s: jax.device_put(jnp.asarray(x), s), host, shardings)
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-1, 1, (8, 96, 96, 3)).astype(np.float32)
+    xs = jax.device_put(jnp.asarray(x), pmesh.batch_sharding(mesh))
+    sharded = jax.jit(lambda p, v: forward_v3(p, v, cfg))(params, xs)
+    single = jax.jit(lambda p, v: forward_v3(p, v, cfg))(
+        jax.tree.map(jnp.asarray, host), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               atol=1e-4, rtol=1e-3)
