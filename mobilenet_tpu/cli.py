@@ -69,33 +69,22 @@ def cmd_classify(args):
         from .checkpoints import load_npz
 
         params = load_npz(args.ckpt) if getattr(args, "ckpt", None) else None
-        if getattr(args, "model", "v1") in ("v3", "v3small"):
+        model = getattr(args, "model", "v1")
+        if model != "v1":
             import jax
             import jax.numpy as jnp
 
-            from .checkpoints.v3 import fold_bn_v3, init_params_v3
-            from .quant.v3 import make_int8_infer_v3, quantize_v3
+            from .checkpoints import default_folded
 
-            folded = params if params is not None else fold_bn_v3(
-                init_params_v3(cfg, seed=args.seed), eps=cfg.bn_eps)
-            infer, _ = make_int8_infer_v3(quantize_v3(folded, cfg), cfg)
-            logits = infer(jnp.asarray(img[None]))
-            probs = np.asarray(jax.nn.softmax(logits, axis=-1))[0]
-            idx = np.argsort(-probs)[: args.top_k]
-            top = [(int(i), float(probs[i])) for i in idx]
-            for rank, (cls, prob) in enumerate(top, 1):
-                print(f"top-{rank}: class {cls}  p={prob:.4f}")
-            return
-        if getattr(args, "model", "v1") == "v2":
-            import jax
-            import jax.numpy as jnp
-
-            from .checkpoints.v2 import fold_bn_v2, init_params_v2
-            from .quant.v2 import make_int8_infer_v2, quantize_v2
-
-            folded = params if params is not None else fold_bn_v2(
-                init_params_v2(cfg, seed=args.seed), eps=cfg.bn_eps)
-            infer, _ = make_int8_infer_v2(quantize_v2(folded, cfg), cfg)
+            if model == "v2":
+                from .quant.v2 import (make_int8_infer_v2 as mk,
+                                       quantize_v2 as qz)
+            else:
+                from .quant.v3 import (make_int8_infer_v3 as mk,
+                                       quantize_v3 as qz)
+            folded = params if params is not None else default_folded(
+                cfg, seed=args.seed)
+            infer, _ = mk(qz(folded, cfg), cfg)
             logits = infer(jnp.asarray(img[None]))
             probs = np.asarray(jax.nn.softmax(logits, axis=-1))[0]
         else:
@@ -163,15 +152,13 @@ def _verify_v2(args) -> bool:
 def _verify_v3(args) -> bool:
     """Per-layer golden gate for the MobileNet-V3 family (V3_TOL —
     unbounded relu/hard-swish activations, utils/golden.py)."""
-    from .checkpoints import load_npz
-    from .checkpoints.v3 import fold_bn_v3, init_params_v3
+    from .checkpoints import default_folded, load_npz
     from .runtime.pipeline import InferencePipeline
     from .utils import golden
 
     cfg = _make_config(args, dtype="float32")
     folded = (load_npz(args.ckpt) if getattr(args, "ckpt", None)
-              else fold_bn_v3(init_params_v3(cfg, seed=args.seed),
-                              eps=cfg.bn_eps))
+              else default_folded(cfg, seed=args.seed))
     rng = np.random.default_rng(args.seed + 1)
     x = rng.uniform(
         -1, 1, (args.batch, cfg.resolution, cfg.resolution, 3)).astype(
@@ -290,6 +277,10 @@ def _verify_routing(args, cfg, folded, x) -> bool:
     from .runtime.pipeline import InferencePipeline
     from .utils import golden
 
+    if isinstance(cfg, (V2Config, V3Config)) and args.routing not in (
+            "xla", "fused"):
+        sys.exit(f"--routing {args.routing} is a MobileNet-V1 routing; the "
+                 "V2/V3 families race xla vs fused")
     if isinstance(cfg, V2Config):
         from .models.mobilenet_v2 import forward_v2 as fwd
     elif isinstance(cfg, V3Config):
@@ -454,21 +445,16 @@ def _bench_int8_family(args):
 
     cfg = _make_config(args, dtype="float32")
     ckpt = getattr(args, "ckpt", None)
+    from .checkpoints import default_folded
+
+    folded = load_npz(ckpt) if ckpt else default_folded(cfg, seed=args.seed)
     if getattr(args, "model", "v1") == "v2":
-        from .checkpoints.v2 import fold_bn_v2, init_params_v2
         from .quant.v2 import make_int8_infer_v2, quantize_v2
 
-        folded = (load_npz(ckpt) if ckpt
-                  else fold_bn_v2(init_params_v2(cfg, seed=args.seed),
-                                  eps=cfg.bn_eps))
         infer, _ = make_int8_infer_v2(quantize_v2(folded, cfg), cfg)
     else:
-        from .checkpoints.v3 import fold_bn_v3, init_params_v3
         from .quant.v3 import make_int8_infer_v3, quantize_v3
 
-        folded = (load_npz(ckpt) if ckpt
-                  else fold_bn_v3(init_params_v3(cfg, seed=args.seed),
-                                  eps=cfg.bn_eps))
         infer, _ = make_int8_infer_v3(quantize_v3(folded, cfg), cfg)
     rng = np.random.default_rng(0)
     img = jax.device_put(jnp.asarray(rng.integers(
@@ -784,6 +770,7 @@ def cmd_serve(args):
         int8=getattr(args, "int8", False), dp=args.dp, params=params,
         variants=(args.variants.split(",") if args.variants else None),
         selftest_only=not args.tcp, model=getattr(args, "model", "v1"),
+        minimalistic=getattr(args, "minimalistic", False),
     )
 
 

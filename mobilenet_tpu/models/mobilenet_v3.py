@@ -172,12 +172,21 @@ class V3Config:
 def se_apply(z: jax.Array, se: Dict[str, Any]) -> jax.Array:
     """Squeeze-excite gate (keras _se_block :571-590): global pool ->
     1x1 conv(+bias)+relu -> 1x1 conv(+bias)+hard_sigmoid -> scale.
-    The two convs act on a (N, C) vector — plain MXU matmuls."""
+    The two convs act on a (N, C) vector — MXU matmuls at the stack's
+    precision discipline (HIGHEST for fp32: TPU matmuls default to bf16
+    passes, which would blow the V3_TOL gate at K up to 960)."""
+    from ..ops.conv import _precision  # noqa: PLC0415
+
+    prec = _precision(z)
     pooled = jnp.mean(z.astype(jnp.float32), axis=(1, 2)).astype(z.dtype)
-    g = pooled @ se["w1"].astype(z.dtype) + se["b1"].astype(z.dtype)
-    g = jnp.maximum(g, jnp.asarray(0, g.dtype))
-    g = g @ se["w2"].astype(z.dtype) + se["b2"].astype(z.dtype)
-    g = ops.apply_act_named(g, "hsigmoid")
+    g = jnp.dot(pooled, se["w1"].astype(z.dtype), precision=prec,
+                preferred_element_type=jnp.float32) + se["b1"].astype(
+                    jnp.float32)
+    g = jnp.maximum(g, 0.0)
+    g = jnp.dot(g.astype(z.dtype), se["w2"].astype(z.dtype), precision=prec,
+                preferred_element_type=jnp.float32) + se["b2"].astype(
+                    jnp.float32)
+    g = ops.apply_act_named(g, "hsigmoid").astype(z.dtype)
     return z * g[:, None, None, :]
 
 
@@ -197,6 +206,19 @@ def _routing_v3(config: V3Config, dw_backend, batch: int) -> Tuple[str, ...]:
         return (dw_backend,) * n
     assert len(dw_backend) == n, dw_backend
     return tuple(dw_backend)
+
+
+def head_matmul(pooled: jax.Array, head: Dict[str, Any],
+                act: str) -> jax.Array:
+    """Post-pool head conv_2 as a precision-disciplined MXU matmul
+    (keras :345-356; shared with the pp stage body)."""
+    from ..ops.conv import _precision  # noqa: PLC0415
+
+    h = jnp.dot(pooled, head["w"].astype(pooled.dtype),
+                precision=_precision(pooled),
+                preferred_element_type=jnp.float32) + head["b"].astype(
+                    jnp.float32)
+    return ops.apply_act_named(h, act).astype(pooled.dtype)
 
 
 def forward_v3(
@@ -243,10 +265,9 @@ def forward_v3(
     if collect:
         acts["pool"] = pooled
     # Head conv_2 runs AFTER the pool on a (N, C) vector (keras :345-356):
-    # 1x1 conv with bias (no BN) + activation — an MXU matmul here.
-    h = pooled @ params["head"]["w"].astype(pooled.dtype) + params["head"][
-        "b"].astype(pooled.dtype)
-    h = ops.apply_act_named(h, config.head_act)
+    # 1x1 conv with bias (no BN) + activation — an MXU matmul at the
+    # stack's precision discipline (fp32 -> HIGHEST, like ops.conv.fc).
+    h = head_matmul(pooled, params["head"], config.head_act)
     if collect:
         acts["head"] = h
     logits = ops.fc(h, params["fc"]["w"], params["fc"]["b"])

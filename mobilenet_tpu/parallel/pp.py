@@ -242,9 +242,7 @@ def _v3_units(config, params, dw_backend, b):
             y = cops.pointwise_conv(y, p["conv_last"]["w"],
                                     bias=p["conv_last"]["b"], act=act)
             pooled = cops.global_avg_pool(y)
-            h = pooled @ p["head"]["w"].astype(pooled.dtype) + p["head"][
-                "b"].astype(pooled.dtype)
-            h = cops.apply_act_named(h, act)
+            h = mv3.head_matmul(pooled, p["head"], act)
             y = cops.fc(h, p["fc"]["w"], p["fc"]["b"]).astype(jnp.float32)
         return y
 

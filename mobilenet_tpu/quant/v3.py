@@ -559,7 +559,7 @@ class Int8PipelineV3:
         import jax
         import jax.numpy as jnp
 
-        from ..checkpoints.v3 import fold_bn_v3, init_params_v3
+        from ..checkpoints import default_folded
         from ..ops import preprocess as prep
         from . import ops as qops
 
@@ -569,8 +569,8 @@ class Int8PipelineV3:
 
             _require_dp_only_mesh(mesh)
         self.mesh = mesh
-        folded = params if params is not None else fold_bn_v3(
-            init_params_v3(config, seed=seed), eps=config.bn_eps)
+        folded = params if params is not None else default_folded(
+            config, seed=seed)
         self.q = quantize_v3(folded, config)
         dev = _as_device_tree_v3(self.q)
         self._in_sharding = None

@@ -196,14 +196,14 @@ def _autotune_v3(config, batch_size, steps, candidates, seed, params,
 
     results: Dict[str, float] = {}
     if mode == "latency":
-        from ..checkpoints.v3 import fold_bn_v3, init_params_v3
+        from ..checkpoints import default_folded
         from ..models.mobilenet_v3 import predict_probs_v3
         from ..utils.timing import differenced_chain_ms
 
         dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
                  else jnp.float32)
-        folded = params if params is not None else fold_bn_v3(
-            init_params_v3(config, seed=seed), eps=config.bn_eps)
+        folded = params if params is not None else default_folded(
+            config, seed=seed)
         dev = jax.tree.map(lambda a: jnp.asarray(a, dtype), folded)
         res = config.resolution
         x = jnp.asarray(np.random.default_rng(0).uniform(

@@ -185,21 +185,10 @@ def evaluate_agreement(
     razor-thin margins are common, and a strict 1.0 gate would flake on
     them. Raw `top1_agreement` is always reported unmodified; int8 is exact
     arithmetic, so the two numbers can only differ on float paths."""
-    if _is_v2(config):
-        from ..checkpoints.v2 import fold_bn_v2, init_params_v2
+    from ..checkpoints import default_folded
 
-        folded = params if params is not None else fold_bn_v2(
-            init_params_v2(config, seed=seed), eps=config.bn_eps)
-    elif _is_v3(config):
-        from ..checkpoints.v3 import fold_bn_v3, init_params_v3
-
-        folded = params if params is not None else fold_bn_v3(
-            init_params_v3(config, seed=seed), eps=config.bn_eps)
-    else:
-        from ..checkpoints import fold_bn, init_params
-
-        folded = params if params is not None else fold_bn(
-            init_params(config, seed=seed), eps=config.bn_eps)
+    folded = params if params is not None else default_folded(
+        config, seed=seed)
 
     q = None
     if int8 and _is_v2(config):

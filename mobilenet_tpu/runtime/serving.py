@@ -485,7 +485,8 @@ def build_server(cfgs: Dict[str, ModelConfig], streams: int, *, seed: int = 0,
 
 def serve_main(alpha: float, res: int, dtype: str, streams: int, port: int,
                seed: int = 0, selftest_only: bool = True, int8: bool = False,
-               dp: int = 1, params=None, variants=None, model: str = "v1"):
+               dp: int = 1, params=None, variants=None, model: str = "v1",
+               minimalistic: bool = False):
     """`dp`: data-parallel width — batches shard over a `dp`-device mesh
     (ICI collectives via shard_map; params replicated). 1 = single chip,
     the contract configuration.
@@ -516,6 +517,7 @@ def serve_main(alpha: float, res: int, dtype: str, streams: int, port: int,
 
             return V3Config(variant="large" if model_name == "v3" else "small",
                             alpha=float(a), resolution=int(r),
+                            minimalistic=minimalistic,
                             compute_dtype=dtype)
         return ModelConfig(alpha=float(a), resolution=int(r),
                            compute_dtype=dtype)

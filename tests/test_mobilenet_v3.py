@@ -313,3 +313,16 @@ def test_cli_v3_export_roundtrip(tmp_path, capsys):
     np.testing.assert_array_equal(
         np.asarray(forward_v3(re, x, cfg)),
         np.asarray(forward_v3(folded, x, cfg)))
+
+
+def test_routing_verify_rejects_v1_only_routings():
+    """V2/V3 routing gates race xla vs fused only; V1-only routings
+    (mixed/pallas) must exit with a clean message, not an AssertionError
+    deep in _routing_v2/_routing_v3 (round-3 review finding)."""
+    from mobilenet_tpu import cli
+
+    for model in ("v2", "v3small"):
+        with pytest.raises(SystemExit) as e:
+            cli.main(["--backend", "cpu", "verify", "--model", model,
+                      "--alpha", "1.0", "--res", "96", "--routing", "mixed"])
+        assert isinstance(e.value.code, str) and "xla vs fused" in e.value.code
