@@ -93,6 +93,63 @@ def segment_floors(cfg, batch, esz):
     return out
 
 
+def ir_block_floor(n, hi, cin, e, cout, k, stride, se_mid, esz):
+    """(mxu_s, vpu_s, hbm_s) floors for one fused V2/V3 bottleneck: the
+    expanded tensor stays in VMEM (pallas_ir_block/pallas_ir_v3), so HBM
+    traffic is read(Cin) + write(Cout) only; MXU work is expand + project
+    (+ the tiny SE matmuls); VPU work is the kxk stencil + epilogues on
+    the EXPANDED channels (+ the hard-swish multiply where it applies)."""
+    ho = hi // stride
+    mxu = (n * (hi * hi * cin * e + ho * ho * e * cout)
+           + (n * 2 * e * se_mid if se_mid else 0)) * 2 / MXU_FLOPS
+    vpu = n * ho * ho * e * (k * k + 3) / VPU_FMAS
+    hbm = (n * hi * hi * cin + n * ho * ho * cout) * esz / HBM_BPS
+    return mxu, vpu, hbm
+
+
+def family_block_floors(cfg, batch, esz):
+    """Per-block analytic floors for a V2Config/V3Config (one row per
+    bottleneck + stem + head), same shape as segment_floors' output."""
+    n = batch
+    res = cfg.resolution
+    c1 = cfg.stem_channels
+    ho = res // 2
+    mxu = n * ho * ho * 27 * c1 * 2 / MXU_FLOPS
+    hbm = (n * res * res * 3 * 1 + n * ho * ho * c1 * esz) / HBM_BPS
+    segs = {"conv1+pre": (mxu, 0.0, hbm)}
+    hw = ho
+    is_v3 = hasattr(cfg, "variant")
+    cin = c1
+    for i, bd in enumerate(cfg.block_defs):
+        if is_v3:
+            e, cout, k, stride, se = (bd.cexp, bd.cout, bd.kernel,
+                                      bd.stride, bd.se_mid)
+        else:
+            t, _cin, cout, stride = bd
+            e, k, se = int(round(t * cin)), 3, 0
+        segs[f"B{i:02d}"] = ir_block_floor(n, hw, cin, e, cout, k, stride,
+                                           se, esz)
+        hw //= stride
+        cin = cout
+    cl = cfg.last_conv_channels if is_v3 else cfg.last_channels
+    head_mac = hw * hw * cin * cl
+    if is_v3:
+        head_mac += cl * cfg.last_point_channels
+        head_mac += cfg.last_point_channels * cfg.num_classes
+    else:
+        head_mac += cl * cfg.num_classes
+    segs["head"] = (n * head_mac * 2 / MXU_FLOPS, 0.0,
+                    (n * hw * hw * cin * esz) / HBM_BPS)
+    out = {}
+    for label, (mxu_, vpu_, hbm_) in segs.items():
+        floor = max(mxu_, vpu_, hbm_)
+        binding = ("mxu", "vpu", "hbm")[int(np.argmax([mxu_, vpu_, hbm_]))]
+        out[label] = dict(floor_ms=floor * 1e3, binding=binding,
+                          mxu_ms=mxu_ * 1e3, vpu_ms=vpu_ * 1e3,
+                          hbm_ms=hbm_ * 1e3)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--alpha", type=float, default=1.0)
@@ -101,16 +158,40 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--model", default="v1",
+                    choices=["v1", "v2", "v3", "v3small"])
+    ap.add_argument("--minimalistic", action="store_true")
     ap.add_argument("--measure", action="store_true",
                     help="run the prefix-differenced measurement on the chip")
     args = ap.parse_args()
 
     from mobilenet_tpu import ModelConfig
 
-    cfg = ModelConfig(alpha=args.alpha, resolution=args.res,
-                      compute_dtype="bfloat16")
     esz = 1 if args.int8 else 2  # inter-block activation byte size
-    floors = segment_floors(cfg, args.batch, esz)
+    if args.model == "v2":
+        from mobilenet_tpu.models.mobilenet_v2 import V2Config
+
+        cfg = V2Config(alpha=args.alpha, resolution=args.res,
+                       compute_dtype="bfloat16")
+        floors = family_block_floors(cfg, args.batch, esz)
+        if args.measure:
+            sys.exit("--measure is V1-segment-mode only; use "
+                     "tools/prefix_attr.py --model v2 for measured prefixes")
+    elif args.model in ("v3", "v3small"):
+        from mobilenet_tpu.models.mobilenet_v3 import V3Config
+
+        cfg = V3Config(variant="large" if args.model == "v3" else "small",
+                       alpha=args.alpha, resolution=args.res,
+                       minimalistic=args.minimalistic,
+                       compute_dtype="bfloat16")
+        floors = family_block_floors(cfg, args.batch, esz)
+        if args.measure:
+            sys.exit("--measure is V1-segment-mode only; use "
+                     "tools/prefix_attr.py for measured prefixes")
+    else:
+        cfg = ModelConfig(alpha=args.alpha, resolution=args.res,
+                          compute_dtype="bfloat16")
+        floors = segment_floors(cfg, args.batch, esz)
 
     measured = {}
     if args.measure:
