@@ -57,6 +57,29 @@ def build_entries(args, prefixes, int8=None):
 
             entries[k] = jax.jit(fn)
         return cfg, entries
+    if getattr(args, "model", "v1") in ("v3", "v3small"):
+        assert not int8, "--model v3 attribution is bf16-only"
+        from mobilenet_tpu.checkpoints.v3 import fold_bn_v3, init_params_v3
+        from mobilenet_tpu.models.mobilenet_v3 import V3Config, forward_v3
+
+        cfg = V3Config(variant="large" if args.model == "v3" else "small",
+                       alpha=args.alpha, resolution=args.res,
+                       compute_dtype="bfloat16")
+        folded = fold_bn_v3(init_params_v3(cfg, seed=0), eps=cfg.bn_eps)
+        params = jax.tree.map(
+            lambda a: jnp.asarray(a, jnp.bfloat16), folded)
+        entries = {}
+        for k in prefixes:
+            nb = None if k == "full" else int(k)
+
+            def fn(images_u8, nb=nb):
+                x = prep.preprocess(images_u8, cfg.resolution, jnp.bfloat16)
+                y = forward_v3(params, x, cfg, dw_backend=args.routing,
+                               num_blocks=nb)
+                return jnp.sum(y.astype(jnp.float32)).reshape(1)
+
+            entries[k] = jax.jit(fn)
+        return cfg, entries
     cfg = ModelConfig(alpha=args.alpha, resolution=args.res,
                       compute_dtype="bfloat16")
     folded = fold_bn(init_params(cfg, seed=0), eps=cfg.bn_eps)
@@ -106,9 +129,9 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--int8", action="store_true")
-    ap.add_argument("--model", default="v1", choices=["v1", "v2"])
+    ap.add_argument("--model", default="v1", choices=["v1", "v2", "v3", "v3small"])
     ap.add_argument("--routing", default="fused",
-                    help="dw_backend for the --model v2 prefixes")
+                    help="dw_backend for the --model v2/v3 prefixes")
     ap.add_argument("--compare", action="store_true",
                     help="measure bf16 AND int8 prefixes interleaved in one "
                          "process; report the per-segment int8-bf16 gap")
