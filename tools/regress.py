@@ -49,8 +49,13 @@ def recorded(path: str) -> dict:
 
 
 def variant_to_pair(variant: str):
-    """'mobilenet_v1_0.25_128' / 'mobilenet_v2_1_224' -> (alpha, res)."""
-    stem = variant.removeprefix("mobilenet_v1_").removeprefix("mobilenet_v2_")
+    """'mobilenet_v1_0.25_128' / 'mobilenet_v2_1_224' /
+    'mobilenet_v3_small_1_224' -> (alpha, res)."""
+    stem = variant
+    for pre in ("mobilenet_v1_", "mobilenet_v2_", "mobilenet_v3_large_",
+                "mobilenet_v3_small_", "mobilenet_v3_"):
+        stem = stem.removeprefix(pre)
+    stem = stem.removeprefix("min_")
     alpha_s, res_s = stem.rsplit("_", 1)
     return float(alpha_s), int(res_s)
 
@@ -76,24 +81,25 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--int8", action="store_true")
-    ap.add_argument("--model", default="v1", choices=["v1", "v2"])
+    ap.add_argument("--model", default="v1",
+                    choices=["v1", "v2", "v3", "v3small"])
     args = ap.parse_args()
 
     from mobilenet_tpu.config import ModelConfig
 
     v2 = args.model == "v2"
+    fam = {"v1": "", "v2": "v2_", "v3": "v3_",
+           "v3small": "v3small_"}[args.model]
     if args.int8:
         from mobilenet_tpu.cli import _int8_throughput
 
         baseline = recorded(os.path.join(
-            ART, "sweep_v2_int8_batch256_v5e.jsonl" if v2
-            else "sweep_int8_batch256_v5e.jsonl"))
+            ART, f"sweep_{fam}int8_batch256_v5e.jsonl"))
     else:
         from mobilenet_tpu.runtime.pipeline import InferencePipeline
 
         baseline = recorded(os.path.join(
-            ART, "sweep_v2_bf16_batch256_v5e.jsonl" if v2
-            else "sweep_bf16_batch256_v5e.jsonl"))
+            ART, f"sweep_{fam}bf16_batch256_v5e.jsonl"))
 
     if args.configs == "all":
         pairs = sorted(variant_to_pair(v) for v in baseline)
@@ -113,17 +119,23 @@ def main() -> int:
 
             cfg = V2Config(alpha=alpha, resolution=res,
                            compute_dtype="bfloat16")
+        elif args.model in ("v3", "v3small"):
+            from mobilenet_tpu.models.mobilenet_v3 import V3Config
+
+            cfg = V3Config(variant="large" if args.model == "v3"
+                           else "small", alpha=alpha, resolution=res,
+                           compute_dtype="bfloat16")
         else:
             cfg = ModelConfig(alpha=alpha, resolution=res,
                               compute_dtype="bfloat16")
-        if args.int8 and v2:
+        if args.int8 and args.model != "v1":
             import argparse as _ap
 
-            from mobilenet_tpu.cli import _bench_int8_v2
+            from mobilenet_tpu.cli import _bench_int8_family
 
-            row = _bench_int8_v2(_ap.Namespace(
+            row = _bench_int8_family(_ap.Namespace(
                 alpha=alpha, res=res, batch=args.batch, steps=args.steps,
-                seed=0, ckpt=None, model="v2"))
+                seed=0, ckpt=None, model=args.model, minimalistic=False))
             fresh = row["images_per_sec"]
         elif args.int8:
             row = _int8_throughput(cfg, args.batch, args.steps, 0, latency=False)
