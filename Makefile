@@ -1,7 +1,7 @@
 # Build/validate flow (reference analog: C11, the SDAccel Makefile tiers —
 # SURVEY.md SS2/SS4): sw_emu -> tests (CPU interpret), hw -> tpu_smoke + bench.
 
-.PHONY: test oracle verify eval smoke bench sweep regress regress-full clean
+.PHONY: test oracle verify eval verify-families smoke bench sweep regress regress-full hw-v3 clean
 
 oracle:            ## build the native C++ golden oracle
 	python -c "from mobilenet_tpu import cpu_ref; print(cpu_ref.build(force=True))"
@@ -17,8 +17,18 @@ eval:              ## end-to-end top-1 agreement gate vs the golden CPU model
 	python -m mobilenet_tpu.cli --backend cpu eval --alpha 0.25 --res 128 --n 16
 	python -m mobilenet_tpu.cli --backend cpu eval --alpha 0.25 --res 128 --n 16 --int8
 
+verify-families:   ## V2/V3 golden + int8-exact + routing-equivalence gates (CPU)
+	python -m mobilenet_tpu.cli --backend cpu verify --model v2 --alpha 1.0 --res 96
+	python -m mobilenet_tpu.cli --backend cpu verify --model v2 --alpha 1.0 --res 96 --int8
+	python -m mobilenet_tpu.cli --backend cpu verify --model v3small --alpha 1.0 --res 96
+	python -m mobilenet_tpu.cli --backend cpu verify --model v3small --alpha 1.0 --res 96 --int8
+	python -m mobilenet_tpu.cli --backend cpu verify --model v3small --alpha 1.0 --res 96 --routing fused
+
 smoke:             ## hw tier: all Pallas kernel families on the real TPU
 	python tools/tpu_smoke.py
+
+hw-v3:             ## hw tier: the V3 on-chip campaign (smoke -> gates -> races)
+	bash tools/hw_v3_campaign.sh
 
 bench:             ## the driver contract metric (one JSON line, real TPU)
 	python bench.py
