@@ -209,15 +209,23 @@ def _as_device_tree_v2(q: V2QuantizedParams) -> Dict[str, Any]:
 
 def forward_v2_i8(dev: Dict[str, Any], x_i8, config: V2Config, *,
                   collect: bool = False,
-                  num_blocks: Optional[int] = None):
-    """INT8 V2 forward on the XLA ops (always-correct route; int8 MXU
-    matmuls + exact-integer dw taps). x_i8: int8 at s_in = 1/127, or
-    bfloat16 carrying the same integers (quantize_input_dev). Exactly
-    equal to forward_all_v2_i8 per layer.
+                  num_blocks: Optional[int] = None,
+                  use_fused: bool = False):
+    """INT8 V2 forward. Two routes, BIT-IDENTICAL by construction (both
+    are exact integer programs sharing the same constants):
 
-    A fused int8 IR-kernel route is future work; the fp32/bf16 IR kernel's
-    alignment design (ops/pallas_ir_block.py) transfers, but its requant
-    twin needs the same exactness treatment as quant/pallas_block_i8.py.
+    - XLA ops (default; always-correct, the collect/oracle-tap route):
+      int8 MXU matmuls + exact-integer dw taps.
+    - use_fused=True: whole bottlenecks as single int8 Pallas kernels
+      (quant/pallas_ir_i8.py — expanded tensor never in HBM, activations
+      cross HBM at 1 byte/elem); per-block ir_i8_fits gates eligibility,
+      ineligible blocks (block 0's no-expand shape, VMEM-busting tiles)
+      stay on the XLA ops.
+
+    x_i8: int8 at s_in = 1/127, or bfloat16 carrying the same integers
+    (quantize_input_dev; the fused blocks require int8 inputs — conv1's
+    requant output is int8 either way). Exactly equal to
+    forward_all_v2_i8 per layer / at the logits.
     """
     import jax.numpy as jnp
 
@@ -229,10 +237,25 @@ def forward_v2_i8(dev: Dict[str, Any], x_i8, config: V2Config, *,
     y = qops.conv1_i8(x_i8, c1["w"], c1["b"], c1["m"], c1["six_q"], relu6)
     if collect:
         acts["conv1"] = y
+    if use_fused and not collect:
+        from .pallas_ir_i8 import inverted_residual_pallas_i8, ir_i8_fits
+
     for i, ((t, cin, cout, stride), blk) in enumerate(
             zip(config.block_defs, dev["blocks"])):
         if num_blocks is not None and i >= num_blocks:
             return y
+        if (use_fused and not collect and "exp" in blk
+                and ir_i8_fits(int(y.shape[0]), int(y.shape[1]),
+                               int(y.shape[2]), int(y.shape[-1]),
+                               int(blk["exp"]["w"].shape[1]),
+                               int(blk["prj"]["w"].shape[1]), stride)):
+            e, d, p = blk["exp"], blk["dw"], blk["prj"]
+            y = inverted_residual_pallas_i8(
+                y, e["w"], e["b"], e["m"], e["six_q"],
+                d["w"], d["b"], d["m"], d["six_q"],
+                p["w"], p["b"], p["m"], stride,
+                stride == 1 and cin == cout)
+            continue
         z = y
         if "exp" in blk:
             e = blk["exp"]
@@ -349,7 +372,7 @@ class Int8PipelineV2:
     quantized constants are replicated like the float pipeline's weights."""
 
     def __init__(self, config: V2Config, *, seed: int = 0, params=None,
-                 mesh=None):
+                 mesh=None, use_fused: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -357,6 +380,11 @@ class Int8PipelineV2:
         from ..ops import preprocess as prep
         from . import ops as qops
 
+        # use_fused routes eligible bottlenecks through the int8 IR Pallas
+        # kernel (pallas_ir_i8.py; logits bit-identical to the XLA route).
+        # Default stays False until the kernel is raced on the chip —
+        # `cli autotune --model v2 --int8` measures both.
+        self.use_fused = bool(use_fused)
         self.config = config
         if mesh is not None:
             from ..runtime.pipeline import _require_dp_only_mesh
@@ -380,11 +408,13 @@ class Int8PipelineV2:
         self._dev = dev
         cfg = config
 
+        fused = self.use_fused
+
         def probs(images_u8):
             x = prep.preprocess(images_u8, cfg.resolution, jnp.float32)
             x_q = qops.quantize_input_dev(x, ACT_IN_SCALE,
                                           out_dtype=jnp.bfloat16)
-            logits = forward_v2_i8(dev, x_q, cfg)
+            logits = forward_v2_i8(dev, x_q, cfg, use_fused=fused)
             return jax.nn.softmax(logits, axis=-1)
 
         self._probs = jax.jit(probs)

@@ -137,13 +137,19 @@ def _autotune_v2(config, batch_size, steps, candidates, seed, params,
     if int8:
         from ..quant.v2 import Int8PipelineV2
 
-        pipe = Int8PipelineV2(config, seed=seed, params=params)
         if mode == "latency":
             raise NotImplementedError(
-                "int8 V2 has one route; race batch>=2 throughput instead")
-        results["xla"] = _throughput(
-            lambda imgs: pipe._probs(imgs), None, config, batch_size, steps)
-        return "xla", results
+                "int8 V2 routing is a throughput race; use batch >= 2")
+        # Race the XLA int8 route vs the fused int8 IR kernel
+        # (pallas_ir_i8.py — bit-identical logits, different schedules).
+        cands = ("xla",) if not on_tpu else ("xla", "fused")
+        for cand in cands:
+            pipe = Int8PipelineV2(config, seed=seed, params=params,
+                                  use_fused=cand == "fused")
+            results[cand] = _throughput(
+                lambda imgs, _p=pipe: _p._probs(imgs), None, config,
+                batch_size, steps)
+        return max(results, key=results.get), results
 
     if mode == "latency":
         from ..checkpoints.padding import pad_block0_v2

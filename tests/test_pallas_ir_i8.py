@@ -1,0 +1,137 @@
+"""Fused INT8 inverted-residual kernel (quant.pallas_ir_i8) — EXACT gates.
+
+int8 contracts are exact equality (CLAUDE.md invariants): the kernel and
+the int8 oracle are two implementations of the same integer program, so
+every test here asserts bit-identity, at the block and at the logits.
+Interpret tier = sw_emu; the hw twin is tools/tpu_smoke.py's ir_i8
+section (the idioms are individually hw-proven, the composition is not).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mobilenet_tpu.quant import oracle as qoracle
+from mobilenet_tpu.quant.pallas_ir_i8 import (inverted_residual_pallas_i8,
+                                              ir_i8_fits)
+from mobilenet_tpu.quant.quantize import ACT_HIDDEN_SCALE, _quant_layer
+from mobilenet_tpu.quant.v2 import _res_add, pw_i8_linear
+
+
+def _qcase(rng, cin, e, cout, s_out=np.float32(0.05)):
+    qe = _quant_layer(
+        (rng.normal(0, 1, (cin, e)) * cin ** -0.5).astype(np.float32),
+        rng.normal(0, 0.1, (e,)).astype(np.float32), out_axis=1,
+        s_in=s_out, s_out=ACT_HIDDEN_SCALE)
+    qd = _quant_layer(
+        rng.normal(0, 0.3, (3, 3, 1, e)).astype(np.float32),
+        rng.normal(0, 0.1, (e,)).astype(np.float32), out_axis=3,
+        s_in=ACT_HIDDEN_SCALE, s_out=ACT_HIDDEN_SCALE, f32_bias_bound=True)
+    qp = _quant_layer(
+        (rng.normal(0, 1, (e, cout)) * e ** -0.5).astype(np.float32),
+        rng.normal(0, 0.1, (cout,)).astype(np.float32), out_axis=1,
+        s_in=ACT_HIDDEN_SCALE, s_out=s_out)
+    return qe, qd, qp
+
+
+def _run(qe, qd, qp, x_i8, stride, residual, **kw):
+    got = inverted_residual_pallas_i8(
+        jnp.asarray(x_i8), jnp.asarray(qe.w_i8), jnp.asarray(qe.bias_i32),
+        qe.m, float(qe.six_q), jnp.asarray(qd.w_i8),
+        jnp.asarray(qd.bias_i32), qd.m, float(qd.six_q),
+        jnp.asarray(qp.w_i8), jnp.asarray(qp.bias_i32), qp.m,
+        stride, residual, **kw)
+    z = qoracle.pw_i8(x_i8, qe.w_i8, qe.bias_i32, qe.m, qe.six_q, True)
+    z = qoracle.dw3x3_i8(z, qd.w_i8, qd.bias_i32, qd.m, qd.six_q,
+                         stride, True)
+    want = pw_i8_linear(z, qp.w_i8, qp.bias_i32, qp.m)
+    if residual:
+        want = _res_add(want, x_i8)
+    return np.asarray(got), want
+
+
+# the V2 grid's int8 shape classes: unaligned E padding, both strides,
+# residual saturation, the 960-wide tail
+@pytest.mark.parametrize(
+    "n,h,cin,e,cout,stride,residual",
+    [
+        (2, 14, 64, 384, 64, 1, True),
+        (2, 14, 96, 576, 160, 2, False),
+        (2, 7, 160, 960, 320, 1, False),
+        (2, 28, 24, 144, 32, 2, False),
+        (1, 8, 160, 960, 160, 1, True),
+    ],
+)
+def test_exact_vs_int8_oracle(rng, n, h, cin, e, cout, stride, residual):
+    qe, qd, qp = _qcase(rng, cin, e, cout)
+    x_i8 = rng.integers(-100, 101, (n, h, h, cin)).astype(np.int8)
+    got, want = _run(qe, qd, qp, x_i8, stride, residual)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_residual_saturation_exact(rng):
+    """Force the saturating add to actually clip: inputs near the int8
+    rails must clamp identically to the oracle's int32-add-then-clip."""
+    qe, qd, qp = _qcase(rng, 32, 192, 32, s_out=np.float32(0.5))
+    x_i8 = np.where(rng.random((1, 8, 8, 32)) < 0.5, 120, -120).astype(
+        np.int8)
+    got, want = _run(qe, qd, qp, x_i8, 1, True)
+    np.testing.assert_array_equal(got, want)
+    assert (np.abs(want.astype(np.int32)) >= 127).any()  # clipping happened
+
+
+def test_block_n_override_exact(rng):
+    qe, qd, qp = _qcase(rng, 64, 384, 64)
+    x_i8 = rng.integers(-100, 101, (8, 8, 8, 64)).astype(np.int8)
+    base, want = _run(qe, qd, qp, x_i8, 1, True)
+    np.testing.assert_array_equal(base, want)
+    for bn in (1, 2, 8):
+        got, _ = _run(qe, qd, qp, x_i8, 1, True, block_n=bn)
+        np.testing.assert_array_equal(got, base)
+
+
+def test_fits_matches_float_envelope():
+    from mobilenet_tpu.ops.pallas_ir_block import ir_fits
+
+    for shp in ((256, 14, 14, 64, 384, 64, 1), (256, 7, 7, 160, 960, 320, 1),
+                (256, 14, 14, 96, 576, 160, 2)):
+        n, h, w, cin, e, cout, s = shp
+        assert ir_i8_fits(n, h, w, cin, e, cout, s) == (
+            _whole_fits(n, h, w, cin, e, cout, s))
+
+
+def _whole_fits(n, h, w, cin, e, cout, s):
+    from mobilenet_tpu.ops.pallas_ir_block import _mode
+
+    return _mode(n, h, w, cin, e, cout, s, 2)[0] is not None
+
+
+def test_model_fused_bit_identical_to_xla():
+    """forward_v2_i8(use_fused=True) must be BIT-IDENTICAL to the XLA int8
+    route at the logits — two schedules of one integer program."""
+    from mobilenet_tpu.checkpoints.v2 import fold_bn_v2, init_params_v2
+    from mobilenet_tpu.models.mobilenet_v2 import V2Config
+    from mobilenet_tpu.quant.quantize import quantize_input
+    from mobilenet_tpu.quant.v2 import (_as_device_tree_v2, forward_v2_i8,
+                                        quantize_v2)
+
+    cfg = V2Config(alpha=1.0, resolution=96)
+    folded = fold_bn_v2(init_params_v2(cfg, seed=0), eps=cfg.bn_eps)
+    dev = _as_device_tree_v2(quantize_v2(folded, cfg, n_calib=8))
+    rng = np.random.default_rng(5)
+    x_i8 = jnp.asarray(quantize_input(
+        rng.uniform(-1, 1, (2, 96, 96, 3)).astype(np.float32)))
+    lx = np.asarray(forward_v2_i8(dev, x_i8, cfg))
+    lf = np.asarray(forward_v2_i8(dev, x_i8, cfg, use_fused=True))
+    np.testing.assert_array_equal(lx, lf)
+
+
+def test_pipeline_use_fused_matches(rng):
+    from mobilenet_tpu.models.mobilenet_v2 import V2Config
+    from mobilenet_tpu.quant.v2 import Int8PipelineV2
+
+    cfg = V2Config(alpha=1.0, resolution=96)
+    imgs = rng.integers(0, 256, (2, 96, 96, 3), dtype=np.uint8)
+    a = Int8PipelineV2(cfg, seed=0).run_batch(imgs)
+    b = Int8PipelineV2(cfg, seed=0, use_fused=True).run_batch(imgs)
+    np.testing.assert_array_equal(a, b)  # same integers -> same probs

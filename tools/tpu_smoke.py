@@ -135,6 +135,52 @@ def main(quick: bool = False, only: str = ""):
         check(f"ir_block h={h} {cin}->{e}->{cout} s={s} res={res}",
               got, ref, 3e-5)
 
+    # --- fused INT8 inverted-residual block (exactness is the contract) ----
+    # The int8 IR kernel composes only hw-proven idioms (s8 MXU dots after
+    # f32->i8 casts, bf16-carried integer scratch, f32 requant) but their
+    # COMPOSITION is new — and int8 demands EXACT equality, so tol=0.
+    from mobilenet_tpu.quant.oracle import dw3x3_i8 as _dw_i8
+    from mobilenet_tpu.quant.oracle import pw_i8 as _pw_i8
+    from mobilenet_tpu.quant.pallas_ir_i8 import inverted_residual_pallas_i8
+    from mobilenet_tpu.quant.quantize import ACT_HIDDEN_SCALE, _quant_layer
+    from mobilenet_tpu.quant.v2 import _res_add, pw_i8_linear
+
+    rng = rng_for("ir_i8")
+    i8_shapes = [(14, 64, 384, 64, 1, True), (14, 96, 576, 160, 2, False),
+                 (7, 160, 960, 320, 1, False)]
+    if quick:
+        i8_shapes = i8_shapes[:2]
+    for (h, cin, e, cout, s, res) in i8_shapes if want("ir_i8") else []:
+        s_out = np.float32(0.05)
+        qe = _quant_layer(
+            (rng.normal(0, 1, (cin, e)) * cin ** -0.5).astype(np.float32),
+            rng.normal(0, 0.1, (e,)).astype(np.float32), out_axis=1,
+            s_in=s_out, s_out=ACT_HIDDEN_SCALE)
+        qd = _quant_layer(
+            rng.normal(0, 0.3, (3, 3, 1, e)).astype(np.float32),
+            rng.normal(0, 0.1, (e,)).astype(np.float32), out_axis=3,
+            s_in=ACT_HIDDEN_SCALE, s_out=ACT_HIDDEN_SCALE,
+            f32_bias_bound=True)
+        qp = _quant_layer(
+            (rng.normal(0, 1, (e, cout)) * e ** -0.5).astype(np.float32),
+            rng.normal(0, 0.1, (cout,)).astype(np.float32), out_axis=1,
+            s_in=ACT_HIDDEN_SCALE, s_out=s_out)
+        x_i8 = rng.integers(-100, 101, (8, h, h, cin)).astype(np.int8)
+        z = _pw_i8(x_i8, qe.w_i8, qe.bias_i32, qe.m, qe.six_q, True)
+        z = _dw_i8(z, qd.w_i8, qd.bias_i32, qd.m, qd.six_q, s, True)
+        ref = pw_i8_linear(z, qp.w_i8, qp.bias_i32, qp.m)
+        if res:
+            ref = _res_add(ref, x_i8)
+        got = inverted_residual_pallas_i8(
+            jnp.asarray(x_i8), jnp.asarray(qe.w_i8),
+            jnp.asarray(qe.bias_i32), qe.m, float(qe.six_q),
+            jnp.asarray(qd.w_i8), jnp.asarray(qd.bias_i32), qd.m,
+            float(qd.six_q), jnp.asarray(qp.w_i8), jnp.asarray(qp.bias_i32),
+            qp.m, s, res)
+        check(f"ir_i8 h={h} {cin}->{e}->{cout} s={s} res={res}",
+              np.asarray(got).astype(np.float32), ref.astype(np.float32),
+              0.0)
+
     # --- fused V3 bottleneck (k5 stencils, hswish, SE in-kernel) -----------
     # The three generalizations beyond ir_block each carry hw-only risk:
     # the 5-tap full-width gather geometry, the in-kernel (BN,HW,Ep)
