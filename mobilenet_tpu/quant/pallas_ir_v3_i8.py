@@ -1,0 +1,268 @@
+"""Fused INT8 V3 bottleneck Pallas kernel: named-act requant + SE, in VMEM.
+
+The int8 twin of ops/pallas_ir_v3.py, assembled from the same hw-proven
+idiom set as quant/pallas_ir_i8.py (s8 MXU dots after f32->i8 casts, bf16
+integer carriage in the scratch, f32 requant, reshape-in-f32/cast-last),
+plus the V3-specific stages of quant/v3.py computed in-kernel with
+IDENTICAL op order — so the gate stays EXACT equality:
+
+  expand s8 dot -> named requant (f32 real-units detour: v = f32(acc)*a,
+  act(v), rint(v*inv_s), clamp) -> bf16-carried ints in the zero-border
+  scratch -> k in {3,5} exact-integer f32 dw taps -> named requant ->
+  [QUANTIZED SE in-kernel: exact f32 int sum over the resident spatial
+  extent -> rint mean -> s8 pooled -> s8 SE dots with int32 accumulation
+  -> relu requant -> hard-sigmoid gate in f32 -> rint(z*gate)] ->
+  s8 projection -> linear requant -> saturating residual add (exact f32).
+
+Exactness notes mirroring quant/v3.py:
+  - the pooled sum: <= 127 * H*W <= 127*3136 partial sums stay far below
+    2^24, so f32 accumulation is exact in ANY order — the in-kernel sum
+    over the whole-image tile equals the oracle's int32 sum bit-for-bit.
+  - the gate multiply rint(f32(z) * gate): both sides compute the same
+    IEEE f32 product of identical operands (z exact ints, gate derived
+    from exact int accs through identical f32 ops), so rounding matches.
+
+Whole-image mode only (SE needs the full spatial extent resident — the
+same argument as the float V3 kernel) and expand-carrying blocks only
+(no-expand block 0 stays on the XLA int8 ops; v3_i8_fits gates both).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.pallas_dw import _should_interpret
+from ..ops.pallas_ir_block import _min_bn, _round_up
+from ..ops.pallas_ir_v3 import _est_bytes, _pads, _pick_bn, _scratch_pad
+from ..ops.pallas_ir_v3 import _VMEM_CAP  # noqa: F401  (re-export intent)
+
+
+def v3_i8_fits(n, h, w, cin, e, cout, k, stride, se=0) -> bool:
+    """Whole-image feasibility at the bf16-carriage envelope (itemsize 2,
+    the float V3 kernel's math — _est_bytes transfers verbatim)."""
+    from ..ops.pallas_ir_v3 import _VMEM_CAP as CAP
+
+    if stride == 2 and (h % 2 or w % 2):
+        return False
+    ep = _round_up(e, 128)
+    h_out, w_out = -(-h // stride), -(-w // stride)
+    bn = _min_bn(n, h * w, h_out * w_out)
+    return _est_bytes(bn, h, w, cin, ep, cout, k, stride, se, 2) <= CAP
+
+
+def _requant_named_k(acc_i32, a_vec, inv_s, act):
+    """In-kernel twin of quant/v3._requant_named_*: f32 value (ints in
+    [-128, 127]); the int8 CAST is the caller's (reshape in f32 first)."""
+    v = acc_i32.astype(jnp.float32) * a_vec.astype(jnp.float32)
+    if act == "relu":
+        v = jnp.maximum(v, jnp.float32(0.0))
+    elif act == "hswish":
+        g = jnp.clip(v + jnp.float32(3.0), 0.0, 6.0) * jnp.float32(1.0 / 6.0)
+        v = v * g
+    else:
+        assert act == "linear", act
+    q = jnp.round(v * jnp.float32(inv_s))
+    return jnp.clip(q, -128, 127)
+
+
+def _sdot(a_i8, b_i8):
+    return jax.lax.dot_general(
+        a_i8, b_i8, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+
+def _v3_i8_kernel(*refs, bn, h, w, k, stride, act, se, residual,
+                  e_inv, d_inv, p_inv, s1_inv, hw_inv):
+    if se:
+        (x_ref, ew_ref, eb_ref, ea_ref, dww_ref, dwb_ref, da_ref,
+         pww_ref, pwb_ref, pa_ref, s1w_ref, s1b_ref, s1a_ref,
+         s2w_ref, s2b_ref, s2a_ref, o_ref, s_ref) = refs
+    else:
+        (x_ref, ew_ref, eb_ref, ea_ref, dww_ref, dwb_ref, da_ref,
+         pww_ref, pwb_ref, pa_ref, o_ref, s_ref) = refs
+    ep = s_ref.shape[-1]
+    h_out = -(-h // stride)
+    w_out = -(-w // stride)
+    lo, _ = _pads(k, stride)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    # --- expand: s8 x s8 -> s32, named requant, bf16 integer carriage ------
+    xv = x_ref[...]  # (BN*H*W, Cin) int8
+    ye = _requant_named_k(_sdot(xv, ew_ref[...]) + eb_ref[0],
+                          ea_ref[0], e_inv, act)
+    y4 = ye.astype(jnp.bfloat16).reshape(bn, h, w, ep)
+    s_ref[:, lo : lo + h, lo : lo + w, :] = y4
+
+    # --- k*k dw: exact-integer f32 taps (k^2 * 127^2 + bias << 2^24) -------
+    sv = s_ref[...].astype(jnp.float32)
+    if stride == 1:
+        acc = jnp.zeros((bn, h, w, ep), jnp.float32)
+        for dy in range(k):
+            for dx in range(k):
+                tap = sv[:, dy : dy + h, dx : dx + w, :]
+                acc = acc + tap * dww_ref[dy, dx, :].astype(jnp.float32)
+    else:
+        w_full = 2 * w_out
+        rows = sv.shape[1]
+        pairs = sv.reshape(bn, rows // 2, 2, sv.shape[2], ep)
+        acc_f = jnp.zeros((bn, h_out, w_full, ep), jnp.float32)
+        for dy in range(k):
+            r = pairs[:, dy // 2 : dy // 2 + h_out, dy % 2]
+            for dx in range(k):
+                acc_f = acc_f + (r[:, :, dx : dx + w_full, :]
+                                 * dww_ref[dy, dx, :].astype(jnp.float32))
+        acc = acc_f.reshape(bn, h_out, w_out, 2, ep)[:, :, :, 0, :]
+
+    acc = acc + dwb_ref[0].astype(jnp.float32)
+    yd = _requant_named_k(acc, da_ref[0], d_inv, act)  # f32 ints, 4D
+
+    # --- quantized SE gate (whole-image tile: exact in-register pooling) ---
+    if se:
+        y3 = yd.reshape(bn, h_out * w_out, ep)
+        pooled = jnp.clip(jnp.round(jnp.sum(y3, axis=1)
+                                    * jnp.float32(hw_inv)),
+                          -128, 127).astype(jnp.int8)
+        g1 = _requant_named_k(_sdot(pooled, s1w_ref[...]) + s1b_ref[0],
+                              s1a_ref[0], s1_inv, "relu").astype(jnp.int8)
+        acc2 = _sdot(g1, s2w_ref[...]) + s2b_ref[0]
+        v = acc2.astype(jnp.float32) * s2a_ref[0].astype(jnp.float32)
+        gate = jnp.clip(v + jnp.float32(3.0), 0.0, 6.0) * jnp.float32(
+            1.0 / 6.0)
+        out3 = jnp.round(y3 * gate[:, None, :])
+        yd = jnp.clip(out3, -128, 127).reshape(bn, h_out, w_out, ep)
+
+    # --- projection: s8 x s8 -> s32, linear requant, residual --------------
+    yd2 = yd.reshape(bn * h_out * w_out, ep).astype(jnp.int8)
+    out = _requant_named_k(_sdot(yd2, pww_ref[...]) + pwb_ref[0],
+                           pa_ref[0], p_inv, "linear")
+    if residual:
+        out = jnp.clip(out + xv.astype(jnp.int32).astype(jnp.float32),
+                       -128, 127)
+    o_ref[...] = out.astype(jnp.int8)
+
+
+def v3_block_pallas_i8(
+    x_i8, exp, dw, prj, *, k, stride, act, se1=None, se2=None,
+    residual=False, block_n: Optional[int] = None, interpret=None,
+):
+    """One fused INT8 V3 bottleneck. Layer dicts carry the quant/v3
+    device-tree fields {w (int8), b (int32), a (f32 per-out), inv_s
+    (float)}; se1/se2 are the SE conv layers or None. Exactly equal to
+    quant/v3's XLA ops sequence per block (the int8 EXACT contract)."""
+    se = 0 if se1 is None else int(se1["w"].shape[1])
+    args = [x_i8, exp["w"], exp["b"], exp["a"],
+            dw["w"].reshape(k, k, -1), dw["b"], dw["a"],
+            prj["w"], prj["b"], prj["a"]]
+    invs = (float(exp["inv_s"]), float(dw["inv_s"]), float(prj["inv_s"]),
+            float(se1["inv_s"]) if se else 0.0)
+    if se:
+        args += [se1["w"], se1["b"], se1["a"], se2["w"], se2["b"], se2["a"]]
+    return _v3_i8_impl(*args, k=int(k), stride=int(stride), act=str(act),
+                       se=se, residual=bool(residual), invs=invs,
+                       block_n=block_n, interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "stride", "act", "se", "residual", "invs",
+                     "block_n", "interpret"),
+)
+def _v3_i8_impl(x, ew, eb, ea, dww, dwb, da, pww, pwb, pa, *se_args,
+                k, stride, act, se, residual, invs, block_n=None,
+                interpret=None):
+    if interpret is None:
+        interpret = _should_interpret()
+    n, h, w, cin = x.shape
+    e = ew.shape[1]
+    cout = pww.shape[1]
+    assert x.dtype == jnp.int8 and dww.shape == (k, k, e)
+    if stride == 2:
+        assert h % 2 == 0 and w % 2 == 0, (h, w)
+    if residual:
+        assert stride == 1 and cin == cout, (stride, cin, cout)
+    h_out = -(-h // stride)
+    w_out = -(-w // stride)
+
+    ep = _round_up(e, 128)
+    if ep != e:
+        ew = jnp.pad(ew, ((0, 0), (0, ep - e)))
+        eb = jnp.pad(eb, (0, ep - e))
+        ea = jnp.pad(ea, (0, ep - e))
+        dww = jnp.pad(dww, ((0, 0), (0, 0), (0, ep - e)))
+        dwb = jnp.pad(dwb, (0, ep - e))
+        da = jnp.pad(da, (0, ep - e))
+        pww = jnp.pad(pww, ((0, ep - e), (0, 0)))
+    if se:
+        s1w, s1b, s1a, s2w, s2b, s2a = se_args
+        if ep != e:
+            s1w = jnp.pad(s1w, ((0, ep - e), (0, 0)))
+            s2w = jnp.pad(s2w, ((0, 0), (0, ep - e)))
+            s2b = jnp.pad(s2b, (0, ep - e))
+            s2a = jnp.pad(s2a, (0, ep - e))
+
+    assert v3_i8_fits(n, h, w, cin, e, cout, k, stride, se) or (
+        block_n is not None), ("gate calls with v3_i8_fits",
+                               n, h, w, cin, e, cout, k, stride, se)
+    x_arg = x.reshape(n * h * w, cin)
+    bn = block_n if block_n is not None else _pick_bn(
+        n, h, w, cin, ep, cout, k, stride, se, 2)
+    assert n % bn == 0, (n, bn)
+    e_inv, d_inv, p_inv, s1_inv = invs
+    kernel = functools.partial(
+        _v3_i8_kernel, bn=bn, h=h, w=w, k=k, stride=stride, act=act, se=se,
+        residual=residual, e_inv=e_inv, d_inv=d_inv, p_inv=p_inv,
+        s1_inv=s1_inv, hw_inv=1.0 / float(h_out * w_out))
+    grid = (n // bn,)
+    w_index = lambda b: (0, 0)
+    dw_index = lambda b: (0, 0, 0)
+    in_specs = [
+        pl.BlockSpec((bn * h * w, cin), lambda b: (b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cin, ep), w_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, k, ep), dw_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((ep, cout), w_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout), w_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout), w_index, memory_space=pltpu.VMEM),
+    ]
+    args = [x_arg, ew, eb.reshape(1, ep), ea.reshape(1, ep), dww,
+            dwb.reshape(1, ep), da.reshape(1, ep), pww,
+            pwb.reshape(1, cout), pa.reshape(1, cout)]
+    if se:
+        in_specs += [
+            pl.BlockSpec((ep, se), w_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, se), w_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, se), w_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((se, ep), w_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
+        ]
+        args += [s1w, s1b.reshape(1, se), s1a.reshape(1, se),
+                 s2w, s2b.reshape(1, ep), s2a.reshape(1, ep)]
+    o_spec = pl.BlockSpec((bn * h_out * w_out, cout), lambda b: (b, 0),
+                          memory_space=pltpu.VMEM)
+    pr = _scratch_pad(k, stride, h)
+    pc = _scratch_pad(k, stride, w)
+    scratch = pltpu.VMEM((bn, h + pr, w + pc, ep), jnp.bfloat16)
+    out2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((n * h_out * w_out, cout), jnp.int8),
+        scratch_shapes=[scratch],
+        interpret=interpret,
+    )(*args)
+    return out2.reshape(n, h_out, w_out, cout)

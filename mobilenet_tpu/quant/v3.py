@@ -416,11 +416,15 @@ def _se_i8_dev(z_i8, se1, se2):
 
 def forward_v3_i8(dev: Dict[str, Any], x_q, config: V3Config, *,
                   collect: bool = False,
-                  num_blocks: Optional[int] = None):
-    """INT8 V3 forward on the XLA ops. x_q: int8 at s_in = 1/127, or
-    bfloat16 carrying the same integers (quantize_input_dev — the stem
-    rides the exact bf16 MXU conv, the conv1_i8 argument). Exactly equal
-    to forward_all_v3_i8 per layer."""
+                  num_blocks: Optional[int] = None,
+                  use_fused: bool = False):
+    """INT8 V3 forward. x_q: int8 at s_in = 1/127, or bfloat16 carrying
+    the same integers (quantize_input_dev — the stem rides the exact bf16
+    MXU conv, the conv1_i8 argument). Exactly equal to forward_all_v3_i8
+    per layer. use_fused routes eligible expand-carrying bottlenecks
+    through the int8 V3 Pallas kernel (quant/pallas_ir_v3_i8.py — logits
+    BIT-IDENTICAL, two schedules of one integer program); no-expand and
+    VMEM-busting blocks stay on the XLA ops (v3_i8_fits)."""
     import jax.numpy as jnp
     from jax import lax
 
@@ -436,9 +440,24 @@ def forward_v3_i8(dev: Dict[str, Any], x_q, config: V3Config, *,
                            c1["inv_s"], config.head_act)
     if collect:
         acts["conv1"] = y
+    if use_fused and not collect:
+        from .pallas_ir_v3_i8 import v3_block_pallas_i8, v3_i8_fits
+
     for i, (bd, blk) in enumerate(zip(config.block_defs, dev["blocks"])):
         if num_blocks is not None and i >= num_blocks:
             return y
+        if (use_fused and not collect and "exp" in blk
+                and v3_i8_fits(int(y.shape[0]), int(y.shape[1]),
+                               int(y.shape[2]), int(y.shape[-1]),
+                               int(blk["exp"]["w"].shape[1]),
+                               int(blk["prj"]["w"].shape[1]),
+                               bd.kernel, bd.stride, bd.se_mid)):
+            y = v3_block_pallas_i8(
+                y, blk["exp"], blk["dw"], blk["prj"], k=bd.kernel,
+                stride=bd.stride, act=bd.act,
+                se1=blk.get("se1"), se2=blk.get("se2"),
+                residual=bd.has_res)
+            continue
         z = y
         if bd.has_expand:
             e = blk["exp"]
@@ -555,7 +574,7 @@ class Int8PipelineV3:
     data-parallel sharding via jit propagation)."""
 
     def __init__(self, config: V3Config, *, seed: int = 0, params=None,
-                 mesh=None):
+                 mesh=None, use_fused: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -563,6 +582,10 @@ class Int8PipelineV3:
         from ..ops import preprocess as prep
         from . import ops as qops
 
+        # use_fused routes eligible bottlenecks through the int8 V3 Pallas
+        # kernel (pallas_ir_v3_i8.py; bit-identical logits). Default stays
+        # False until the chip race runs (autotune --model v3 --int8).
+        self.use_fused = bool(use_fused)
         self.config = config
         if mesh is not None:
             from ..runtime.pipeline import _require_dp_only_mesh
@@ -587,11 +610,13 @@ class Int8PipelineV3:
         self._dev = dev
         cfg = config
 
+        fused = self.use_fused
+
         def probs(images_u8):
             x = prep.preprocess(images_u8, cfg.resolution, jnp.float32)
             x_q = qops.quantize_input_dev(x, ACT_IN_SCALE,
                                           out_dtype=jnp.bfloat16)
-            logits = forward_v3_i8(dev, x_q, cfg)
+            logits = forward_v3_i8(dev, x_q, cfg, use_fused=fused)
             return jax.nn.softmax(logits, axis=-1)
 
         self._probs = jax.jit(probs)

@@ -192,11 +192,17 @@ def _autotune_v3(config, batch_size, steps, candidates, seed, params,
 
         if mode == "latency":
             raise NotImplementedError(
-                "int8 V3 has one route; race batch>=2 throughput instead")
-        pipe = Int8PipelineV3(config, seed=seed, params=params)
-        res = {"xla": _throughput(
-            lambda imgs: pipe._probs(imgs), None, config, batch_size, steps)}
-        return "xla", res
+                "int8 V3 routing is a throughput race; use batch >= 2")
+        # Race the XLA int8 route vs the fused int8 V3 kernel
+        # (pallas_ir_v3_i8.py — bit-identical logits).
+        res: Dict[str, float] = {}
+        for cand in (("xla",) if not on_tpu else ("xla", "fused")):
+            pipe = Int8PipelineV3(config, seed=seed, params=params,
+                                  use_fused=cand == "fused")
+            res[cand] = _throughput(
+                lambda imgs, _p=pipe: _p._probs(imgs), None, config,
+                batch_size, steps)
+        return max(res, key=res.get), res
     if candidates is None:
         candidates = ("xla",) if not on_tpu else ("xla", "fused")
 

@@ -144,3 +144,76 @@ def test_pipeline_and_collect_names(qsetup):
                             collect=True)
     assert "conv1" in acts and "logits" in acts and "head" in acts
     assert "block00_dw" in acts and "block00_se" in acts
+
+def test_fused_i8_bit_identical_to_xla(qsetup):
+    """forward_v3_i8(use_fused=True): whole bottlenecks as int8 Pallas
+    kernels (quant/pallas_ir_v3_i8.py, incl. the quantized SE gate
+    in-kernel) must be BIT-IDENTICAL to the XLA int8 route at the logits
+    — two schedules of one integer program."""
+    import jax.numpy as jnp
+
+    cfg, folded, q, x = qsetup
+    dev = _as_device_tree_v3(q)
+    x_i8 = jnp.asarray(quantize_input(x))
+    lx = np.asarray(forward_v3_i8(dev, x_i8, cfg))
+    lf = np.asarray(forward_v3_i8(dev, x_i8, cfg, use_fused=True))
+    np.testing.assert_array_equal(lx, lf)
+
+
+def test_fused_i8_kernel_per_block_exact(qsetup):
+    """One eligible SE block through the kernel vs the NumPy oracle's
+    exp->dw->se->prj sequence: exact per element."""
+    import jax.numpy as jnp
+
+    from mobilenet_tpu.quant.pallas_ir_v3_i8 import (v3_block_pallas_i8,
+                                                     v3_i8_fits)
+    from mobilenet_tpu.quant.v3 import (_dwk_acc_np, _pw_acc_np,
+                                        _requant_named_np, _se_i8_np)
+
+    cfg, folded, q, x = qsetup
+    dev = _as_device_tree_v3(q)
+    # find an SE + expand block that fits at a small batch
+    rng = np.random.default_rng(9)
+    for i, bd in enumerate(cfg.block_defs):
+        blk_q = q.blocks[i]
+        if not (bd.has_expand and bd.se_mid):
+            continue
+        hw_in = cfg.resolution // 2
+        for d in cfg.block_defs[:i]:
+            hw_in //= d.stride
+        if not v3_i8_fits(2, hw_in, hw_in, bd.cin, bd.cexp, bd.cout,
+                          bd.kernel, bd.stride, bd.se_mid):
+            continue
+        x_i8 = rng.integers(-100, 101, (2, hw_in, hw_in, bd.cin)).astype(
+            np.int8)
+        e, d_, p = blk_q["exp"], blk_q["dw"], blk_q["prj"]
+        z = _requant_named_np(_pw_acc_np(x_i8, e.w_i8) + e.bias_i32,
+                              e.a, e.inv_s, bd.act)
+        z = _requant_named_np(
+            _dwk_acc_np(z, d_.w_i8, bd.stride, bd.kernel) + d_.bias_i32,
+            d_.a, d_.inv_s, bd.act)
+        z = _se_i8_np(z, blk_q["se1"], blk_q["se2"])
+        want = _requant_named_np(_pw_acc_np(z, p.w_i8) + p.bias_i32,
+                                 p.a, p.inv_s, "linear")
+        if bd.has_res:
+            want = np.clip(want.astype(np.int32) + x_i8.astype(np.int32),
+                           -128, 127).astype(np.int8)
+        dblk = dev["blocks"][i]
+        got = v3_block_pallas_i8(
+            jnp.asarray(x_i8), dblk["exp"], dblk["dw"], dblk["prj"],
+            k=bd.kernel, stride=bd.stride, act=bd.act,
+            se1=dblk["se1"], se2=dblk["se2"], residual=bd.has_res)
+        np.testing.assert_array_equal(np.asarray(got), want)
+        return
+    pytest.fail("no eligible SE block found in the schedule")
+
+
+def test_fused_i8_pipeline_matches(qsetup):
+    from mobilenet_tpu.quant.v3 import Int8PipelineV3
+
+    cfg, folded, q, x = qsetup
+    rng = np.random.default_rng(10)
+    imgs = rng.integers(0, 256, (2, 96, 96, 3), dtype=np.uint8)
+    a = Int8PipelineV3(cfg, params=folded).run_batch(imgs)
+    b = Int8PipelineV3(cfg, params=folded, use_fused=True).run_batch(imgs)
+    np.testing.assert_array_equal(a, b)

@@ -36,8 +36,10 @@ step "7. int8 throughput + V3-Small rows"
 run python -m mobilenet_tpu.cli bench --model v3 --res 224 --int8 --batch 256 --steps 10
 run python -m mobilenet_tpu.cli autotune --model v3small --res 224 --batch 256 --steps 10
 
-step "8. fused INT8 V2 IR kernel: Mosaic exactness smoke + route race"
+step "8. fused INT8 kernels: Mosaic exactness smokes + route races"
 run python tools/tpu_smoke.py --only ir_i8
+run python tools/tpu_smoke.py --only ir_v3_i8
 run python -m mobilenet_tpu.cli autotune --model v2 --res 224 --int8 --batch 256 --steps 10
+run python -m mobilenet_tpu.cli autotune --model v3 --res 224 --int8 --batch 256 --steps 10
 
 step "campaign done — transcribe into benchmarks/ and update BASELINE.md"

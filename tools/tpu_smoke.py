@@ -234,6 +234,28 @@ def main(quick: bool = False, only: str = ""):
         check(f"v3_block h={h} {cin}->{e}->{cout} k={k} s={s} se={se_mid}",
               got, ref, 3e-5)
 
+    # --- fused INT8 V3 bottleneck (named-act requant + quantized SE) -------
+    # tol=0: the kernel and the quant/v3 oracle are one integer program.
+    from mobilenet_tpu.checkpoints.v3 import fold_bn_v3, init_params_v3
+    from mobilenet_tpu.models.mobilenet_v3 import V3Config
+    from mobilenet_tpu.quant.quantize import quantize_input
+    from mobilenet_tpu.quant.v3 import (_as_device_tree_v3, forward_v3_i8,
+                                        quantize_v3)
+
+    rng = rng_for("ir_v3_i8")
+    if want("ir_v3_i8"):
+        v3q_cfg = V3Config(variant="small", alpha=1.0, resolution=96)
+        v3q_folded = fold_bn_v3(init_params_v3(v3q_cfg, seed=0),
+                                eps=v3q_cfg.bn_eps)
+        v3q_dev = _as_device_tree_v3(quantize_v3(v3q_folded, v3q_cfg,
+                                                 n_calib=8))
+        x_i8 = jnp.asarray(quantize_input(
+            rng.uniform(-1, 1, (4, 96, 96, 3)).astype(np.float32)))
+        lx = np.asarray(forward_v3_i8(v3q_dev, x_i8, v3q_cfg))
+        lf = np.asarray(forward_v3_i8(v3q_dev, x_i8, v3q_cfg,
+                                      use_fused=True))
+        check("ir_v3_i8 v3small-96 logits fused==xla", lf, lx, 0.0)
+
     # --- packed fused block ------------------------------------------------
     rng = rng_for("packed_block")
     for (h, cin, cout) in [(112, 32, 64), (16, 8, 16)] if want("packed_block") else []:
