@@ -40,7 +40,8 @@ from .pallas_block_packed_i8 import _requant_f32
 
 
 def ir_i8_fits(n, h, w, cin, e, cout, stride) -> bool:
-    """Static feasibility — the float IR kernel's envelope (bf16 scratch)."""
+    """Static feasibility — the float IR kernel's envelope (bf16 scratch),
+    either tiling mode (whole-image or rows)."""
     return _mode(n, h, w, cin, e, cout, stride, 2)[0] is not None
 
 
@@ -113,12 +114,115 @@ def _ir_i8_kernel(
     o_ref[...] = out.astype(jnp.int8)
 
 
+def _ir_i8_kernel_rows(
+    x_ref, ew_ref, eb_ref, em_ref, dww_ref, dwb_ref, dm_ref,
+    pww_ref, pwb_ref, pm_ref, o_ref, s_ref,
+    *, th, h, w, stride, residual, six_e, six_d, g,
+):
+    """Row-tiled int8 variant: the float kernel's halo windows, placement
+    cases, and position-dependent residual offsets (_ir_kernel_rows), with
+    the int8 staging of _ir_i8_kernel. The input window is a 4D int8
+    element block (the proven pallas_block_i8 window discipline)."""
+    ep = s_ref.shape[-1]
+    w_out = -(-w // stride)
+    i = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, i == 0))
+    def _():
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    th_in = th + 2 if stride == 1 else 2 * th + 2
+    cin = x_ref.shape[-1]
+    xv = x_ref[...].reshape(th_in * w, cin)  # int8, small-C cast
+    acc_e = jax.lax.dot_general(
+        xv, ew_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32) + eb_ref[0]
+    ye = _requant_f32(acc_e, em_ref[0], six_e, True)
+    y4 = ye.astype(jnp.bfloat16).reshape(th_in, w, ep)
+
+    if stride == 1:
+        @pl.when(i == 0)
+        def _():
+            s_ref[1 : th + 2, 1 : w + 1, :] = y4[0 : th + 1]
+            s_ref[0:1, 1 : w + 1, :] = jnp.zeros_like(
+                s_ref[0:1, 1 : w + 1, :])
+
+        if g > 2:
+            @pl.when(jnp.logical_and(i > 0, i < g - 1))
+            def _():
+                s_ref[0 : th + 2, 1 : w + 1, :] = y4
+
+        @pl.when(i == g - 1)
+        def _():
+            s_ref[0 : th + 1, 1 : w + 1, :] = y4[1 : th + 2]
+            s_ref[th + 1 : th + 2, 1 : w + 1, :] = jnp.zeros_like(
+                s_ref[th + 1 : th + 2, 1 : w + 1, :])
+    else:
+        @pl.when(i < g - 1)
+        def _():
+            s_ref[0 : 2 * th + 2, 0:w, :] = y4
+
+        @pl.when(i == g - 1)
+        def _():
+            s_ref[0 : 2 * th, 0:w, :] = y4[2 : 2 * th + 2]
+            s_ref[2 * th : 2 * th + 2, 0:w, :] = jnp.zeros_like(
+                s_ref[2 * th : 2 * th + 2, 0:w, :])
+
+    sv = s_ref[...].astype(jnp.float32)
+    if stride == 1:
+        acc = jnp.zeros((th, w, ep), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                acc = acc + (sv[dy : dy + th, dx : dx + w, :]
+                             * dww_ref[dy, dx, :].astype(jnp.float32))
+    else:
+        w_full = 2 * w_out
+        pairs = sv.reshape(th + 1, 2, w + 2, ep)
+        acc_f = jnp.zeros((th, w_full, ep), jnp.float32)
+        for dy in range(3):
+            r = pairs[dy // 2 : dy // 2 + th, dy % 2]
+            for dx in range(3):
+                acc_f = acc_f + (r[:, dx : dx + w_full, :]
+                                 * dww_ref[dy, dx, :].astype(jnp.float32))
+        acc = acc_f.reshape(th, w_out, 2, ep)[:, :, 0, :]
+
+    acc = acc + dwb_ref[0].astype(jnp.float32)
+    yd = _requant_f32(acc, dm_ref[0], six_d, True)
+    yd2 = yd.reshape(th * w_out, ep).astype(jnp.int8)
+    acc_p = jax.lax.dot_general(
+        yd2, pww_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32) + pwb_ref[0]
+    v = acc_p.astype(jnp.float32) * pm_ref[0].astype(jnp.float32)
+    out = jnp.clip(jnp.round(v), -128, 127)
+    if not residual:
+        o_ref[...] = out.astype(jnp.int8)
+        return
+    thw = th * w
+    xf = xv.astype(jnp.int32).astype(jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        o_ref[...] = jnp.clip(out + xf[0:thw], -128, 127).astype(jnp.int8)
+
+    if g > 2:
+        @pl.when(jnp.logical_and(i > 0, i < g - 1))
+        def _():
+            o_ref[...] = jnp.clip(out + xf[w : w + thw],
+                                  -128, 127).astype(jnp.int8)
+
+    @pl.when(i == g - 1)
+    def _():
+        o_ref[...] = jnp.clip(out + xf[2 * w : 2 * w + thw],
+                              -128, 127).astype(jnp.int8)
+
+
 def inverted_residual_pallas_i8(
     x_i8, ew_i8, eb_i32, e_m, six_e, dww_i8, dwb_i32, d_m, six_d,
     pww_i8, pwb_i32, p_m, stride, residual, *,
     block_n: Optional[int] = None, interpret=None,
 ):
-    """One fused INT8 V2 bottleneck (whole-image mode).
+    """One fused INT8 V2 bottleneck (whole-image or row-tiled mode — the
+    float kernel's tiling decision at itemsize 2 applies verbatim).
 
     x_i8: (N, H, W, Cin) int8. Weights int8 (exp (Cin,E), dw (3,3,1,E) or
     (3,3,E), prj (E,Cout)); biases int32 in accumulator units; m vectors
@@ -169,36 +273,66 @@ def _ir_i8_impl(
         dm = jnp.pad(dm, (0, ep - e))
         pww = jnp.pad(pww, ((0, ep - e), (0, 0)))
 
-    mode, _tile = _mode(n, h, w, cin, e, cout, stride, 2)
-    assert mode == "whole" or block_n is not None, (
-        "int8 IR kernel is whole-image mode only — gate with ir_i8_fits",
-        n, h, w, cin, e, cout, stride, mode)
-    x_arg = x.reshape(n * h * w, cin)
-    bn = block_n if block_n is not None else _pick_bn(
-        n, h, w, cin, ep, cout, stride, 2)
-    assert n % bn == 0, (n, bn)
-    kernel = functools.partial(
-        _ir_i8_kernel, bn=bn, h=h, w=w, stride=stride, residual=residual,
-        six_e=six_e, six_d=six_d)
-    grid = (n // bn,)
-    w_index = lambda b: (0, 0)
-    dw_index = lambda b: (0, 0, 0)
-    in_specs = [
-        pl.BlockSpec((bn * h * w, cin), lambda b: (b, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((cin, ep), w_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, 3, ep), dw_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((ep, cout), w_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, cout), w_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, cout), w_index, memory_space=pltpu.VMEM),
-    ]
-    o_spec = pl.BlockSpec((bn * h_out * w_out, cout), lambda b: (b, 0),
-                          memory_space=pltpu.VMEM)
-    scratch = pltpu.VMEM((bn, h + 2, w + 2, ep), jnp.bfloat16)
+    mode, tile = _mode(n, h, w, cin, e, cout, stride, 2)
+    assert mode is not None or block_n is not None, (
+        "infeasible shape — gate calls with ir_i8_fits",
+        n, h, w, cin, e, cout, stride)
+
+    def _w_specs(w_index, dw_index):
+        return [
+            pl.BlockSpec((cin, ep), w_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, ep), dw_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ep, cout), w_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), w_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), w_index, memory_space=pltpu.VMEM),
+        ]
+
+    if mode == "whole" or block_n is not None:
+        x_arg = x.reshape(n * h * w, cin)
+        bn = block_n if block_n is not None else _pick_bn(
+            n, h, w, cin, ep, cout, stride, 2)
+        assert n % bn == 0, (n, bn)
+        kernel = functools.partial(
+            _ir_i8_kernel, bn=bn, h=h, w=w, stride=stride,
+            residual=residual, six_e=six_e, six_d=six_d)
+        grid = (n // bn,)
+        in_specs = [pl.BlockSpec((bn * h * w, cin), lambda b: (b, 0),
+                                 memory_space=pltpu.VMEM)] + _w_specs(
+                                     lambda b: (0, 0), lambda b: (0, 0, 0))
+        o_spec = pl.BlockSpec((bn * h_out * w_out, cout),
+                              lambda b: (b, 0), memory_space=pltpu.VMEM)
+        scratch = pltpu.VMEM((bn, h + 2, w + 2, ep), jnp.bfloat16)
+    else:
+        x_arg = x
+        th = tile
+        assert h_out % th == 0, (h_out, th)
+        g = h_out // th
+        assert g >= 2
+        if stride == 1:
+            th_in = th + 2
+            x_index = lambda b, i: (
+                b, jnp.clip(i * th - 1, 0, h - (th + 2)), 0, 0)
+        else:
+            th_in = 2 * th + 2
+            x_index = lambda b, i: (
+                b, jnp.minimum(i * 2 * th, h - (2 * th + 2)), 0, 0)
+        kernel = functools.partial(
+            _ir_i8_kernel_rows, th=th, h=h, w=w, stride=stride,
+            residual=residual, six_e=six_e, six_d=six_d, g=g)
+        grid = (n, g)
+        in_specs = [pl.BlockSpec(
+            (pl.Element(1), pl.Element(th_in), pl.Element(w),
+             pl.Element(cin)), x_index, memory_space=pltpu.VMEM)] + _w_specs(
+                lambda b, i: (0, 0), lambda b, i: (0, 0, 0))
+        o_spec = pl.BlockSpec((th * w_out, cout), lambda b, i: (b * g + i, 0),
+                              memory_space=pltpu.VMEM)
+        scratch = pltpu.VMEM(
+            (th + 2 if stride == 1 else 2 * th + 2, w + 2, ep),
+            jnp.bfloat16)
     out2 = pl.pallas_call(
         kernel,
         grid=grid,

@@ -135,3 +135,24 @@ def test_pipeline_use_fused_matches(rng):
     a = Int8PipelineV2(cfg, seed=0).run_batch(imgs)
     b = Int8PipelineV2(cfg, seed=0, use_fused=True).run_batch(imgs)
     np.testing.assert_array_equal(a, b)  # same integers -> same probs
+
+# rows-mode shapes (the big-spatial V2 blocks where most device time
+# lives): halo recompute, cross-tile residual offsets, s2 windows
+@pytest.mark.parametrize(
+    "n,h,cin,e,cout,stride,residual",
+    [
+        (2, 112, 16, 96, 24, 2, False),   # block1 class: s2 halo
+        (2, 56, 24, 144, 24, 1, True),    # block2: residual across tiles
+        (1, 48, 24, 144, 24, 1, True),
+    ],
+)
+def test_rows_mode_exact(rng, n, h, cin, e, cout, stride, residual):
+    from mobilenet_tpu.ops.pallas_ir_block import _mode
+
+    qe, qd, qp = _qcase(rng, cin, e, cout)
+    x_i8 = rng.integers(-100, 101, (n, h, h, cin)).astype(np.int8)
+    got, want = _run(qe, qd, qp, x_i8, stride, residual)
+    np.testing.assert_array_equal(got, want)
+    # at least the first two shapes must actually exercise rows mode
+    if h >= 56:
+        assert _mode(n, h, h, cin, e, cout, stride, 2)[0] == "rows"
