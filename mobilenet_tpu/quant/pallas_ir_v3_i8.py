@@ -40,7 +40,6 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.pallas_dw import _should_interpret
 from ..ops.pallas_ir_block import _min_bn, _round_up
 from ..ops.pallas_ir_v3 import _est_bytes, _pads, _pick_bn, _scratch_pad
-from ..ops.pallas_ir_v3 import _VMEM_CAP  # noqa: F401  (re-export intent)
 
 
 def v3_i8_fits(n, h, w, cin, e, cout, k, stride, se=0) -> bool:
