@@ -121,17 +121,15 @@ def _float_latency_ms_v2(config, params, dw_backend, dtype,
 
 def _autotune_v2(config, batch_size, steps, candidates, seed, params,
                  int8, mode) -> Tuple[str, Dict[str, float]]:
-    """V2 family race: xla vs the fused IR-kernel routing. The int8 V2
-    path has exactly one route (XLA int8 ops), so --int8 just measures it."""
+    """V2 family race: xla vs the fused IR-kernel routing — float (bf16)
+    AND int8 (the fused int8 IR kernel, pallas_ir_i8.py, is bit-identical
+    to the XLA int8 route, so the race is purely about schedule)."""
     import jax
     import jax.numpy as jnp
 
     on_tpu = jax.default_backend() == "tpu"
     if candidates is None:
-        if int8 or not on_tpu:
-            candidates = ("xla",)
-        else:
-            candidates = ("xla", "fused")
+        candidates = ("xla",) if not on_tpu else ("xla", "fused")
 
     results: Dict[str, float] = {}
     if int8:
@@ -140,10 +138,7 @@ def _autotune_v2(config, batch_size, steps, candidates, seed, params,
         if mode == "latency":
             raise NotImplementedError(
                 "int8 V2 routing is a throughput race; use batch >= 2")
-        # Race the XLA int8 route vs the fused int8 IR kernel
-        # (pallas_ir_i8.py — bit-identical logits, different schedules).
-        cands = ("xla",) if not on_tpu else ("xla", "fused")
-        for cand in cands:
+        for cand in candidates:
             pipe = Int8PipelineV2(config, seed=seed, params=params,
                                   use_fused=cand == "fused")
             results[cand] = _throughput(
@@ -180,31 +175,29 @@ def _autotune_v2(config, batch_size, steps, candidates, seed, params,
 
 def _autotune_v3(config, batch_size, steps, candidates, seed, params,
                  int8, mode) -> Tuple[str, Dict[str, float]]:
-    """V3 family race: xla vs the fused bottleneck routing (SE in-kernel,
-    ops/pallas_ir_v3.py). The int8 V3 path has exactly one route (XLA int8
-    ops, quant/v3.py), so --int8 just measures it — the V2 convention."""
+    """V3 family race: xla vs the fused bottleneck routing — float (SE
+    in-kernel, ops/pallas_ir_v3.py) AND int8 (the fused int8 V3 kernel,
+    pallas_ir_v3_i8.py, is bit-identical, so the race is pure schedule)."""
     import jax
     import jax.numpy as jnp
 
     on_tpu = jax.default_backend() == "tpu"
+    if candidates is None:
+        candidates = ("xla",) if not on_tpu else ("xla", "fused")
     if int8:
         from ..quant.v3 import Int8PipelineV3
 
         if mode == "latency":
             raise NotImplementedError(
                 "int8 V3 routing is a throughput race; use batch >= 2")
-        # Race the XLA int8 route vs the fused int8 V3 kernel
-        # (pallas_ir_v3_i8.py — bit-identical logits).
         res: Dict[str, float] = {}
-        for cand in (("xla",) if not on_tpu else ("xla", "fused")):
+        for cand in candidates:
             pipe = Int8PipelineV3(config, seed=seed, params=params,
                                   use_fused=cand == "fused")
             res[cand] = _throughput(
                 lambda imgs, _p=pipe: _p._probs(imgs), None, config,
                 batch_size, steps)
         return max(res, key=res.get), res
-    if candidates is None:
-        candidates = ("xla",) if not on_tpu else ("xla", "fused")
 
     results: Dict[str, float] = {}
     if mode == "latency":

@@ -90,20 +90,19 @@ def test_block_n_override_exact(rng):
         np.testing.assert_array_equal(got, base)
 
 
-def test_fits_matches_float_envelope():
-    from mobilenet_tpu.ops.pallas_ir_block import ir_fits
-
-    for shp in ((256, 14, 14, 64, 384, 64, 1), (256, 7, 7, 160, 960, 320, 1),
-                (256, 14, 14, 96, 576, 160, 2)):
-        n, h, w, cin, e, cout, s = shp
-        assert ir_i8_fits(n, h, w, cin, e, cout, s) == (
-            _whole_fits(n, h, w, cin, e, cout, s))
-
-
-def _whole_fits(n, h, w, cin, e, cout, s):
-    from mobilenet_tpu.ops.pallas_ir_block import _mode
-
-    return _mode(n, h, w, cin, e, cout, s, 2)[0] is not None
+def test_fits_known_values():
+    """Pin the eligibility surface against KNOWN verdicts on the V2
+    1.0-224 grid (not against a re-derivation of the same expression —
+    that was a tautology, round-3 review finding): small-spatial whole
+    tiles and the big-spatial rows tiles are in; the bn=8-forced 14->7
+    stride-2 block is out at batch 256 but in at batch 1."""
+    assert ir_i8_fits(256, 14, 14, 64, 384, 64, 1)        # whole
+    assert ir_i8_fits(256, 7, 7, 160, 960, 320, 1)        # whole, bn=8
+    assert ir_i8_fits(256, 112, 112, 16, 96, 24, 2)       # rows
+    assert ir_i8_fits(256, 56, 56, 24, 144, 24, 1)        # rows
+    assert not ir_i8_fits(256, 14, 14, 96, 576, 160, 2)   # V2-blk13 class
+    assert ir_i8_fits(1, 14, 14, 96, 576, 160, 2)         # bn == n legal
+    assert not ir_i8_fits(256, 15, 15, 96, 576, 160, 2)   # odd s2 input
 
 
 def test_model_fused_bit_identical_to_xla():

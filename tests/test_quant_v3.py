@@ -158,6 +158,14 @@ def test_fused_i8_bit_identical_to_xla(qsetup):
     lx = np.asarray(forward_v3_i8(dev, x_i8, cfg))
     lf = np.asarray(forward_v3_i8(dev, x_i8, cfg, use_fused=True))
     np.testing.assert_array_equal(lx, lf)
+    # ... and on LARGE (different k/se/spatial combinations reach the
+    # kernel; the docs claim both variants, so both get gated).
+    cfg_l = V3Config(variant="large", alpha=1.0, resolution=96)
+    folded_l = fold_bn_v3(init_params_v3(cfg_l, seed=0), eps=cfg_l.bn_eps)
+    dev_l = _as_device_tree_v3(quantize_v3(folded_l, cfg_l, n_calib=4))
+    lx = np.asarray(forward_v3_i8(dev_l, x_i8, cfg_l))
+    lf = np.asarray(forward_v3_i8(dev_l, x_i8, cfg_l, use_fused=True))
+    np.testing.assert_array_equal(lx, lf)
 
 
 def test_fused_i8_kernel_per_block_exact(qsetup):

@@ -50,14 +50,17 @@ def recorded(path: str) -> dict:
 
 def variant_to_pair(variant: str):
     """'mobilenet_v1_0.25_128' / 'mobilenet_v2_1_224' /
-    'mobilenet_v3_small_1_224' -> (alpha, res)."""
+    'mobilenet_v3_small_[min_]1_224' -> (alpha, res, minimalistic) —
+    the min flag rides along so minimalistic rows regress as the model
+    they were recorded with (round-3 review finding)."""
     stem = variant
     for pre in ("mobilenet_v1_", "mobilenet_v2_", "mobilenet_v3_large_",
                 "mobilenet_v3_small_", "mobilenet_v3_"):
         stem = stem.removeprefix(pre)
+    mini = stem.startswith("min_")
     stem = stem.removeprefix("min_")
     alpha_s, res_s = stem.rsplit("_", 1)
-    return float(alpha_s), int(res_s)
+    return float(alpha_s), int(res_s), mini
 
 
 def row_tolerance(ref_img_s: float, batch: int) -> float:
@@ -102,16 +105,16 @@ def main() -> int:
             ART, f"sweep_{fam}bf16_batch256_v5e.jsonl"))
 
     if args.configs == "all":
-        pairs = sorted(variant_to_pair(v) for v in baseline)
+        pairs = sorted({variant_to_pair(v) for v in baseline})
         if not pairs:
             print("no recorded artifact rows to regress against")
             return 1
     else:
-        pairs = [(float(a), int(r)) for a, r in
+        pairs = [(float(a), int(r), False) for a, r in
                  (p.split(":") for p in args.configs.split(","))]
 
     failures = 0
-    for alpha, res in pairs:
+    for alpha, res, mini in pairs:
         # bfloat16 matches how the bf16 sweep artifact was recorded
         # (cmd_sweep's default dtype); the int8 path quantizes internally.
         if v2:
@@ -124,7 +127,7 @@ def main() -> int:
 
             cfg = V3Config(variant="large" if args.model == "v3"
                            else "small", alpha=alpha, resolution=res,
-                           compute_dtype="bfloat16")
+                           minimalistic=mini, compute_dtype="bfloat16")
         else:
             cfg = ModelConfig(alpha=alpha, resolution=res,
                               compute_dtype="bfloat16")
@@ -135,7 +138,7 @@ def main() -> int:
 
             row = _bench_int8_family(_ap.Namespace(
                 alpha=alpha, res=res, batch=args.batch, steps=args.steps,
-                seed=0, ckpt=None, model=args.model, minimalistic=False))
+                seed=0, ckpt=None, model=args.model, minimalistic=mini))
             fresh = row["images_per_sec"]
         elif args.int8:
             row = _int8_throughput(cfg, args.batch, args.steps, 0, latency=False)

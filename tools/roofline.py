@@ -124,11 +124,16 @@ def family_block_floors(cfg, batch, esz):
         if is_v3:
             e, cout, k, stride, se = (bd.cexp, bd.cout, bd.kernel,
                                       bd.stride, bd.se_mid)
+            has_exp = bd.has_expand
         else:
             t, _cin, cout, stride = bd
             e, k, se = int(round(t * cin)), 3, 0
-        segs[f"B{i:02d}"] = ir_block_floor(n, hw, cin, e, cout, k, stride,
-                                           se, esz)
+            has_exp = t != 1  # t=1 block 0 has NO expand conv
+        mxu_b, vpu_b, hbm_b = ir_block_floor(n, hw, cin, e, cout, k,
+                                             stride, se, esz)
+        if not has_exp:  # subtract the phantom expand MACs (floor = bound)
+            mxu_b -= n * hw * hw * cin * e * 2 / MXU_FLOPS
+        segs[f"B{i:02d}"] = (mxu_b, vpu_b, hbm_b)
         hw //= stride
         cin = cout
     cl = cfg.last_conv_channels if is_v3 else cfg.last_channels

@@ -110,8 +110,12 @@ def main(quick: bool = False, only: str = ""):
     from mobilenet_tpu.ops.pallas_ir_block import inverted_residual_pallas
 
     rng = rng_for("ir_block")
-    ir_shapes = [(14, 64, 384, 64, 1, True), (14, 96, 576, 160, 2, False),
-                 (7, 160, 960, 320, 1, False), (28, 24, 144, 32, 2, False)]
+    # Shapes must be FEASIBLE at f32 (itemsize 4) and n=8 — (14,...,s2) and
+    # (7,...) force bn=8 by the %8 sublane rule and bust the whole-image
+    # cap, which would crash the smoke at the ir_fits assert (round-3
+    # review finding); 16/8-spatial keep bn=1 legal.
+    ir_shapes = [(14, 64, 384, 64, 1, True), (16, 96, 576, 160, 2, False),
+                 (8, 160, 960, 320, 1, False), (28, 24, 144, 32, 2, False)]
     if quick:
         ir_shapes = ir_shapes[:2]
     for (h, cin, e, cout, s, res) in ir_shapes if want("ir_block") else []:
@@ -146,11 +150,18 @@ def main(quick: bool = False, only: str = ""):
     from mobilenet_tpu.quant.v2 import _res_add, pw_i8_linear
 
     rng = rng_for("ir_i8")
-    i8_shapes = [(14, 64, 384, 64, 1, True), (14, 96, 576, 160, 2, False),
-                 (7, 160, 960, 320, 1, False)]
+    # (n, h, cin, e, cout, stride, res): whole-image shapes at n=8 (incl.
+    # stride 2 and the 960-wide tail) AND the row-tiled shapes at small n
+    # (112/56-squared — int8 4D element windows + bf16 halo placement, the
+    # riskiest new hw geometry; all verified feasible via ir_i8_fits).
+    i8_shapes = [(8, 14, 64, 384, 64, 1, True),
+                 (8, 16, 96, 576, 160, 2, False),
+                 (8, 8, 160, 960, 320, 1, True),
+                 (2, 112, 16, 96, 24, 2, False),     # rows: s2 halo
+                 (2, 56, 24, 144, 24, 1, True)]      # rows: residual tiles
     if quick:
-        i8_shapes = i8_shapes[:2]
-    for (h, cin, e, cout, s, res) in i8_shapes if want("ir_i8") else []:
+        i8_shapes = i8_shapes[:2] + i8_shapes[3:4]
+    for (n_, h, cin, e, cout, s, res) in i8_shapes if want("ir_i8") else []:
         s_out = np.float32(0.05)
         qe = _quant_layer(
             (rng.normal(0, 1, (cin, e)) * cin ** -0.5).astype(np.float32),
@@ -165,7 +176,7 @@ def main(quick: bool = False, only: str = ""):
             (rng.normal(0, 1, (e, cout)) * e ** -0.5).astype(np.float32),
             rng.normal(0, 0.1, (cout,)).astype(np.float32), out_axis=1,
             s_in=ACT_HIDDEN_SCALE, s_out=s_out)
-        x_i8 = rng.integers(-100, 101, (8, h, h, cin)).astype(np.int8)
+        x_i8 = rng.integers(-100, 101, (n_, h, h, cin)).astype(np.int8)
         z = _pw_i8(x_i8, qe.w_i8, qe.bias_i32, qe.m, qe.six_q, True)
         z = _dw_i8(z, qd.w_i8, qd.bias_i32, qd.m, qd.six_q, s, True)
         ref = pw_i8_linear(z, qp.w_i8, qp.bias_i32, qp.m)
@@ -243,8 +254,9 @@ def main(quick: bool = False, only: str = ""):
                                         quantize_v3)
 
     rng = rng_for("ir_v3_i8")
-    if want("ir_v3_i8"):
-        v3q_cfg = V3Config(variant="small", alpha=1.0, resolution=96)
+    v3q_variants = ["small"] if quick else ["small", "large"]
+    for v3q_var in (v3q_variants if want("ir_v3_i8") else []):
+        v3q_cfg = V3Config(variant=v3q_var, alpha=1.0, resolution=96)
         v3q_folded = fold_bn_v3(init_params_v3(v3q_cfg, seed=0),
                                 eps=v3q_cfg.bn_eps)
         v3q_dev = _as_device_tree_v3(quantize_v3(v3q_folded, v3q_cfg,
@@ -254,7 +266,7 @@ def main(quick: bool = False, only: str = ""):
         lx = np.asarray(forward_v3_i8(v3q_dev, x_i8, v3q_cfg))
         lf = np.asarray(forward_v3_i8(v3q_dev, x_i8, v3q_cfg,
                                       use_fused=True))
-        check("ir_v3_i8 v3small-96 logits fused==xla", lf, lx, 0.0)
+        check(f"ir_v3_i8 v3{v3q_var}-96 logits fused==xla", lf, lx, 0.0)
 
     # --- packed fused block ------------------------------------------------
     rng = rng_for("packed_block")
