@@ -38,21 +38,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.pallas_dw import _should_interpret
-from ..ops.pallas_ir_block import _min_bn, _round_up
-from ..ops.pallas_ir_v3 import _est_bytes, _pads, _pick_bn, _scratch_pad
+from ..ops.pallas_ir_block import _round_up
+from ..ops.pallas_ir_v3 import _pads, _pick_bn, _scratch_pad
 
 
 def v3_i8_fits(n, h, w, cin, e, cout, k, stride, se=0) -> bool:
-    """Whole-image feasibility at the bf16-carriage envelope (itemsize 2,
-    the float V3 kernel's math — _est_bytes transfers verbatim)."""
-    from ..ops.pallas_ir_v3 import _VMEM_CAP as CAP
+    """Feasibility at the bf16-carriage envelope (itemsize 2 — the float
+    V3 kernel's tiling math transfers verbatim): whole-image tiles, or
+    the row-tiled mode for big-spatial k=3 no-SE blocks."""
+    from ..ops.pallas_ir_v3 import _mode as _v3_mode
 
-    if stride == 2 and (h % 2 or w % 2):
-        return False
-    ep = _round_up(e, 128)
-    h_out, w_out = -(-h // stride), -(-w // stride)
-    bn = _min_bn(n, h * w, h_out * w_out)
-    return _est_bytes(bn, h, w, cin, ep, cout, k, stride, se, 2) <= CAP
+    return _v3_mode(n, h, w, cin, e, cout, k, stride, se, 2)[0] is not None
 
 
 def _requant_named_k(acc_i32, a_vec, inv_s, act):
@@ -149,6 +145,102 @@ def _v3_i8_kernel(*refs, bn, h, w, k, stride, act, se, residual,
     o_ref[...] = out.astype(jnp.int8)
 
 
+def _v3_i8_kernel_rows(
+    x_ref, ew_ref, eb_ref, ea_ref, dww_ref, dwb_ref, da_ref,
+    pww_ref, pwb_ref, pa_ref, o_ref, s_ref,
+    *, th, h, w, stride, act, residual, e_inv, d_inv, p_inv, g,
+):
+    """Row-tiled int8 V3 variant (k = 3, no SE): the float rows kernel's
+    halo/placement/residual-offset structure with named-act int8 staging
+    (quant/pallas_ir_i8's rows kernel, requant generalized)."""
+    ep = s_ref.shape[-1]
+    w_out = -(-w // stride)
+    i = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, i == 0))
+    def _():
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    th_in = th + 2 if stride == 1 else 2 * th + 2
+    cin = x_ref.shape[-1]
+    xv = x_ref[...].reshape(th_in * w, cin)
+    ye = _requant_named_k(_sdot(xv, ew_ref[...]) + eb_ref[0],
+                          ea_ref[0], e_inv, act)
+    y4 = ye.astype(jnp.bfloat16).reshape(th_in, w, ep)
+
+    if stride == 1:
+        @pl.when(i == 0)
+        def _():
+            s_ref[1 : th + 2, 1 : w + 1, :] = y4[0 : th + 1]
+            s_ref[0:1, 1 : w + 1, :] = jnp.zeros_like(
+                s_ref[0:1, 1 : w + 1, :])
+
+        if g > 2:
+            @pl.when(jnp.logical_and(i > 0, i < g - 1))
+            def _():
+                s_ref[0 : th + 2, 1 : w + 1, :] = y4
+
+        @pl.when(i == g - 1)
+        def _():
+            s_ref[0 : th + 1, 1 : w + 1, :] = y4[1 : th + 2]
+            s_ref[th + 1 : th + 2, 1 : w + 1, :] = jnp.zeros_like(
+                s_ref[th + 1 : th + 2, 1 : w + 1, :])
+    else:
+        @pl.when(i < g - 1)
+        def _():
+            s_ref[0 : 2 * th + 2, 0:w, :] = y4
+
+        @pl.when(i == g - 1)
+        def _():
+            s_ref[0 : 2 * th, 0:w, :] = y4[2 : 2 * th + 2]
+            s_ref[2 * th : 2 * th + 2, 0:w, :] = jnp.zeros_like(
+                s_ref[2 * th : 2 * th + 2, 0:w, :])
+
+    sv = s_ref[...].astype(jnp.float32)
+    if stride == 1:
+        acc = jnp.zeros((th, w, ep), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                acc = acc + (sv[dy : dy + th, dx : dx + w, :]
+                             * dww_ref[dy, dx, :].astype(jnp.float32))
+    else:
+        w_full = 2 * w_out
+        pairs = sv.reshape(th + 1, 2, w + 2, ep)
+        acc_f = jnp.zeros((th, w_full, ep), jnp.float32)
+        for dy in range(3):
+            r = pairs[dy // 2 : dy // 2 + th, dy % 2]
+            for dx in range(3):
+                acc_f = acc_f + (r[:, dx : dx + w_full, :]
+                                 * dww_ref[dy, dx, :].astype(jnp.float32))
+        acc = acc_f.reshape(th, w_out, 2, ep)[:, :, 0, :]
+
+    acc = acc + dwb_ref[0].astype(jnp.float32)
+    yd = _requant_named_k(acc, da_ref[0], d_inv, act)
+    yd2 = yd.reshape(th * w_out, ep).astype(jnp.int8)
+    out = _requant_named_k(_sdot(yd2, pww_ref[...]) + pwb_ref[0],
+                           pa_ref[0], p_inv, "linear")
+    if not residual:
+        o_ref[...] = out.astype(jnp.int8)
+        return
+    thw = th * w
+    xf = xv.astype(jnp.int32).astype(jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        o_ref[...] = jnp.clip(out + xf[0:thw], -128, 127).astype(jnp.int8)
+
+    if g > 2:
+        @pl.when(jnp.logical_and(i > 0, i < g - 1))
+        def _():
+            o_ref[...] = jnp.clip(out + xf[w : w + thw],
+                                  -128, 127).astype(jnp.int8)
+
+    @pl.when(i == g - 1)
+    def _():
+        o_ref[...] = jnp.clip(out + xf[2 * w : 2 * w + thw],
+                              -128, 127).astype(jnp.int8)
+
+
 def v3_block_pallas_i8(
     x_i8, exp, dw, prj, *, k, stride, act, se1=None, se2=None,
     residual=False, block_n: Optional[int] = None, interpret=None,
@@ -208,53 +300,87 @@ def _v3_i8_impl(x, ew, eb, ea, dww, dwb, da, pww, pwb, pa, *se_args,
             s2b = jnp.pad(s2b, (0, ep - e))
             s2a = jnp.pad(s2a, (0, ep - e))
 
-    assert v3_i8_fits(n, h, w, cin, e, cout, k, stride, se) or (
-        block_n is not None), ("gate calls with v3_i8_fits",
-                               n, h, w, cin, e, cout, k, stride, se)
-    x_arg = x.reshape(n * h * w, cin)
-    bn = block_n if block_n is not None else _pick_bn(
-        n, h, w, cin, ep, cout, k, stride, se, 2)
-    assert n % bn == 0, (n, bn)
+    from ..ops.pallas_ir_v3 import _mode as _v3_mode
+
+    mode, tile = _v3_mode(n, h, w, cin, e, cout, k, stride, se, 2)
+    assert mode is not None or block_n is not None, (
+        "gate calls with v3_i8_fits", n, h, w, cin, e, cout, k, stride, se)
     e_inv, d_inv, p_inv, s1_inv = invs
-    kernel = functools.partial(
-        _v3_i8_kernel, bn=bn, h=h, w=w, k=k, stride=stride, act=act, se=se,
-        residual=residual, e_inv=e_inv, d_inv=d_inv, p_inv=p_inv,
-        s1_inv=s1_inv, hw_inv=1.0 / float(h_out * w_out))
-    grid = (n // bn,)
-    w_index = lambda b: (0, 0)
-    dw_index = lambda b: (0, 0, 0)
-    in_specs = [
-        pl.BlockSpec((bn * h * w, cin), lambda b: (b, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((cin, ep), w_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((k, k, ep), dw_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((ep, cout), w_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, cout), w_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, cout), w_index, memory_space=pltpu.VMEM),
-    ]
-    args = [x_arg, ew, eb.reshape(1, ep), ea.reshape(1, ep), dww,
+
+    def _w_specs(w_index, dw_index):
+        return [
+            pl.BlockSpec((cin, ep), w_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, k, ep), dw_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ep, cout), w_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), w_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), w_index, memory_space=pltpu.VMEM),
+        ]
+
+    args = [None, ew, eb.reshape(1, ep), ea.reshape(1, ep), dww,
             dwb.reshape(1, ep), da.reshape(1, ep), pww,
             pwb.reshape(1, cout), pa.reshape(1, cout)]
-    if se:
-        in_specs += [
-            pl.BlockSpec((ep, se), w_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, se), w_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, se), w_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((se, ep), w_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
-        ]
-        args += [s1w, s1b.reshape(1, se), s1a.reshape(1, se),
-                 s2w, s2b.reshape(1, ep), s2a.reshape(1, ep)]
-    o_spec = pl.BlockSpec((bn * h_out * w_out, cout), lambda b: (b, 0),
-                          memory_space=pltpu.VMEM)
-    pr = _scratch_pad(k, stride, h)
-    pc = _scratch_pad(k, stride, w)
-    scratch = pltpu.VMEM((bn, h + pr, w + pc, ep), jnp.bfloat16)
+    if mode == "whole" or block_n is not None:
+        args[0] = x.reshape(n * h * w, cin)
+        bn = block_n if block_n is not None else _pick_bn(
+            n, h, w, cin, ep, cout, k, stride, se, 2)
+        assert n % bn == 0, (n, bn)
+        kernel = functools.partial(
+            _v3_i8_kernel, bn=bn, h=h, w=w, k=k, stride=stride, act=act,
+            se=se, residual=residual, e_inv=e_inv, d_inv=d_inv,
+            p_inv=p_inv, s1_inv=s1_inv, hw_inv=1.0 / float(h_out * w_out))
+        grid = (n // bn,)
+        w_index = lambda b: (0, 0)
+        in_specs = [pl.BlockSpec((bn * h * w, cin), lambda b: (b, 0),
+                                 memory_space=pltpu.VMEM)] + _w_specs(
+                                     w_index, lambda b: (0, 0, 0))
+        if se:
+            in_specs += [
+                pl.BlockSpec((ep, se), w_index, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, se), w_index, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, se), w_index, memory_space=pltpu.VMEM),
+                pl.BlockSpec((se, ep), w_index, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ep), w_index, memory_space=pltpu.VMEM),
+            ]
+            args += [s1w, s1b.reshape(1, se), s1a.reshape(1, se),
+                     s2w, s2b.reshape(1, ep), s2a.reshape(1, ep)]
+        o_spec = pl.BlockSpec((bn * h_out * w_out, cout), lambda b: (b, 0),
+                              memory_space=pltpu.VMEM)
+        pr = _scratch_pad(k, stride, h)
+        pc = _scratch_pad(k, stride, w)
+        scratch = pltpu.VMEM((bn, h + pr, w + pc, ep), jnp.bfloat16)
+    else:
+        assert k == 3 and not se  # rows contract (ops/pallas_ir_v3._mode)
+        args[0] = x
+        th = tile
+        assert h_out % th == 0, (h_out, th)
+        g = h_out // th
+        assert g >= 2
+        if stride == 1:
+            th_in = th + 2
+            x_index = lambda b, i: (
+                b, jnp.clip(i * th - 1, 0, h - (th + 2)), 0, 0)
+        else:
+            th_in = 2 * th + 2
+            x_index = lambda b, i: (
+                b, jnp.minimum(i * 2 * th, h - (2 * th + 2)), 0, 0)
+        kernel = functools.partial(
+            _v3_i8_kernel_rows, th=th, h=h, w=w, stride=stride, act=act,
+            residual=residual, e_inv=e_inv, d_inv=d_inv, p_inv=p_inv, g=g)
+        grid = (n, g)
+        in_specs = [pl.BlockSpec(
+            (pl.Element(1), pl.Element(th_in), pl.Element(w),
+             pl.Element(cin)), x_index, memory_space=pltpu.VMEM)] + _w_specs(
+                lambda b, i: (0, 0), lambda b, i: (0, 0, 0))
+        o_spec = pl.BlockSpec((th * w_out, cout), lambda b, i: (b * g + i, 0),
+                              memory_space=pltpu.VMEM)
+        scratch = pltpu.VMEM(
+            (th + 2 if stride == 1 else 2 * th + 2, w + 2, ep),
+            jnp.bfloat16)
     out2 = pl.pallas_call(
         kernel,
         grid=grid,

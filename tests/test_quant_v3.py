@@ -225,3 +225,51 @@ def test_fused_i8_pipeline_matches(qsetup):
     a = Int8PipelineV3(cfg, params=folded).run_batch(imgs)
     b = Int8PipelineV3(cfg, params=folded, use_fused=True).run_batch(imgs)
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize(
+    "n,h,cin,e,cout,stride,res,act,want_mode",
+    [
+        (2, 112, 16, 64, 24, 2, False, "relu", "rows"),   # blk1-L class
+        (2, 56, 24, 144, 24, 1, True, "relu", "rows"),    # s1 residual rows
+        (1, 48, 24, 72, 24, 1, True, "hswish", "whole"),
+    ],
+)
+def test_fused_i8_rows_mode_exact(n, h, cin, e, cout, stride, res, act,
+                                  want_mode):
+    """Row-tiled int8 V3 kernel (k=3, no SE — V3-Large's big-spatial
+    blocks): named-act staging through the float rows geometry, exact."""
+    import jax.numpy as jnp
+
+    from mobilenet_tpu.ops.pallas_ir_v3 import _mode as v3mode
+    from mobilenet_tpu.quant.pallas_ir_v3_i8 import v3_block_pallas_i8
+    from mobilenet_tpu.quant.v3 import (_dwk_acc_np, _pw_acc_np,
+                                        _quant_named, _requant_named_np)
+
+    rng = np.random.default_rng(2)
+    assert v3mode(n, h, h, cin, e, cout, 3, stride, 0, 2)[0] == want_mode
+    qe = _quant_named(rng.normal(0, cin ** -0.5, (cin, e)).astype(
+        np.float32), rng.normal(0, 0.1, (e,)).astype(np.float32), 1,
+        np.float32(0.05), np.float32(0.08))
+    qd = _quant_named(rng.normal(0, 0.3, (3, 3, 1, e)).astype(np.float32),
+                      rng.normal(0, 0.1, (e,)).astype(np.float32), 3,
+                      np.float32(0.08), np.float32(0.07), k_taps=9)
+    qp = _quant_named(rng.normal(0, e ** -0.5, (e, cout)).astype(
+        np.float32), rng.normal(0, 0.1, (cout,)).astype(np.float32), 1,
+        np.float32(0.07), np.float32(0.05))
+    x_i8 = rng.integers(-100, 101, (n, h, h, cin)).astype(np.int8)
+    z = _requant_named_np(_pw_acc_np(x_i8, qe.w_i8) + qe.bias_i32,
+                          qe.a, qe.inv_s, act)
+    z = _requant_named_np(_dwk_acc_np(z, qd.w_i8, stride, 3) + qd.bias_i32,
+                          qd.a, qd.inv_s, act)
+    want = _requant_named_np(_pw_acc_np(z, qp.w_i8) + qp.bias_i32,
+                             qp.a, qp.inv_s, "linear")
+    if res:
+        want = np.clip(want.astype(np.int32) + x_i8.astype(np.int32),
+                       -128, 127).astype(np.int8)
+    lay = lambda l: {"w": jnp.asarray(l.w_i8),  # noqa: E731
+                     "b": jnp.asarray(l.bias_i32),
+                     "a": jnp.asarray(l.a), "inv_s": float(l.inv_s)}
+    got = v3_block_pallas_i8(jnp.asarray(x_i8), lay(qe), lay(qd), lay(qp),
+                             k=3, stride=stride, act=act, residual=res)
+    np.testing.assert_array_equal(np.asarray(got), want)
