@@ -57,10 +57,14 @@ def test_pipeline_accepts_dp_mesh():
 def test_regress_variant_roundtrip():
     from regress import variant_to_pair
 
-    assert variant_to_pair("mobilenet_v1_0.25_128") == (0.25, 128)
-    assert variant_to_pair("mobilenet_v1_1_224") == (1.0, 224)
+    # third element: the V3 minimalistic flag (False for V1/V2 rows)
+    assert variant_to_pair("mobilenet_v1_0.25_128") == (0.25, 128, False)
+    assert variant_to_pair("mobilenet_v1_1_224") == (1.0, 224, False)
     cfg = ModelConfig(alpha=0.75, resolution=192)
-    assert variant_to_pair(cfg.variant_name()) == (0.75, 192)
+    assert variant_to_pair(cfg.variant_name()) == (0.75, 192, False)
+    assert variant_to_pair("mobilenet_v3_small_1_224") == (1.0, 224, False)
+    assert variant_to_pair("mobilenet_v3_large_min_1_224") == (
+        1.0, 224, True)
 
 
 def test_regress_row_tolerance_tiers():
