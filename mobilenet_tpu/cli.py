@@ -634,7 +634,16 @@ def cmd_train(args):
     folded = (load_npz(args.ckpt) if getattr(args, "ckpt", None)
               else default_folded(cfg, seed=args.seed))
     params = to_device(folded)
-    init_fn, step_fn = make_optax_trainer(cfg, lr=args.lr)
+    if getattr(args, "qat", False):
+        from .config import ModelConfig  # noqa: PLC0415
+        from .quant.qat import make_qat_trainer  # noqa: PLC0415
+
+        if not isinstance(cfg, ModelConfig):
+            raise SystemExit("--qat supports the V1 int8 fixed-point scheme "
+                             "only (quant/qat.py)")
+        init_fn, step_fn = make_qat_trainer(cfg, lr=args.lr)
+    else:
+        init_fn, step_fn = make_optax_trainer(cfg, lr=args.lr)
     opt_state = init_fn(params)
     step = jax.jit(step_fn)
 
@@ -925,6 +934,9 @@ def main(argv=None):
     sp.add_argument("--steps", type=int, default=10)
     sp.add_argument("--lr", type=float, default=1e-2)
     sp.add_argument("--out", default=None, help="save trained .npz here")
+    sp.add_argument("--qat", action="store_true",
+                    help="quantization-aware training: the int8 deployment "
+                         "quantizer runs in the graph (quant/qat.py; V1 only)")
     common(sp, 32, model_flag=True)
     sp.set_defaults(fn=cmd_train)
 

@@ -1,0 +1,110 @@
+"""Quantization-aware training tests (quant/qat.py).
+
+The headline gate is the repo's int8 invariant applied to QAT: the QAT
+forward's integer-domain taps equal quant/oracle.forward_all BIT-FOR-BIT at
+every layer — the training graph IS the deployed int8 network, not an
+approximation of it. Plus the standard training-side gates (finite nonzero
+STE gradients, descending loss) and the export roundtrip (post-QAT params
+quantize() cleanly and the exported model reproduces the QAT logits).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mobilenet_tpu import ModelConfig
+from mobilenet_tpu.checkpoints import default_folded, to_device
+from mobilenet_tpu.quant import oracle as qoracle
+from mobilenet_tpu.quant import qat
+from mobilenet_tpu.quant.quantize import quantize, quantize_input
+
+
+def _setup(alpha=0.25, res=64, n=4, seed=0):
+    cfg = ModelConfig(alpha=alpha, resolution=res)
+    folded = default_folded(cfg, seed=seed)
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1, 1, (n, res, res, 3)).astype(np.float32)
+    return cfg, folded, x
+
+
+def _assert_exact_vs_oracle(cfg, folded, x):
+    logits, acts = qat.qat_forward(to_device(folded), jnp.asarray(x), cfg,
+                                   collect=True)
+    ref_logits, ref_acts = qoracle.forward_all(
+        quantize(folded, cfg), quantize_input(x), cfg)
+    for name, ref in ref_acts.items():
+        got = np.asarray(acts[name], np.float32)
+        want = np.asarray(ref, np.float32)
+        assert np.array_equal(got, want), (
+            name, np.abs(got - want).max(), (got != want).mean())
+    assert np.array_equal(np.asarray(logits, np.float32),
+                          np.asarray(ref_logits, np.float32))
+
+
+def test_qat_forward_bit_exact_vs_int8_oracle():
+    cfg, folded, x = _setup(alpha=0.25, res=64)
+    _assert_exact_vs_oracle(cfg, folded, x)
+
+
+def test_qat_forward_bit_exact_at_widest_channels():
+    # alpha=1.0 is the worst accumulation case: pointwise Cin=1024 sums reach
+    # 1024*127*127 = 16.52e6, just under the 2^24 exact-f32-integer bound the
+    # module's docstring claims — this gate is what makes the claim honest.
+    cfg, folded, x = _setup(alpha=1.0, res=32, n=2)
+    _assert_exact_vs_oracle(cfg, folded, x)
+
+
+def test_qat_grads_finite_and_nonzero():
+    cfg, folded, x = _setup()
+    params = to_device(folded)
+    labels = jnp.asarray(np.arange(4) % 3, jnp.int32)
+
+    def loss_fn(p):
+        logits = qat.qat_forward(p, jnp.asarray(x), cfg)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    gnorm = sum(float(jnp.sum(g ** 2)) for g in leaves)
+    assert gnorm > 0
+    # STE must reach EVERY layer's weights, not just the head.
+    g = grads["conv1"]["w"]
+    assert float(jnp.sum(jnp.abs(g))) > 0
+
+
+def test_qat_trainer_descends():
+    cfg, folded, x = _setup(n=8)
+    params = to_device(folded)
+    rng = np.random.default_rng(0)
+    xb = jnp.asarray(rng.uniform(-1, 1, (8, 64, 64, 3)), jnp.float32)
+    yb = jnp.asarray(rng.integers(0, 1000, (8,)), jnp.int32)
+    init_fn, step_fn = qat.make_qat_trainer(cfg, lr=5e-2)
+    opt_state = init_fn(params)
+    step = jax.jit(step_fn)
+    losses = []
+    for _ in range(4):
+        params, opt_state, loss, top1 = step(params, opt_state, xb, yb)
+        losses.append(float(loss))
+        assert 0.0 <= float(top1) <= 1.0
+    assert losses[-1] < losses[0]
+
+
+def test_qat_export_roundtrip_reproduces_training_forward():
+    # After QAT steps, exporting through the unchanged post-training
+    # quantizer must reproduce the exact function the optimizer saw.
+    cfg, folded, x = _setup(n=8)
+    params = to_device(folded)
+    rng = np.random.default_rng(1)
+    xb = jnp.asarray(rng.uniform(-1, 1, (8, 64, 64, 3)), jnp.float32)
+    yb = jnp.asarray(rng.integers(0, 1000, (8,)), jnp.int32)
+    init_fn, step_fn = qat.make_qat_trainer(cfg, lr=1e-2)
+    opt_state = init_fn(params)
+    step = jax.jit(step_fn)
+    for _ in range(2):
+        params, opt_state, _, _ = step(params, opt_state, xb, yb)
+    trained = jax.tree.map(lambda a: np.asarray(a, np.float32),
+                           jax.device_get(params))
+    _assert_exact_vs_oracle(cfg, trained, x)
