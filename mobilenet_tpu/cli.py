@@ -635,13 +635,16 @@ def cmd_train(args):
               else default_folded(cfg, seed=args.seed))
     params = to_device(folded)
     if getattr(args, "qat", False):
-        from .config import ModelConfig  # noqa: PLC0415
-        from .quant.qat import make_qat_trainer  # noqa: PLC0415
+        from .models.mobilenet_v2 import V2Config  # noqa: PLC0415
+        from .models.mobilenet_v3 import V3Config  # noqa: PLC0415
+        from .quant import qat  # noqa: PLC0415
 
-        if not isinstance(cfg, ModelConfig):
-            raise SystemExit("--qat supports the V1 int8 fixed-point scheme "
-                             "only (quant/qat.py)")
-        init_fn, step_fn = make_qat_trainer(cfg, lr=args.lr)
+        if isinstance(cfg, V2Config):
+            init_fn, step_fn, _ = qat.make_qat_trainer_v2(cfg, folded, lr=args.lr)
+        elif isinstance(cfg, V3Config):
+            init_fn, step_fn, _ = qat.make_qat_trainer_v3(cfg, folded, lr=args.lr)
+        else:
+            init_fn, step_fn = qat.make_qat_trainer(cfg, lr=args.lr)
     else:
         init_fn, step_fn = make_optax_trainer(cfg, lr=args.lr)
     opt_state = init_fn(params)
@@ -936,7 +939,8 @@ def main(argv=None):
     sp.add_argument("--out", default=None, help="save trained .npz here")
     sp.add_argument("--qat", action="store_true",
                     help="quantization-aware training: the int8 deployment "
-                         "quantizer runs in the graph (quant/qat.py; V1 only)")
+                         "quantizer runs in the graph (quant/qat.py; all "
+                         "three families — V2/V3 calibrate-then-freeze)")
     common(sp, 32, model_flag=True)
     sp.set_defaults(fn=cmd_train)
 

@@ -92,6 +92,107 @@ def test_qat_trainer_descends():
     assert losses[-1] < losses[0]
 
 
+def test_qat_v2_bit_exact_vs_int8_oracle():
+    # V2: calibrated group scales, linear bottleneck requant, saturating
+    # residual adds — all in the integer domain. 1.0-96 matches the family
+    # CPU gates (Makefile verify-families); fc's 1280-lane reduction exceeds
+    # the worst-case 2^24 bound, so logits exactness here is the empirical
+    # gate the module docstring cites.
+    from mobilenet_tpu.models.mobilenet_v2 import V2Config
+    from mobilenet_tpu.quant.v2 import forward_all_v2_i8, quantize_v2
+
+    cfg = V2Config(alpha=1.0, resolution=96)
+    folded = default_folded(cfg, seed=0)
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1, 1, (2, 96, 96, 3)).astype(np.float32)
+    qv2 = quantize_v2(folded, cfg)
+    logits, acts = qat.qat_forward_v2(
+        to_device(folded), jnp.asarray(x), cfg,
+        tuple(float(s) for s in qv2.s_blk), collect=True)
+    ref_logits, ref_acts = forward_all_v2_i8(qv2, quantize_input(x), cfg)
+    for name, ref in ref_acts.items():
+        got = np.asarray(acts[name], np.float32)
+        want = np.asarray(ref, np.float32)
+        assert np.array_equal(got, want), (
+            name, np.abs(got - want).max(), (got != want).mean())
+    assert np.array_equal(np.asarray(logits, np.float32),
+                          np.asarray(ref_logits, np.float32))
+
+
+def test_qat_v2_trainer_descends():
+    from mobilenet_tpu.models.mobilenet_v2 import V2Config
+
+    cfg = V2Config(alpha=1.0, resolution=96)
+    folded = default_folded(cfg, seed=0)
+    params = to_device(folded)
+    rng = np.random.default_rng(0)
+    xb = jnp.asarray(rng.uniform(-1, 1, (4, 96, 96, 3)), jnp.float32)
+    yb = jnp.asarray(rng.integers(0, 1000, (4,)), jnp.int32)
+    # lr 5e-2 diverges on V2 (residual chains amplify the STE steps:
+    # measured loss 9.85 -> 131 in 3 steps); 2e-3 descends.
+    init_fn, step_fn, s_blk = qat.make_qat_trainer_v2(cfg, folded, lr=2e-3)
+    assert len(s_blk) == len(cfg.block_defs)
+    opt_state = init_fn(params)
+    step = jax.jit(step_fn)
+    losses = []
+    for _ in range(3):
+        params, opt_state, loss, _ = step(params, opt_state, xb, yb)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_qat_v3_bit_exact_vs_int8_oracle():
+    # V3-Small: named-activation scheme — hard-swish through the f32
+    # real-units detour and the quantized SE gate, all in the QAT graph.
+    from mobilenet_tpu.models.mobilenet_v3 import V3Config
+    from mobilenet_tpu.quant.v3 import forward_all_v3_i8, quantize_v3
+
+    cfg = V3Config(variant="small", alpha=1.0, resolution=96)
+    folded = default_folded(cfg, seed=0)
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1, 1, (2, 96, 96, 3)).astype(np.float32)
+    qv3 = quantize_v3(folded, cfg)
+    from mobilenet_tpu.quant.v3 import calibrate_v3
+
+    cal = calibrate_v3(folded, cfg)
+    logits, acts = qat.qat_forward_v3(
+        to_device(folded), jnp.asarray(x), cfg, cal, collect=True)
+    ref_logits, ref_acts = forward_all_v3_i8(qv3, quantize_input(x), cfg)
+    for name, ref in ref_acts.items():
+        got = np.asarray(acts[name], np.float32)
+        want = np.asarray(ref, np.float32)
+        assert np.array_equal(got, want), (
+            name, np.abs(got - want).max(), (got != want).mean())
+    assert np.array_equal(np.asarray(logits, np.float32),
+                          np.asarray(ref_logits, np.float32))
+
+
+def test_qat_v3_trainer_descends_and_grads_reach_se():
+    from mobilenet_tpu.models.mobilenet_v3 import V3Config
+
+    cfg = V3Config(variant="small", alpha=1.0, resolution=96)
+    folded = default_folded(cfg, seed=0)
+    params = to_device(folded)
+    rng = np.random.default_rng(0)
+    xb = jnp.asarray(rng.uniform(-1, 1, (4, 96, 96, 3)), jnp.float32)
+    yb = jnp.asarray(rng.integers(0, 1000, (4,)), jnp.int32)
+    init_fn, step_fn, cal = qat.make_qat_trainer_v3(cfg, folded, lr=2e-3)
+    opt_state = init_fn(params)
+    step = jax.jit(step_fn)
+    losses = []
+    for _ in range(3):
+        params2, opt_state, loss, _ = step(params, opt_state, xb, yb)
+        losses.append(float(loss))
+        # SE weights must move: STE gradients reach the in-gate matmuls.
+        se_blocks = [i for i, bd in enumerate(cfg.block_defs) if bd.se_mid]
+        i = se_blocks[0]
+        delta = float(jnp.sum(jnp.abs(
+            params2["blocks"][i]["se"]["w1"] - params["blocks"][i]["se"]["w1"])))
+        assert delta > 0
+        params = params2
+    assert losses[-1] < losses[0]
+
+
 def test_qat_export_roundtrip_reproduces_training_forward():
     # After QAT steps, exporting through the unchanged post-training
     # quantizer must reproduce the exact function the optimizer saw.
