@@ -50,7 +50,59 @@ def _device_latency_ms(pipe, cfg, chain_len: int) -> float:
     return differenced_chain_ms(make, x, chain_len)
 
 
+def _tpu_reachable(timeout_s: int = 240) -> bool:
+    """Bounded out-of-process probe of the tunneled device.
+
+    This environment's TPU sits behind a network tunnel that, when down,
+    makes backend init HANG indefinitely (measured 2026-08-18: >300 s with
+    no error) — which would turn the driver's bench run into a silent
+    stall. Probing in a subprocess keeps the bound enforceable; the parent
+    process hasn't initialized a backend yet, so on failure it can still
+    switch itself to CPU."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "assert d and d[0].platform != 'cpu', d"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _emit_stale_contract_line() -> bool:
+    """Tunnel-down fallback: emit the last RECORDED on-chip contract line,
+    explicitly flagged ("fresh": false) so it cannot be mistaken for a
+    measurement. Returns False if no recorded artifact exists."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "bench_contract_v5e.json")
+    if not os.path.exists(path):
+        return False
+    with open(path) as f:
+        rec = json.load(f)
+    rec.pop("recorded", None)
+    rec["fresh"] = False
+    rec["note"] = ("TPU tunnel unreachable at bench time; this is the last "
+                   "recorded on-chip measurement "
+                   "(benchmarks/bench_contract_v5e.json), not a fresh run")
+    print(json.dumps(rec))
+    return True
+
+
 def main():
+    # The probe must run BEFORE any in-process jax backend touch: a hung
+    # axon init cannot be cancelled once started.
+    if os.environ.get("BENCH_SKIP_PROBE") != "1" and not _tpu_reachable():
+        if _emit_stale_contract_line():
+            return
+        # No recorded artifact to fall back on: run on CPU (the JSON line
+        # then self-describes via "backend": "cpu").
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     import jax
 
     from mobilenet_tpu import ModelConfig
@@ -113,6 +165,7 @@ def main():
         "backend": jax.default_backend(),
         "dtype": "bfloat16",
         "dw_backend": dw_backend,
+        "fresh": True,
     }
     print(json.dumps(result))
 
