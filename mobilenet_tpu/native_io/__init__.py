@@ -40,7 +40,7 @@ def build(force: bool = False) -> str:
     ):
         return _LIB
     cmd = [
-        "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+        "g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-pthread",
         _SRC, "-o", _LIB, "-ljpeg", "-lpng",
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True)
@@ -63,6 +63,16 @@ def _load() -> ctypes.CDLL:
     ]
     lib.mnv1_decode_image.restype = ctypes.c_int
     lib.mnv1_free.argtypes = [ctypes.POINTER(ctypes.c_ubyte)]
+    lib.mnv1_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.mnv1_decode_batch.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -97,3 +107,52 @@ def decode_image(path: str) -> np.ndarray:
     finally:
         lib.mnv1_free(out)
     return arr.reshape(h.value, w.value, 3)
+
+
+def decode_batch(paths, threads: int = 0, strict: bool = True):
+    """Decode many JPEG/PNG files concurrently on a native thread pool.
+
+    The host-side staging analog of the reference's multi-image ingest
+    (SURVEY.md §2 C10/C12): decode throughput is what feeds the 64-stream
+    serving path and directory eval, and a Python-level loop serializes on
+    the GIL around every libjpeg call — the pool in decode.cpp does not.
+
+    Returns a list of (H, W, 3) uint8 arrays aligned with `paths`. With
+    strict=True (default) any failure raises with per-file detail; with
+    strict=False failed entries are returned as None.
+    """
+    lib = _load()
+    n = len(paths)
+    if n == 0:
+        return []
+    enc = [os.fspath(p).encode() for p in paths]
+    c_paths = (ctypes.c_char_p * n)(*enc)
+    outs = (ctypes.POINTER(ctypes.c_ubyte) * n)()
+    hs = (ctypes.c_int * n)()
+    ws = (ctypes.c_int * n)()
+    rcs = (ctypes.c_int * n)()
+    failures = lib.mnv1_decode_batch(
+        c_paths, n, threads, outs, hs, ws, rcs)
+    images = []
+    errors = []
+    try:
+        for i in range(n):
+            if rcs[i] != 0:
+                images.append(None)
+                errors.append(
+                    f"{paths[i]!r}: {_ERRORS.get(rcs[i], rcs[i])}")
+                continue
+            size = hs[i] * ws[i] * 3
+            images.append(
+                np.ctypeslib.as_array(outs[i], shape=(size,))
+                .copy().reshape(hs[i], ws[i], 3))
+    finally:
+        for i in range(n):
+            if outs[i]:
+                lib.mnv1_free(outs[i])
+    assert len(errors) == failures, (errors, failures)
+    if strict and errors:
+        raise ValueError(
+            f"native batch decode: {len(errors)}/{n} failed: "
+            + "; ".join(errors[:5]))
+    return images

@@ -17,6 +17,10 @@
 #include <cstring>
 #include <csetjmp>
 
+#include <atomic>
+#include <thread>
+#include <vector>
+
 #include <jpeglib.h>
 #include <png.h>
 
@@ -136,5 +140,49 @@ int mnv1_decode_image(const char* path, unsigned char** out, int* h, int* w) {
 }
 
 void mnv1_free(unsigned char* ptr) { free(ptr); }
+
+// Threaded batch decode — the host-side staging analog of the reference's
+// multi-image ingest (SURVEY.md §2 C10/C12: the FPGA host staged batches of
+// decoded images into pinned buffers while the device ran). Each worker
+// pulls the next undecoded index off a shared atomic counter, so long
+// (large-image) decodes don't convoy short ones. libjpeg/libpng are
+// re-entrant per decoder instance; every instance here is thread-local
+// stack state, so no locking is needed around the codecs.
+//
+//   paths:   n C strings
+//   threads: worker count; <=0 means std::thread::hardware_concurrency()
+//   outs[i]: malloc'd H*W*3 RGB on success (caller frees via mnv1_free),
+//            nullptr on failure
+//   hs/ws[i]: decoded dims; rcs[i]: per-image code (see mnv1_decode_image)
+// Returns the number of images that FAILED (0 == all decoded).
+int mnv1_decode_batch(const char** paths, int n, int threads,
+                      unsigned char** outs, int* hs, int* ws, int* rcs) {
+    if (n <= 0) return 0;
+    int hw = static_cast<int>(std::thread::hardware_concurrency());
+    if (hw <= 0) hw = 4;
+    int nt = threads > 0 ? threads : hw;
+    if (nt > n) nt = n;
+    std::atomic<int> next(0);
+    std::atomic<int> failures(0);
+    auto worker = [&]() {
+        for (;;) {
+            int i = next.fetch_add(1, std::memory_order_relaxed);
+            if (i >= n) return;
+            outs[i] = nullptr;
+            hs[i] = ws[i] = 0;
+            rcs[i] = mnv1_decode_image(paths[i], &outs[i], &hs[i], &ws[i]);
+            if (rcs[i] != 0) failures.fetch_add(1, std::memory_order_relaxed);
+        }
+    };
+    if (nt <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> pool;
+        pool.reserve(nt);
+        for (int t = 0; t < nt; t++) pool.emplace_back(worker);
+        for (auto& th : pool) th.join();
+    }
+    return failures.load(std::memory_order_relaxed);
+}
 
 }  // extern "C"

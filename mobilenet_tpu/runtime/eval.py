@@ -70,20 +70,41 @@ def synth_images(config: ModelConfig, n: int, seed: int,
 
 
 def load_dir_images(path: str) -> List[np.ndarray]:
-    """Decode every PIL-readable file under `path` (sorted for determinism)."""
+    """Decode every readable image under `path` (sorted for determinism).
+
+    Uses the native thread-pooled batch decoder when it builds on this
+    machine (native_io.decode_batch — decodes concurrently off the GIL, the
+    reference host's staged-ingest analog); per-image PIL fallback
+    otherwise. Non-image files are skipped either way."""
     import os
 
     from ..ops.preprocess import decode_image_host
 
-    images = []
-    for name in sorted(os.listdir(path)):
-        full = os.path.join(path, name)
-        if not os.path.isfile(full):
-            continue
-        try:
-            images.append(decode_image_host(full))
-        except Exception:
-            continue  # non-image file in the directory
+    paths = [os.path.join(path, name) for name in sorted(os.listdir(path))
+             if os.path.isfile(os.path.join(path, name))]
+    images: List[np.ndarray] = []
+    try:
+        from .. import native_io
+
+        native_ok = native_io.available()
+    except Exception:
+        native_ok = False
+    if native_ok:
+        decoded = native_io.decode_batch(paths, strict=False)
+        for full, img in zip(paths, decoded):
+            if img is not None:
+                images.append(img)
+                continue
+            try:  # format native_io doesn't cover (e.g. BMP) — let PIL try
+                images.append(decode_image_host(full, backend="pil"))
+            except Exception:
+                continue  # non-image file in the directory
+    else:
+        for full in paths:
+            try:
+                images.append(decode_image_host(full))
+            except Exception:
+                continue  # non-image file in the directory
     if not images:
         raise ValueError(f"no decodable images found under {path!r}")
     return images

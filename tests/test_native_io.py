@@ -95,3 +95,56 @@ def test_grayscale_jpeg(tmp_path, rng):
     pil = np.asarray(Image.open(path).convert("RGB"))
     assert nat.shape == (33, 44, 3)
     assert np.abs(nat.astype(int) - pil.astype(int)).max() <= 1
+
+
+def test_decode_batch_matches_single(tmp_path, rng):
+    """Thread-pooled batch decode returns exactly the per-image results,
+    aligned with the input order (worker scheduling must not reorder)."""
+    paths = []
+    for i in range(17):  # > default pool size, odd count
+        arr = rng.integers(0, 256, (16 + i, 20 + 2 * i, 3), dtype=np.uint8)
+        p = tmp_path / f"img_{i:02d}.png"
+        Image.fromarray(arr).save(p)
+        paths.append(str(p))
+    batch = native_io.decode_batch(paths, threads=4)
+    assert len(batch) == len(paths)
+    for p, got in zip(paths, batch):
+        np.testing.assert_array_equal(got, native_io.decode_image(p))
+
+
+def test_decode_batch_empty_and_single_thread(tmp_path, rng):
+    assert native_io.decode_batch([]) == []
+    arr = rng.integers(0, 256, (12, 14, 3), dtype=np.uint8)
+    p = tmp_path / "one.png"
+    Image.fromarray(arr).save(p)
+    (got,) = native_io.decode_batch([str(p)], threads=1)
+    np.testing.assert_array_equal(got, np.asarray(Image.open(p)))
+
+
+def test_decode_batch_error_isolation(tmp_path, rng):
+    """One corrupt file must not poison its neighbors; strict raises with
+    the failing path, strict=False yields None in-place."""
+    good = tmp_path / "good.png"
+    Image.fromarray(rng.integers(0, 256, (10, 10, 3), dtype=np.uint8)).save(good)
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(good.read_bytes()[:30])
+    paths = [str(good), str(bad), str(good)]
+    out = native_io.decode_batch(paths, strict=False)
+    assert out[1] is None
+    np.testing.assert_array_equal(out[0], out[2])
+    with pytest.raises(ValueError, match="bad.png"):
+        native_io.decode_batch(paths)
+
+
+def test_load_dir_images_uses_batch_path(tmp_path, rng):
+    """Directory eval ingest: images decode (native batch route), non-image
+    files are skipped, order is name-sorted."""
+    from mobilenet_tpu.runtime.eval import load_dir_images
+
+    shapes = [(24, 24, 3), (30, 20, 3), (18, 36, 3)]
+    for i, s in enumerate(shapes):
+        Image.fromarray(rng.integers(0, 256, s, dtype=np.uint8)).save(
+            tmp_path / f"{i}.png")
+    (tmp_path / "notes.txt").write_text("not an image")
+    imgs = load_dir_images(str(tmp_path))
+    assert [im.shape for im in imgs] == shapes
