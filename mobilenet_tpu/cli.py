@@ -302,12 +302,43 @@ def _verify_routing(args, cfg, folded, x) -> bool:
     got = np.asarray(logits_fn(pipe_r, args.routing), np.float32)
     ref = np.asarray(logits_fn(pipe_x, "xla"), np.float32)
 
+    # fp32 oracle logits: the bf16 anchor check below plus the
+    # informational top-1 line at the end.
+    if args.oracle == "cpp":
+        from . import cpu_ref as omod
+    else:
+        from .oracle import numpy_ref as omod
+    fwd_all = (omod.forward_all_v2 if isinstance(cfg, V2Config)
+               else omod.forward_all_v3 if isinstance(cfg, V3Config)
+               else omod.forward_all)
+    ora = np.asarray(fwd_all(folded, np.asarray(x, np.float32), cfg)[0],
+                     np.float32)
+
     # Same-dtype, different accumulation structure (Pallas in-kernel f32
     # accumulate + bf16 inter-block stores vs XLA's fusion choices): bf16
-    # logits at O(1) scale round at ~2^-8 per layer and compound over 28
-    # layers — interpret-tier measurement reads max_abs ~2.3e-2 at 0.25-64
-    # (gate headroom ~2.5x); fp32 gets ~2x the per-layer MM gate.
-    atol, rtol = ((6e-2, 5e-2) if dtype == jnp.bfloat16 else (2e-4, 2e-3))
+    # rounding compounds with depth PROPORTIONAL TO LOGITS SCALE, so the
+    # bf16 atol is scale-aware — max(absolute V1-class floor, measured
+    # relative class x logits absmax); calibration numbers and the V3
+    # measurement that forced this live at golden.ROUTING_BF16_*.
+    # fp32 gets ~2x the per-layer MM gate (accumulation is HIGHEST-precision
+    # on both routes there, so no scale term is needed).
+    anchor_ok = True
+    if dtype == jnp.bfloat16:
+        scale = float(np.abs(ref).max())
+        atol = max(golden.ROUTING_BF16_ATOL, golden.ROUTING_BF16_REL * scale)
+        rtol = 5e-2
+        # Oracle anchor: reassociation noise leaves the route no farther
+        # from the fp32 oracle than the xla route is (within headroom);
+        # a real kernel defect lands far outside regardless of scale.
+        d_got = float(np.abs(got - ora).max())
+        d_ref = float(np.abs(ref - ora).max())
+        anchor = golden.ROUTING_ANCHOR_FACTOR * d_ref + golden.ROUTING_BF16_ATOL
+        anchor_ok = d_got <= anchor
+        print(f"[{'OK ' if anchor_ok else 'FAIL'}] oracle anchor: "
+              f"|{args.routing}-fp32|={d_got:.4f} vs "
+              f"{golden.ROUTING_ANCHOR_FACTOR}x|xla-fp32|+atol={anchor:.4f}")
+    else:
+        atol, rtol = 2e-4, 2e-3
     reports = golden.compare_activations({"logits": got}, {"logits": ref},
                                          tols={"logits": (atol, rtol)})
     for r in reports:
@@ -326,21 +357,13 @@ def _verify_routing(args, cfg, folded, x) -> bool:
     print(f"top-1 routing({args.routing}) == routing(xla): "
           f"{int(agree.sum())}/{len(got)}{tie_note}")
 
-    # Informational oracle anchor (fp32): strict gating of oracle top-1 is
+    # Informational oracle top-1 line: strict gating of oracle top-1 is
     # `cli eval`'s job; here it contextualizes any near-tie flips.
-    if args.oracle == "cpp":
-        from . import cpu_ref as omod
-    else:
-        from .oracle import numpy_ref as omod
-    fwd_all = (omod.forward_all_v2 if isinstance(cfg, V2Config)
-               else omod.forward_all_v3 if isinstance(cfg, V3Config)
-               else omod.forward_all)
-    ora, _ = fwd_all(folded, np.asarray(x, np.float32), cfg)
-    ora_match = int((got.argmax(-1) == np.asarray(ora).argmax(-1)).sum())
+    ora_match = int((got.argmax(-1) == ora.argmax(-1)).sum())
     print(f"top-1 routing({args.routing}) == {args.oracle} oracle (fp32): "
           f"{ora_match}/{len(got)} [informational]")
 
-    ok = reports[0].ok and top1_ok
+    ok = reports[0].ok and top1_ok and anchor_ok
     print(("ROUTING VERIFY OK" if ok else "ROUTING VERIFY FAILED")
           + f": {args.routing} vs xla @ {cfg.variant_name()} "
           f"{np.dtype(dtype).name} batch={len(got)}")
@@ -367,7 +390,21 @@ def cmd_eval(args):
     # INT8 is bit-exact by contract (CLAUDE.md invariants): its logits equal
     # the oracle's exactly, so a top-1 flip is a real defect, never a float
     # rounding near-tie — force the strict gate regardless of --tie-margin.
-    tie_margin = 0.0 if getattr(args, "int8", False) else args.tie_margin
+    # Float defaults are (family, dtype)-calibrated: the bf16 top-1 flip
+    # class is measured per family (golden.BF16_TIE_MARGIN — V3-Large-224
+    # flips at rel margin 1.3% on chip, within its 4.2% bf16 logits class).
+    if getattr(args, "int8", False):
+        tie_margin = 0.0
+    elif args.tie_margin is not None:
+        tie_margin = args.tie_margin
+    elif args.dtype == "bfloat16":
+        from .utils import golden
+
+        fam = {"v1": "v1", "v2": "v2", "v3": "v3", "v3small": "v3"}[
+            getattr(args, "model", "v1")]
+        tie_margin = golden.BF16_TIE_MARGIN[fam]
+    else:
+        tie_margin = 1e-3
     report = evaluate_agreement(
         cfg, images, params=params, seed=args.seed,
         int8=getattr(args, "int8", False), oracle=args.oracle,
@@ -902,11 +939,13 @@ def main(argv=None):
     sp.add_argument("--oracle", default="numpy", choices=["cpp", "numpy"])
     sp.add_argument("--min-agreement", type=float, default=1.0,
                     help="exit 1 below this top-1 agreement fraction")
-    sp.add_argument("--tie-margin", type=float, default=1e-3,
+    sp.add_argument("--tie-margin", type=float, default=None,
                     help="relative oracle-logit margin under which a top-1 "
                          "flip counts as a near-tie, not a mismatch (the "
                          "float path is tolerance-gated vs the oracle, so "
-                         "true ties can flip within rounding; 0 = strict)")
+                         "true ties can flip within rounding; 0 = strict). "
+                         "Default: 1e-3 for fp32, the measured per-family "
+                         "bf16 flip class for bf16 (golden.BF16_TIE_MARGIN)")
     common(sp, 16, model_flag=True)
     # The gate compares against a float32 oracle with a default threshold of
     # 1.0 — run the device side in float32 too (like verify). A bf16 eval is

@@ -47,6 +47,33 @@ V2_TOL = (1e-3, 1e-3)
 # >=2x headroom while staying >=30x below real-defect scale.
 V3_TOL = (3e-3, 1e-3)
 
+# Routing-equivalence gate (cli verify --routing ...), bf16: two VALID
+# accumulation structures of the SAME program (fused Pallas in-kernel f32
+# accumulate + bf16 inter-block stores vs XLA's fusion choices) diverge by
+# bf16 rounding compounded over depth, PROPORTIONAL TO LOGITS SCALE — an
+# absolute atol calibrated on one family cannot gate another. Measured at
+# the deepest/noisiest member (V3-Large 1.0-224, seeded weights, logits
+# absmax 41.5): fused-vs-xla max_abs = 1.5% of absmax in interpret mode,
+# 2.1% on chip; and BOTH bf16 routes sit 2.9-4.2% of absmax from the fp32
+# oracle — the fused route is the CLOSER of the two (its dw/SE/matmul
+# chain accumulates in f32 in-kernel). V1 class: 2.3e-2 absolute at
+# 0.25-64 interpret; 6e-2 passed 256/256 rows on chip at 1.0-224.
+ROUTING_BF16_ATOL = 6e-2     # absolute floor (V1-calibrated, round 3)
+ROUTING_BF16_REL = 4.5e-2    # x logits absmax: ~3x the measured V3 class
+# Oracle anchor (bf16): the route under test must stay within this factor
+# of the xla route's OWN distance from the fp32 oracle — a route that adds
+# real error (not reassociation noise) lands far outside it, independent
+# of how deep/badly-conditioned the network is.
+ROUTING_ANCHOR_FACTOR = 1.25
+
+# Measured bf16 top-1 flip class for `cli eval` tie-awareness: relative
+# oracle-logit margins under which a device-bf16 top-1 flip is rounding,
+# not defect. V1 1.0-224 on chip: 0 flips in 256 (class << 1e-3). V3-Large
+# 1.0-224 on chip: flips at rel margin 1.3% (2026-08-18 campaign), i.e.
+# within the 4.2% bf16-vs-fp32 logits class above. int8 is bit-exact by
+# contract — its tie margin is forced to 0 in cmd_eval.
+BF16_TIE_MARGIN = {"v1": 1e-3, "v2": 3e-2, "v3": 3e-2}
+
 
 def max_ulp_diff(a: np.ndarray, b: np.ndarray) -> int:
     """Max distance in representable float32 steps between two arrays."""

@@ -156,7 +156,7 @@ def main(quick: bool = False, only: str = ""):
     # riskiest new hw geometry; all verified feasible via ir_i8_fits).
     i8_shapes = [(8, 14, 64, 384, 64, 1, True),
                  (8, 16, 96, 576, 160, 2, False),
-                 (8, 8, 160, 960, 320, 1, True),
+                 (8, 8, 160, 960, 160, 1, True),
                  (2, 112, 16, 96, 24, 2, False),     # rows: s2 halo
                  (2, 56, 24, 144, 24, 1, True)]      # rows: residual tiles
     if quick:
