@@ -131,3 +131,21 @@ def quantize_input(x_f32: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(np.asarray(x_f32, np.float32) / ACT_IN_SCALE), -127, 127).astype(
         np.int8
     )
+
+
+def resolve_int8_fused(use_fused, batch: int) -> bool:
+    """Resolve an int8-family routing spec (bool | "auto") to a static bool
+    for one batch shape. Both int8 routes are bit-identical — this is a pure
+    schedule choice. "auto" = the measured v5e crossover (2026-08-18 chip
+    races, benchmarks/v3_campaign_raw.log): xla wins batch 1 (V2 0.320 vs
+    0.389 ms, V3-Large 0.384 vs 0.427 ms — differenced chains), fused wins
+    throughput batches (batch 256: V2 6,950 vs 1,929; V3-Large 3,735 vs
+    1,858; V3-Small 10,516 vs 7,053 img/s) — fused from batch >= 2, the
+    same crossover class as the V1 int8 routing. Off-TPU resolves False
+    (fused would run in interpret mode — the sw_emu tier, not a
+    performance candidate)."""
+    if use_fused == "auto":
+        import jax  # noqa: PLC0415 — keep module import jax-free
+
+        return batch >= 2 and jax.default_backend() == "tpu"
+    return bool(use_fused)

@@ -344,21 +344,26 @@ def verify_int8_v2(config: V2Config, folded: Dict[str, Any],
     return ok
 
 
-def make_int8_infer_v2(q: V2QuantizedParams, config: V2Config):
+def make_int8_infer_v2(q: V2QuantizedParams, config: V2Config,
+                       use_fused="auto"):
     """Compiled int8 V2 entry: uint8 images -> float32 logits (preprocess +
-    input quantization fused into the program, mirroring make_int8_infer)."""
+    input quantization fused into the program, mirroring make_int8_infer).
+    use_fused: bool | "auto" — resolved per traced batch shape
+    (quantize.resolve_int8_fused, the measured v5e crossover)."""
     import jax
     import jax.numpy as jnp
 
     from ..ops import preprocess as prep
     from . import ops as qops
+    from .quantize import resolve_int8_fused
 
     dev = _as_device_tree_v2(q)
 
     def infer(images_u8):
         x = prep.preprocess(images_u8, config.resolution, jnp.float32)
         x_q = qops.quantize_input_dev(x, ACT_IN_SCALE, out_dtype=jnp.bfloat16)
-        return forward_v2_i8(dev, x_q, config)
+        fused = resolve_int8_fused(use_fused, int(images_u8.shape[0]))
+        return forward_v2_i8(dev, x_q, config, use_fused=fused)
 
     return jax.jit(infer), dev
 
@@ -372,19 +377,21 @@ class Int8PipelineV2:
     quantized constants are replicated like the float pipeline's weights."""
 
     def __init__(self, config: V2Config, *, seed: int = 0, params=None,
-                 mesh=None, use_fused: bool = False):
+                 mesh=None, use_fused="auto"):
         import jax
         import jax.numpy as jnp
 
         from ..checkpoints.v2 import fold_bn_v2, init_params_v2
         from ..ops import preprocess as prep
         from . import ops as qops
+        from .quantize import resolve_int8_fused
 
         # use_fused routes eligible bottlenecks through the int8 IR Pallas
         # kernel (pallas_ir_i8.py; logits bit-identical to the XLA route).
-        # Default stays False until the kernel is raced on the chip —
-        # `cli autotune --model v2 --int8` measures both.
-        self.use_fused = bool(use_fused)
+        # bool | "auto" (default): the measured v5e crossover — xla at
+        # batch 1, fused from batch 2 (resolve_int8_fused; raced by
+        # `cli autotune --model v2 --int8`, 2026-08-18 chip campaign).
+        self.use_fused = use_fused
         self.config = config
         if mesh is not None:
             from ..runtime.pipeline import _require_dp_only_mesh
@@ -408,12 +415,13 @@ class Int8PipelineV2:
         self._dev = dev
         cfg = config
 
-        fused = self.use_fused
+        spec = self.use_fused
 
         def probs(images_u8):
             x = prep.preprocess(images_u8, cfg.resolution, jnp.float32)
             x_q = qops.quantize_input_dev(x, ACT_IN_SCALE,
                                           out_dtype=jnp.bfloat16)
+            fused = resolve_int8_fused(spec, int(images_u8.shape[0]))
             logits = forward_v2_i8(dev, x_q, cfg, use_fused=fused)
             return jax.nn.softmax(logits, axis=-1)
 

@@ -549,13 +549,17 @@ def verify_int8_v3(config: V3Config, folded: Dict[str, Any],
     return ok
 
 
-def make_int8_infer_v3(q: V3QuantizedParams, config: V3Config):
-    """Compiled int8 V3 entry: uint8 images -> float32 logits."""
+def make_int8_infer_v3(q: V3QuantizedParams, config: V3Config,
+                       use_fused="auto"):
+    """Compiled int8 V3 entry: uint8 images -> float32 logits. use_fused:
+    bool | "auto" — resolved per traced batch shape
+    (quantize.resolve_int8_fused, the measured v5e crossover)."""
     import jax
     import jax.numpy as jnp
 
     from ..ops import preprocess as prep
     from . import ops as qops
+    from .quantize import resolve_int8_fused
 
     dev = _as_device_tree_v3(q)
 
@@ -563,7 +567,8 @@ def make_int8_infer_v3(q: V3QuantizedParams, config: V3Config):
         x = prep.preprocess(images_u8, config.resolution, jnp.float32)
         x_q = qops.quantize_input_dev(x, ACT_IN_SCALE,
                                       out_dtype=jnp.bfloat16)
-        return forward_v3_i8(dev, x_q, config)
+        fused = resolve_int8_fused(use_fused, int(images_u8.shape[0]))
+        return forward_v3_i8(dev, x_q, config, use_fused=fused)
 
     return jax.jit(infer), dev
 
@@ -574,18 +579,21 @@ class Int8PipelineV3:
     data-parallel sharding via jit propagation)."""
 
     def __init__(self, config: V3Config, *, seed: int = 0, params=None,
-                 mesh=None, use_fused: bool = False):
+                 mesh=None, use_fused="auto"):
         import jax
         import jax.numpy as jnp
 
         from ..checkpoints import default_folded
         from ..ops import preprocess as prep
         from . import ops as qops
+        from .quantize import resolve_int8_fused
 
         # use_fused routes eligible bottlenecks through the int8 V3 Pallas
-        # kernel (pallas_ir_v3_i8.py; bit-identical logits). Default stays
-        # False until the chip race runs (autotune --model v3 --int8).
-        self.use_fused = bool(use_fused)
+        # kernel (pallas_ir_v3_i8.py; bit-identical logits). bool | "auto"
+        # (default): the measured v5e crossover — xla at batch 1, fused
+        # from batch 2 (resolve_int8_fused; raced by `cli autotune --model
+        # v3 --int8`, 2026-08-18 chip campaign).
+        self.use_fused = use_fused
         self.config = config
         if mesh is not None:
             from ..runtime.pipeline import _require_dp_only_mesh
@@ -610,12 +618,13 @@ class Int8PipelineV3:
         self._dev = dev
         cfg = config
 
-        fused = self.use_fused
+        spec = self.use_fused
 
         def probs(images_u8):
             x = prep.preprocess(images_u8, cfg.resolution, jnp.float32)
             x_q = qops.quantize_input_dev(x, ACT_IN_SCALE,
                                           out_dtype=jnp.bfloat16)
+            fused = resolve_int8_fused(spec, int(images_u8.shape[0]))
             logits = forward_v3_i8(dev, x_q, cfg, use_fused=fused)
             return jax.nn.softmax(logits, axis=-1)
 

@@ -90,6 +90,41 @@ def _int8_latency_ms(config: ModelConfig, dev, use_fused,
     return differenced_chain_ms(make, u8, chain_len)
 
 
+def _int8_family_latency_ms(config, forward_fn, dev, use_fused,
+                            chain_len: int = 50) -> float:
+    """Batch-1 device latency of a V2/V3 int8 path under one routing spec
+    (forward_fn: quant.v2.forward_v2_i8 or quant.v3.forward_v3_i8 — both
+    take (dev, x_q, config, use_fused=...))."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import preprocess as prep
+    from ..quant import ops as qops
+    from ..quant.quantize import ACT_IN_SCALE
+    from ..utils.timing import differenced_chain_ms
+
+    def make(length):
+        def chain(u8):
+            def body(carry, _):
+                x = prep.preprocess(carry, config.resolution, jnp.float32)
+                x_q = qops.quantize_input_dev(x, ACT_IN_SCALE,
+                                              out_dtype=jnp.bfloat16)
+                logits = forward_fn(dev, x_q, config, use_fused=use_fused)
+                cls = jnp.argmax(logits)
+                nxt = jnp.clip(carry.astype(jnp.int32) + cls % 2,
+                               0, 255).astype(jnp.uint8)
+                return nxt, cls
+
+            return jax.lax.scan(body, u8, None, length=length)
+
+        return jax.jit(chain)
+
+    res = config.resolution
+    u8 = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (1, res, res, 3), dtype=np.uint8))
+    return differenced_chain_ms(make, u8, chain_len)
+
+
 def _float_latency_ms_v2(config, params, dw_backend, dtype,
                          chain_len: int = 50) -> float:
     """Batch-1 device latency of the V2 float path under one routing.
@@ -136,8 +171,19 @@ def _autotune_v2(config, batch_size, steps, candidates, seed, params,
         from ..quant.v2 import Int8PipelineV2
 
         if mode == "latency":
-            raise NotImplementedError(
-                "int8 V2 routing is a throughput race; use batch >= 2")
+            from ..checkpoints.v2 import fold_bn_v2, init_params_v2
+            from ..quant.v2 import (_as_device_tree_v2, forward_v2_i8,
+                                    quantize_v2)
+
+            folded = params if params is not None else fold_bn_v2(
+                init_params_v2(config, seed=seed), eps=config.bn_eps)
+            dev = _as_device_tree_v2(quantize_v2(folded, config))
+            for cand in candidates:
+                results[cand] = _int8_family_latency_ms(
+                    config, forward_v2_i8, dev, cand == "fused")
+            valid = {k: v for k, v in results.items() if v == v}
+            best = min(valid, key=valid.get) if valid else candidates[0]
+            return best, results
         for cand in candidates:
             pipe = Int8PipelineV2(config, seed=seed, params=params,
                                   use_fused=cand == "fused")
@@ -188,8 +234,20 @@ def _autotune_v3(config, batch_size, steps, candidates, seed, params,
         from ..quant.v3 import Int8PipelineV3
 
         if mode == "latency":
-            raise NotImplementedError(
-                "int8 V3 routing is a throughput race; use batch >= 2")
+            from ..checkpoints import default_folded
+            from ..quant.v3 import (_as_device_tree_v3, forward_v3_i8,
+                                    quantize_v3)
+
+            folded = params if params is not None else default_folded(
+                config, seed=seed)
+            dev = _as_device_tree_v3(quantize_v3(folded, config))
+            lat: Dict[str, float] = {}
+            for cand in candidates:
+                lat[cand] = _int8_family_latency_ms(
+                    config, forward_v3_i8, dev, cand == "fused")
+            valid = {k: v for k, v in lat.items() if v == v}
+            best = min(valid, key=valid.get) if valid else candidates[0]
+            return best, lat
         res: Dict[str, float] = {}
         for cand in candidates:
             pipe = Int8PipelineV3(config, seed=seed, params=params,

@@ -61,10 +61,13 @@ V3_TOL = (3e-3, 1e-3)
 ROUTING_BF16_ATOL = 6e-2     # absolute floor (V1-calibrated, round 3)
 ROUTING_BF16_REL = 4.5e-2    # x logits absmax: ~3x the measured V3 class
 # Oracle anchor (bf16): the route under test must stay within this factor
-# of the xla route's OWN distance from the fp32 oracle — a route that adds
-# real error (not reassociation noise) lands far outside it, independent
-# of how deep/badly-conditioned the network is.
-ROUTING_ANCHOR_FACTOR = 1.25
+# of the xla route's OWN RMS distance from the fp32 oracle — a route that
+# adds real error (not reassociation noise) lands far outside it,
+# independent of how deep/badly-conditioned the network is. RMS, not max:
+# max-abs is an extreme-value statistic that flipped 1.5x in DIRECTION
+# between interpret and chip runs of the same program (design.md §8); RMS
+# of the same runs is stable, and a defect inflates RMS broadly.
+ROUTING_ANCHOR_FACTOR = 1.5
 
 # Measured bf16 top-1 flip class for `cli eval` tie-awareness: relative
 # oracle-logit margins under which a device-bf16 top-1 flip is rounding,

@@ -312,3 +312,44 @@ def test_autotune_latency_int8_xla_tree_is_unpadded(monkeypatch):
                         candidates=("xla", "fused"))
     assert seen["xla"] == 24
     assert seen["fused"] == 32
+
+
+def test_resolve_int8_fused_crossover():
+    """"auto" = the measured v5e crossover: xla at batch 1, fused from
+    batch 2 — but only on TPU (CPU would run Pallas in interpret mode)."""
+    from mobilenet_tpu.quant.quantize import resolve_int8_fused
+
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    assert resolve_int8_fused("auto", 1) is False
+    assert resolve_int8_fused("auto", 2) is on_tpu
+    assert resolve_int8_fused("auto", 256) is on_tpu
+    # explicit bools pass through regardless of backend/batch
+    assert resolve_int8_fused(True, 1) is True
+    assert resolve_int8_fused(False, 256) is False
+
+
+def test_int8_family_latency_race_cpu():
+    """The batch-1 int8 family race runs (CPU: xla candidate only) and
+    returns finite latencies — the path NotImplementedError'd before."""
+    from mobilenet_tpu.models.mobilenet_v2 import V2Config
+    from mobilenet_tpu.runtime.autotune import autotune_backend
+
+    cfg = V2Config(alpha=0.35, resolution=32)
+    best, results = autotune_backend(cfg, batch_size=1, mode="latency",
+                                     int8=True)
+    assert best in results and results[best] == results[best]
+
+
+def test_routing_gate_scale_aware_bf16():
+    """_verify_routing's bf16 gate: atol grows with logits absmax and the
+    oracle anchor uses RMS (golden constants; design.md §8)."""
+    from mobilenet_tpu.utils import golden
+
+    assert golden.ROUTING_BF16_ATOL == pytest.approx(6e-2)
+    # at V3-Large-224's measured absmax 41.5 the scale term dominates and
+    # covers the measured 0.875 chip divergence with ~2x headroom
+    assert golden.ROUTING_BF16_REL * 41.5 > 2 * 0.875 / 2
+    assert golden.ROUTING_ANCHOR_FACTOR >= 1.5
+    assert golden.BF16_TIE_MARGIN["v3"] >= 0.02
