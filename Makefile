@@ -45,6 +45,10 @@ regress-full:      ## every recorded bf16 + int8 sweep row, variance-aware toler
 	python tools/regress.py --configs all --int8
 	python tools/regress.py --model v2 --configs all
 	python tools/regress.py --model v2 --configs all --int8
+	python tools/regress.py --model v3 --configs all
+	python tools/regress.py --model v3 --configs all --int8
+	python tools/regress.py --model v3small --configs all
+	python tools/regress.py --model v3small --configs all --int8
 
 clean:
 	rm -f mobilenet_tpu/cpu_ref/libcpuref.so mobilenet_tpu/native_io/libnativeio.so

@@ -58,7 +58,6 @@ def build_entries(args, prefixes, int8=None):
             entries[k] = jax.jit(fn)
         return cfg, entries
     if getattr(args, "model", "v1") in ("v3", "v3small"):
-        assert not int8, "--model v3 attribution is bf16-only"
         from mobilenet_tpu.checkpoints.v3 import fold_bn_v3, init_params_v3
         from mobilenet_tpu.models.mobilenet_v3 import V3Config, forward_v3
 
@@ -66,9 +65,31 @@ def build_entries(args, prefixes, int8=None):
                        alpha=args.alpha, resolution=args.res,
                        compute_dtype="bfloat16")
         folded = fold_bn_v3(init_params_v3(cfg, seed=0), eps=cfg.bn_eps)
+        entries = {}
+        if int8:
+            from mobilenet_tpu.quant import ops as qops
+            from mobilenet_tpu.quant.quantize import ACT_IN_SCALE
+            from mobilenet_tpu.quant.v3 import (_as_device_tree_v3,
+                                                forward_v3_i8, quantize_v3)
+
+            dev = _as_device_tree_v3(quantize_v3(folded, cfg))
+            fused = args.routing != "xla"  # the shipping throughput route
+            for k in prefixes:
+                nb = None if k == "full" else int(k)
+
+                def fni(images_u8, nb=nb):
+                    x = prep.preprocess(images_u8, cfg.resolution,
+                                        jnp.float32)
+                    x_q = qops.quantize_input_dev(x, ACT_IN_SCALE,
+                                                  out_dtype=jnp.bfloat16)
+                    y = forward_v3_i8(dev, x_q, cfg, use_fused=fused,
+                                      num_blocks=nb)
+                    return jnp.sum(y.astype(jnp.float32)).reshape(1)
+
+                entries[k] = jax.jit(fni)
+            return cfg, entries
         params = jax.tree.map(
             lambda a: jnp.asarray(a, jnp.bfloat16), folded)
-        entries = {}
         for k in prefixes:
             nb = None if k == "full" else int(k)
 
