@@ -298,7 +298,10 @@ def run_blocks_v3(params, y, config: V3Config, routing, *,
                 and v3_fits(int(y.shape[0]), int(y.shape[1]),
                             int(y.shape[2]), cin_a, e_a, cout_a, bd.kernel,
                             bd.stride, bd.se_mid,
-                            jnp.dtype(y.dtype).itemsize)):
+                            jnp.dtype(y.dtype).itemsize,
+                            # wpad blocks lose to XLA's MXU convs in bf16
+                            # (measured, ops/pallas_ir_v3.v3_fits docstring)
+                            allow_wpad=False)):
             from ..ops.pallas_ir_v3 import v3_block_pallas  # noqa: PLC0415
 
             se_kw = {}

@@ -81,7 +81,7 @@ def _scratch_pad(k: int, stride: int, n_elems: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _est_bytes(bn, h, w, cin, ep, cout, k, stride, se, itemsize):
+def _est_bytes(bn, h, w, cin, ep, cout, k, stride, se, itemsize, wop=None):
     h_out, w_out = -(-h // stride), -(-w // stride)
     pr = _scratch_pad(k, stride, h)
     pc = _scratch_pad(k, stride, w)
@@ -90,7 +90,7 @@ def _est_bytes(bn, h, w, cin, ep, cout, k, stride, se, itemsize):
     win = bn * (h + pr) * (w + pc) * ep * itemsize
     acc_w = w_out if stride == 1 else 2 * w_out
     acc = bn * h_out * acc_w * ep * 4
-    out = bn * h_out * w_out * cout * (4 + itemsize)
+    out = bn * h_out * (wop or w_out) * cout * (4 + itemsize)
     weights = (cin * ep + ep * cout + (2 * k * k + 4) * ep) * itemsize
     if se:
         weights += (2 * ep * se + se + ep) * itemsize + bn * (2 * ep + 2 * se) * 4
@@ -132,9 +132,18 @@ def _pick_th(h, w, cin, ep, cout, stride, itemsize):
 
 
 def _mode(n, h, w, cin, e, cout, k, stride, se, itemsize):
-    """("whole", bn) | ("rows", th) | (None, 0). SE and k=5 require the
-    whole-image mode (module docstring); rows mode covers the big-spatial
-    non-SE k=3 blocks (V3-Large blocks 0-2 at 224)."""
+    """("whole", bn) | ("rows", th) | ("wpad", (bn, wop)) | (None, 0).
+
+    SE and k=5 require a whole-image tile (module docstring); rows mode
+    covers the big-spatial non-SE k=3 blocks (V3-Large blocks 0-2 at 224).
+    "wpad" is the whole-image mode with the OUTPUT width padded to the
+    smallest wop making h_out*wop % 8 == 0: when h_out*w_out is odd (e.g.
+    block 12 at 224 — 7*7=49), the Pallas sublane rule forces bn up to 8,
+    busting VMEM at ep=768; padding the output block sidesteps the rule so
+    bn can follow the INPUT rows constraint alone (bn=2 there). Costs one
+    sliced HBM copy of the padded output (~2 MB at block 12) — measured
+    worth it: the block otherwise falls back to XLA ops (10.2 ms int8 vs
+    0.8 bf16; 2026-08-18 attribution)."""
     ep = _round_up(e, 128)
     if stride == 2 and (h % 2 or w % 2):
         return None, 0
@@ -147,12 +156,28 @@ def _mode(n, h, w, cin, e, cout, k, stride, se, itemsize):
         th = _pick_th(h, w, cin, ep, cout, stride, itemsize)
         if th:
             return "rows", th
+    wop = next((v for v in range(w_out, w_out + 8)
+                if (h_out * v) % 8 == 0), w_out)
+    if wop != w_out:
+        bn = _min_bn(n, h * w, h_out * wop)
+        if _est_bytes(bn, h, w, cin, ep, cout, k, stride, se, itemsize,
+                      wop=wop) <= _VMEM_CAP:
+            return "wpad", (bn, wop)
     return None, 0
 
 
-def v3_fits(n, h, w, cin, e, cout, k, stride, se=0, itemsize=2) -> bool:
-    """Static feasibility of the fused route for one V3 block."""
-    return _mode(n, h, w, cin, e, cout, k, stride, se, itemsize)[0] is not None
+def v3_fits(n, h, w, cin, e, cout, k, stride, se=0, itemsize=2,
+            allow_wpad=True) -> bool:
+    """Static feasibility of the fused route for one V3 block.
+
+    allow_wpad=False excludes the padded-width whole mode: the bf16 MODEL
+    routing passes False because XLA's dense MXU convs beat the fused
+    VPU k5 stencil at the tiny-spatial wpad blocks (block 12 at 224:
+    model-level 10,189 img/s with xla@b12 vs 9,994 fused-wpad@b12,
+    2026-08-18 race); the int8 route keeps wpad (its XLA fallback costs
+    10.2 ms there — carriage + wpad took int8 Large-224 1,858 -> 7,376)."""
+    m = _mode(n, h, w, cin, e, cout, k, stride, se, itemsize)[0]
+    return m is not None and (allow_wpad or m != "wpad")
 
 
 def _pick_bn(n, h, w, cin, ep, cout, k, stride, se, itemsize):
@@ -196,6 +221,7 @@ def _se_gate(y_f32, sw1_ref, sb1_ref, sw2_ref, sb2_ref, hw_inv, prec):
 
 def _v3_kernel(
     *refs, bn, h, w, k, stride, act_exp, act, se, residual, out_dtype,
+    wop=None,
 ):
     if se:
         (x_ref, ew_ref, eb_ref, dww_ref, dwb_ref, pww_ref, pwb_ref,
@@ -260,8 +286,22 @@ def _v3_kernel(
 
     # --- linear projection on the MXU; residual as a 2D add ----------------
     y2 = y.astype(pww_ref.dtype).reshape(bn * h_out * w_out, ep)
-    out = _dot(y2, pww_ref[...], prec)
-    out = (out + pwb_ref[0].astype(jnp.float32)).astype(out_dtype)
+    out_f = _dot(y2, pww_ref[...], prec) + pwb_ref[0].astype(jnp.float32)
+    if wop is not None and wop != w_out:
+        # wpad: pad the output width IN F32 before the cast — Mosaic
+        # rejects narrow-dtype multi-dim reshapes ((98,160)bf16 ->
+        # (2,7,7,160): "unsupported shape cast"), f32 reshapes are fine
+        # (the int8 twin compiles the same geometry). Residual joins in
+        # f32 here (exact superset of the bf16 add).
+        if residual:
+            out_f = out_f + xv.astype(jnp.float32)
+        cout = out_f.shape[-1]
+        out_f = jnp.pad(out_f.reshape(bn, h_out, w_out, cout),
+                        ((0, 0), (0, 0), (0, wop - w_out), (0, 0))
+                        ).reshape(bn * h_out * wop, cout)
+        o_ref[...] = out_f.astype(out_dtype)
+        return
+    out = out_f.astype(out_dtype)
     if residual:
         out = out + xv.astype(out_dtype)
     o_ref[...] = out
@@ -452,15 +492,19 @@ def _v3_impl(
             pl.BlockSpec((1, cout), w_index, memory_space=pltpu.VMEM),
         ]
 
-    if mode == "whole" or block_n is not None:
+    if mode in ("whole", "wpad") or block_n is not None:
         x_arg = x.reshape(n * h * w, cin)
-        bn = block_n if block_n is not None else _pick_bn(
-            n, h, w, cin, ep, cout, k, stride, se, x.dtype.itemsize)
+        wop = tile[1] if mode == "wpad" else w_out
+        if mode == "wpad":
+            bn = tile[0]
+        else:
+            bn = block_n if block_n is not None else _pick_bn(
+                n, h, w, cin, ep, cout, k, stride, se, x.dtype.itemsize)
         assert n % bn == 0, (n, bn)
         kernel = functools.partial(
             _v3_kernel, bn=bn, h=h, w=w, k=k, stride=stride,
             act_exp=act_exp, act=act, se=se, residual=residual,
-            out_dtype=x.dtype)
+            out_dtype=x.dtype, wop=wop)
         grid = (n // bn,)
         w_index = lambda b: (0, 0)
         dw_index = lambda b: (0, 0, 0)
@@ -477,7 +521,8 @@ def _v3_impl(
             ]
             args += [se_w1, se_b1.reshape(1, se), se_w2,
                      se_b2.reshape(1, ep)]
-        o_spec = pl.BlockSpec((bn * h_out * w_out, cout), lambda b: (b, 0),
+        w_eff = wop
+        o_spec = pl.BlockSpec((bn * h_out * wop, cout), lambda b: (b, 0),
                               memory_space=pltpu.VMEM)
         pr = _scratch_pad(k, stride, h)
         pc = _scratch_pad(k, stride, w)
@@ -507,6 +552,7 @@ def _v3_impl(
              pl.Element(cin)), x_index, memory_space=pltpu.VMEM)] + _w_specs(
                 lambda b, i: (0, 0), lambda b, i: (0, 0, 0))
         args = [x_arg] + w_args
+        w_eff = w_out
         o_spec = pl.BlockSpec((th * w_out, cout), lambda b, i: (b * g + i, 0),
                               memory_space=pltpu.VMEM)
         scratch = pltpu.VMEM(
@@ -517,8 +563,9 @@ def _v3_impl(
         grid=grid,
         in_specs=in_specs,
         out_specs=o_spec,
-        out_shape=jax.ShapeDtypeStruct((n * h_out * w_out, cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n * h_out * w_eff, cout), x.dtype),
         scratch_shapes=[scratch],
         interpret=interpret,
     )(*args)
-    return out2.reshape(n, h_out, w_out, cout)
+    out4 = out2.reshape(n, h_out, w_eff, cout)
+    return out4[:, :, :w_out, :] if w_eff != w_out else out4

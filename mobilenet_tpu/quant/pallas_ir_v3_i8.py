@@ -22,9 +22,11 @@ Exactness notes mirroring quant/v3.py:
     IEEE f32 product of identical operands (z exact ints, gate derived
     from exact int accs through identical f32 ops), so rounding matches.
 
-Whole-image mode only (SE needs the full spatial extent resident — the
-same argument as the float V3 kernel) and expand-carrying blocks only
-(no-expand block 0 stays on the XLA int8 ops; v3_i8_fits gates both).
+SE blocks need whole-image tiles (the full spatial extent resident — the
+same argument as the float V3 kernel); k=3 no-SE blocks also ride the
+row-tiled mode; no-expand blocks fuse via an exact identity expansion.
+Activations can ride int8 OR bfloat16 integer carriage on both sides
+(v3_block_pallas_i8 docstring; quant/v3._fused_plan_v3 decides).
 """
 
 from __future__ import annotations
@@ -72,8 +74,26 @@ def _sdot(a_i8, b_i8):
         preferred_element_type=jnp.int32)
 
 
-def _v3_i8_kernel(*refs, bn, h, w, k, stride, act, se, residual,
-                  e_inv, d_inv, p_inv, s1_inv, hw_inv):
+def _exp_dot(xv, ew_ref, eb_ref):
+    """Expand accumulation, exact in either carrier dtype.
+
+    int8 input: s8 x s8 -> i32 MXU dot (the original path). bf16-carried
+    input (integers in [-128, 127] held exactly): bf16 x bf16 MXU dot with
+    f32 accumulation — every product is an exact int <= 127^2 (8-bit
+    mantissas), the f32 sum of ints stays exact while |acc| < 2^24, and
+    |dot| <= Cin*127^2 <= 160*16129 = 2.58e6 for every V3 expand, with the
+    bias bound guarded at carry-plan time (quant/v3._carry_plan). Returns
+    f32 (exact ints) or i32 — _requant_named_k accepts both.
+    """
+    if xv.dtype == jnp.int8:
+        return _sdot(xv, ew_ref[...]) + eb_ref[0]
+    acc = jnp.dot(xv, ew_ref[...], preferred_element_type=jnp.float32)
+    return acc + eb_ref[0].astype(jnp.float32)
+
+
+def _v3_i8_kernel(*refs, bn, h, w, k, stride, act_exp, act, se, residual,
+                  e_inv, d_inv, p_inv, s1_inv, hw_inv, out_dtype,
+                  wop=None):
     if se:
         (x_ref, ew_ref, eb_ref, ea_ref, dww_ref, dwb_ref, da_ref,
          pww_ref, pwb_ref, pa_ref, s1w_ref, s1b_ref, s1a_ref,
@@ -90,10 +110,11 @@ def _v3_i8_kernel(*refs, bn, h, w, k, stride, act, se, residual,
     def _():
         s_ref[...] = jnp.zeros_like(s_ref)
 
-    # --- expand: s8 x s8 -> s32, named requant, bf16 integer carriage ------
-    xv = x_ref[...]  # (BN*H*W, Cin) int8
-    ye = _requant_named_k(_sdot(xv, ew_ref[...]) + eb_ref[0],
-                          ea_ref[0], e_inv, act)
+    # --- expand: exact dot in the carrier dtype, named requant, bf16
+    # integer carriage in the scratch ----------------------------------------
+    xv = x_ref[...]  # (BN*H*W, Cin) int8 or bf16-carried ints
+    ye = _requant_named_k(_exp_dot(xv, ew_ref, eb_ref),
+                          ea_ref[0], e_inv, act_exp)
     y4 = ye.astype(jnp.bfloat16).reshape(bn, h, w, ep)
     s_ref[:, lo : lo + h, lo : lo + w, :] = y4
 
@@ -140,15 +161,22 @@ def _v3_i8_kernel(*refs, bn, h, w, k, stride, act, se, residual,
     out = _requant_named_k(_sdot(yd2, pww_ref[...]) + pwb_ref[0],
                            pa_ref[0], p_inv, "linear")
     if residual:
-        out = jnp.clip(out + xv.astype(jnp.int32).astype(jnp.float32),
-                       -128, 127)
-    o_ref[...] = out.astype(jnp.int8)
+        xf = (xv.astype(jnp.int32).astype(jnp.float32)
+              if xv.dtype == jnp.int8 else xv.astype(jnp.float32))
+        out = jnp.clip(out + xf, -128, 127)
+    if wop is not None and wop != w_out:  # wpad: zero-fill the pad columns
+        cout = out.shape[-1]
+        out = jnp.pad(out.reshape(bn, h_out, w_out, cout),
+                      ((0, 0), (0, 0), (0, wop - w_out), (0, 0))
+                      ).reshape(bn * h_out * wop, cout)
+    o_ref[...] = out.astype(out_dtype)
 
 
 def _v3_i8_kernel_rows(
     x_ref, ew_ref, eb_ref, ea_ref, dww_ref, dwb_ref, da_ref,
     pww_ref, pwb_ref, pa_ref, o_ref, s_ref,
-    *, th, h, w, stride, act, residual, e_inv, d_inv, p_inv, g,
+    *, th, h, w, stride, act_exp, act, residual, e_inv, d_inv, p_inv, g,
+    out_dtype,
 ):
     """Row-tiled int8 V3 variant (k = 3, no SE): the float rows kernel's
     halo/placement/residual-offset structure with named-act int8 staging
@@ -164,8 +192,8 @@ def _v3_i8_kernel_rows(
     th_in = th + 2 if stride == 1 else 2 * th + 2
     cin = x_ref.shape[-1]
     xv = x_ref[...].reshape(th_in * w, cin)
-    ye = _requant_named_k(_sdot(xv, ew_ref[...]) + eb_ref[0],
-                          ea_ref[0], e_inv, act)
+    ye = _requant_named_k(_exp_dot(xv, ew_ref, eb_ref),
+                          ea_ref[0], e_inv, act_exp)
     y4 = ye.astype(jnp.bfloat16).reshape(th_in, w, ep)
 
     if stride == 1:
@@ -220,36 +248,61 @@ def _v3_i8_kernel_rows(
     out = _requant_named_k(_sdot(yd2, pww_ref[...]) + pwb_ref[0],
                            pa_ref[0], p_inv, "linear")
     if not residual:
-        o_ref[...] = out.astype(jnp.int8)
+        o_ref[...] = out.astype(out_dtype)
         return
     thw = th * w
-    xf = xv.astype(jnp.int32).astype(jnp.float32)
+    xf = (xv.astype(jnp.int32).astype(jnp.float32)
+          if xv.dtype == jnp.int8 else xv.astype(jnp.float32))
 
     @pl.when(i == 0)
     def _():
-        o_ref[...] = jnp.clip(out + xf[0:thw], -128, 127).astype(jnp.int8)
+        o_ref[...] = jnp.clip(out + xf[0:thw], -128, 127).astype(out_dtype)
 
     if g > 2:
         @pl.when(jnp.logical_and(i > 0, i < g - 1))
         def _():
             o_ref[...] = jnp.clip(out + xf[w : w + thw],
-                                  -128, 127).astype(jnp.int8)
+                                  -128, 127).astype(out_dtype)
 
     @pl.when(i == g - 1)
     def _():
         o_ref[...] = jnp.clip(out + xf[2 * w : 2 * w + thw],
-                              -128, 127).astype(jnp.int8)
+                              -128, 127).astype(out_dtype)
 
 
 def v3_block_pallas_i8(
     x_i8, exp, dw, prj, *, k, stride, act, se1=None, se2=None,
-    residual=False, block_n: Optional[int] = None, interpret=None,
+    residual=False, out_dtype=jnp.int8, block_n: Optional[int] = None,
+    interpret=None,
 ):
     """One fused INT8 V3 bottleneck. Layer dicts carry the quant/v3
     device-tree fields {w (int8), b (int32), a (f32 per-out), inv_s
     (float)}; se1/se2 are the SE conv layers or None. Exactly equal to
-    quant/v3's XLA ops sequence per block (the int8 EXACT contract)."""
+    quant/v3's XLA ops sequence per block (the int8 EXACT contract).
+
+    Carrier dtypes (the V1 bf16-carriage idea, quant/model.py): x_i8 is
+    int8 OR bfloat16 holding the same integers — bf16 carriage keeps the
+    big-spatial element windows in the float kernel's hw-proven geometry
+    (int8 4D windows lower to per-step relayouts that measured 6x slower
+    at 112²; benchmarks/v3_campaign_raw.log attribution). out_dtype
+    int8 | bfloat16 likewise; values are identical integers either way.
+
+    exp=None runs an IDENTITY expansion with NO activation (the no-expand
+    block 0): eye weights, zero bias, a=1, inv_s=1 — requant becomes
+    rint(f32(x) * 1 * 1) = x, exact for any int8 input."""
     se = 0 if se1 is None else int(se1["w"].shape[1])
+    if exp is None:
+        import numpy as np
+
+        cin = int(x_i8.shape[-1])
+        wd = jnp.int8 if x_i8.dtype == jnp.int8 else jnp.bfloat16
+        exp = {"w": jnp.eye(cin, dtype=wd),
+               "b": jnp.zeros((cin,), jnp.int32),
+               "a": jnp.ones((cin,), jnp.float32),
+               "inv_s": np.float32(1.0)}
+        act_exp = "linear"
+    else:
+        act_exp = act
     args = [x_i8, exp["w"], exp["b"], exp["a"],
             dw["w"].reshape(k, k, -1), dw["b"], dw["a"],
             prj["w"], prj["b"], prj["a"]]
@@ -257,25 +310,30 @@ def v3_block_pallas_i8(
             float(se1["inv_s"]) if se else 0.0)
     if se:
         args += [se1["w"], se1["b"], se1["a"], se2["w"], se2["b"], se2["a"]]
-    return _v3_i8_impl(*args, k=int(k), stride=int(stride), act=str(act),
+    return _v3_i8_impl(*args, k=int(k), stride=int(stride),
+                       act_exp=str(act_exp), act=str(act),
                        se=se, residual=bool(residual), invs=invs,
+                       out_dtype=jnp.dtype(out_dtype).name,
                        block_n=block_n, interpret=interpret)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "stride", "act", "se", "residual", "invs",
-                     "block_n", "interpret"),
+    static_argnames=("k", "stride", "act_exp", "act", "se", "residual",
+                     "invs", "out_dtype", "block_n", "interpret"),
 )
 def _v3_i8_impl(x, ew, eb, ea, dww, dwb, da, pww, pwb, pa, *se_args,
-                k, stride, act, se, residual, invs, block_n=None,
-                interpret=None):
+                k, stride, act_exp, act, se, residual, invs,
+                out_dtype="int8", block_n=None, interpret=None):
     if interpret is None:
         interpret = _should_interpret()
+    out_dtype = jnp.dtype(out_dtype)
     n, h, w, cin = x.shape
     e = ew.shape[1]
     cout = pww.shape[1]
-    assert x.dtype == jnp.int8 and dww.shape == (k, k, e)
+    assert x.dtype in (jnp.int8, jnp.bfloat16) and dww.shape == (k, k, e)
+    if x.dtype == jnp.bfloat16 and ew.dtype == jnp.int8:
+        ew = ew.astype(jnp.bfloat16)  # ints <= 127: exact in bf16
     if stride == 2:
         assert h % 2 == 0 and w % 2 == 0, (h, w)
     if residual:
@@ -323,15 +381,21 @@ def _v3_i8_impl(x, ew, eb, ea, dww, dwb, da, pww, pwb, pa, *se_args,
     args = [None, ew, eb.reshape(1, ep), ea.reshape(1, ep), dww,
             dwb.reshape(1, ep), da.reshape(1, ep), pww,
             pwb.reshape(1, cout), pa.reshape(1, cout)]
-    if mode == "whole" or block_n is not None:
+    if mode in ("whole", "wpad") or block_n is not None:
         args[0] = x.reshape(n * h * w, cin)
-        bn = block_n if block_n is not None else _pick_bn(
-            n, h, w, cin, ep, cout, k, stride, se, 2)
+        wop = tile[1] if mode == "wpad" else w_out
+        if mode == "wpad":
+            bn = tile[0]
+        else:
+            bn = block_n if block_n is not None else _pick_bn(
+                n, h, w, cin, ep, cout, k, stride, se, 2)
         assert n % bn == 0, (n, bn)
         kernel = functools.partial(
-            _v3_i8_kernel, bn=bn, h=h, w=w, k=k, stride=stride, act=act,
-            se=se, residual=residual, e_inv=e_inv, d_inv=d_inv,
-            p_inv=p_inv, s1_inv=s1_inv, hw_inv=1.0 / float(h_out * w_out))
+            _v3_i8_kernel, bn=bn, h=h, w=w, k=k, stride=stride,
+            act_exp=act_exp, act=act, se=se, residual=residual,
+            e_inv=e_inv, d_inv=d_inv, p_inv=p_inv, s1_inv=s1_inv,
+            hw_inv=1.0 / float(h_out * w_out), out_dtype=out_dtype,
+            wop=wop)
         grid = (n // bn,)
         w_index = lambda b: (0, 0)
         in_specs = [pl.BlockSpec((bn * h * w, cin), lambda b: (b, 0),
@@ -348,7 +412,8 @@ def _v3_i8_impl(x, ew, eb, ea, dww, dwb, da, pww, pwb, pa, *se_args,
             ]
             args += [s1w, s1b.reshape(1, se), s1a.reshape(1, se),
                      s2w, s2b.reshape(1, ep), s2a.reshape(1, ep)]
-        o_spec = pl.BlockSpec((bn * h_out * w_out, cout), lambda b: (b, 0),
+        w_eff = wop
+        o_spec = pl.BlockSpec((bn * h_out * wop, cout), lambda b: (b, 0),
                               memory_space=pltpu.VMEM)
         pr = _scratch_pad(k, stride, h)
         pc = _scratch_pad(k, stride, w)
@@ -369,13 +434,15 @@ def _v3_i8_impl(x, ew, eb, ea, dww, dwb, da, pww, pwb, pa, *se_args,
             x_index = lambda b, i: (
                 b, jnp.minimum(i * 2 * th, h - (2 * th + 2)), 0, 0)
         kernel = functools.partial(
-            _v3_i8_kernel_rows, th=th, h=h, w=w, stride=stride, act=act,
-            residual=residual, e_inv=e_inv, d_inv=d_inv, p_inv=p_inv, g=g)
+            _v3_i8_kernel_rows, th=th, h=h, w=w, stride=stride,
+            act_exp=act_exp, act=act, residual=residual, e_inv=e_inv,
+            d_inv=d_inv, p_inv=p_inv, g=g, out_dtype=out_dtype)
         grid = (n, g)
         in_specs = [pl.BlockSpec(
             (pl.Element(1), pl.Element(th_in), pl.Element(w),
              pl.Element(cin)), x_index, memory_space=pltpu.VMEM)] + _w_specs(
                 lambda b, i: (0, 0), lambda b, i: (0, 0, 0))
+        w_eff = w_out
         o_spec = pl.BlockSpec((th * w_out, cout), lambda b, i: (b * g + i, 0),
                               memory_space=pltpu.VMEM)
         scratch = pltpu.VMEM(
@@ -386,8 +453,9 @@ def _v3_i8_impl(x, ew, eb, ea, dww, dwb, da, pww, pwb, pa, *se_args,
         grid=grid,
         in_specs=in_specs,
         out_specs=o_spec,
-        out_shape=jax.ShapeDtypeStruct((n * h_out * w_out, cout), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((n * h_out * w_eff, cout), out_dtype),
         scratch_shapes=[scratch],
         interpret=interpret,
     )(*args)
-    return out2.reshape(n, h_out, w_out, cout)
+    out4 = out2.reshape(n, h_out, w_eff, cout)
+    return out4[:, :, :w_out, :] if w_eff != w_out else out4

@@ -349,7 +349,9 @@ def _as_device_tree_v3(q: V3QuantizedParams) -> Dict[str, Any]:
     }
 
 
-def _requant_named_dev(acc_i32, a, inv_s, act):
+def _requant_named_dev(acc_i32, a, inv_s, act, out_dtype=None):
+    """out_dtype int8 (default) or bfloat16 — the carrier holds the SAME
+    integers either way (|q| <= 127 is exact in bf16's 8-bit mantissa)."""
     import jax.numpy as jnp
 
     v = acc_i32.astype(jnp.float32) * a.astype(jnp.float32)
@@ -361,7 +363,7 @@ def _requant_named_dev(acc_i32, a, inv_s, act):
     else:
         assert act == "linear", act
     q = jnp.round(v * jnp.float32(inv_s))  # round-half-even == np.rint
-    return jnp.clip(q, -128, 127).astype(jnp.int8)
+    return jnp.clip(q, -128, 127).astype(out_dtype or jnp.int8)
 
 
 def _pw_acc_dev(x_i8, w_i8, bias_i32):
@@ -414,6 +416,63 @@ def _se_i8_dev(z_i8, se1, se2):
     return jnp.clip(out, -128, 127).astype(jnp.int8)
 
 
+CARRY_MIN_H = 56  # carry bf16 into fused blocks whose input is >= 56^2
+
+
+def _fused_plan_v3(dev, config: V3Config, n: int):
+    """Static per-block plan for the fused int8 route, decided at trace
+    time (the pipelines close over a concrete device tree).
+
+    Returns (conv1_dtype, [(fused, in_dtype, out_dtype)]). Carriage: a
+    block's activations ride bfloat16 (same integers — the V1 trick,
+    quant/model.py) into the NEXT block when that consumer is fused and
+    its input spatial is >= CARRY_MIN_H: int8 4D element windows lower to
+    per-step relayouts that measured 6x slower than the bf16 geometry at
+    112² (30.7 vs 5.1 ms for block 1 at Large-224 batch 256, 2026-08-18
+    attribution), while small-spatial whole-image tiles measured the
+    widen as free on V1 (design.md §5, ab_carry). Exactness of the bf16
+    expand dot needs |dot + bias| < 2^24 (pallas_ir_v3_i8._exp_dot);
+    carriage into a block is dropped if its expand bias busts the bound.
+    No-expand blocks fuse via the identity expansion (exact for either
+    carrier)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from .pallas_ir_v3_i8 import v3_i8_fits
+
+    h = config.resolution // 2  # conv1 is stride 2
+    fused, accepts = [], []
+    for bd, blk in zip(config.block_defs, dev["blocks"]):
+        if "exp" in blk:
+            cin = int(blk["exp"]["w"].shape[0])
+            e = int(blk["exp"]["w"].shape[1])
+        else:
+            cin = e = int(blk["dw"]["w"].shape[-1])
+        fit = v3_i8_fits(n, h, h, cin, e, int(blk["prj"]["w"].shape[1]),
+                         bd.kernel, bd.stride, bd.se_mid)
+        acc = fit and h >= CARRY_MIN_H
+        if acc and "exp" in blk:
+            try:
+                bmax = int(np.abs(np.asarray(blk["exp"]["b"])).max())
+                acc = bmax <= 2 ** 24 - 2 * cin * 127 * 127
+            except Exception:  # traced tree (no concrete values): no carry
+                acc = False
+        fused.append(fit)
+        accepts.append(acc)
+        h = h // bd.stride
+    # a producer emits bf16 exactly when its consumer block accepts it
+    # (conv1 emits bf16 for free — its requant just casts differently)
+    conv1_dtype = jnp.bfloat16 if accepts and accepts[0] else jnp.int8
+    plan = []
+    for i, fit in enumerate(fused):
+        nxt = accepts[i + 1] if i + 1 < len(fused) else False
+        out_dt = jnp.bfloat16 if (fit and nxt) else jnp.int8
+        in_dt = conv1_dtype if i == 0 else plan[i - 1][2]
+        plan.append((fit, in_dt, out_dt))
+    return conv1_dtype, plan
+
+
 def forward_v3_i8(dev: Dict[str, Any], x_q, config: V3Config, *,
                   collect: bool = False,
                   num_blocks: Optional[int] = None,
@@ -431,32 +490,31 @@ def forward_v3_i8(dev: Dict[str, Any], x_q, config: V3Config, *,
     from ..ops.conv import _DIMS
 
     acts: Dict[str, Any] = {}
+    plan = None
+    if use_fused and not collect:
+        from .pallas_ir_v3_i8 import v3_block_pallas_i8
+
+        conv1_dtype, plan = _fused_plan_v3(dev, config, int(x_q.shape[0]))
     c1 = dev["conv1"]
     yc = lax.conv_general_dilated(
         x_q.astype(jnp.bfloat16), c1["w"].astype(jnp.bfloat16),
         window_strides=(2, 2), padding="SAME", dimension_numbers=_DIMS,
         preferred_element_type=jnp.float32)
     y = _requant_named_dev(yc.astype(jnp.int32) + c1["b"], c1["a"],
-                           c1["inv_s"], config.head_act)
+                           c1["inv_s"], config.head_act,
+                           out_dtype=conv1_dtype if plan else None)
     if collect:
         acts["conv1"] = y
-    if use_fused and not collect:
-        from .pallas_ir_v3_i8 import v3_block_pallas_i8, v3_i8_fits
 
     for i, (bd, blk) in enumerate(zip(config.block_defs, dev["blocks"])):
         if num_blocks is not None and i >= num_blocks:
             return y
-        if (use_fused and not collect and "exp" in blk
-                and v3_i8_fits(int(y.shape[0]), int(y.shape[1]),
-                               int(y.shape[2]), int(y.shape[-1]),
-                               int(blk["exp"]["w"].shape[1]),
-                               int(blk["prj"]["w"].shape[1]),
-                               bd.kernel, bd.stride, bd.se_mid)):
+        if plan is not None and plan[i][0]:
             y = v3_block_pallas_i8(
-                y, blk["exp"], blk["dw"], blk["prj"], k=bd.kernel,
+                y, blk.get("exp"), blk["dw"], blk["prj"], k=bd.kernel,
                 stride=bd.stride, act=bd.act,
                 se1=blk.get("se1"), se2=blk.get("se2"),
-                residual=bd.has_res)
+                residual=bd.has_res, out_dtype=plan[i][2])
             continue
         z = y
         if bd.has_expand:

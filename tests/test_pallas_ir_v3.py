@@ -173,11 +173,17 @@ def test_mode_selection_v3_large_224():
     assert _mode(256, 56, 56, 24, 72, 40, 5, 2, 24, 2)[0] == "whole"
     assert _mode(256, 28, 28, 40, 120, 40, 5, 1, 32, 2)[0] == "whole"
     # Block 12 (14 -> 7 s2): the %8 sublane rule forces bn=8 (49 output
-    # rows) and that tile busts VMEM — xla fallback at throughput batches,
-    # the exact class of V2's block 13; batch 1 (bn == n == 1 is always
-    # legal) fits.
-    assert not v3_fits(256, 14, 14, 112, 672, 160, 5, 2, 168, 2)
-    assert v3_fits(1, 14, 14, 112, 672, 160, 5, 2, 168, 2)
+    # rows) and that tile busts VMEM — the wpad mode pads w_out 7->8 so
+    # bn follows the input-rows constraint alone (bn=2). The bf16 MODEL
+    # routing excludes wpad (allow_wpad=False — XLA's MXU convs measured
+    # faster there); the int8 route keeps it (v3_fits docstring).
+    assert _mode(256, 14, 14, 112, 672, 160, 5, 2, 168, 2) == (
+        "wpad", (2, 8))
+    assert not v3_fits(256, 14, 14, 112, 672, 160, 5, 2, 168, 2,
+                       allow_wpad=False)
+    assert v3_fits(256, 14, 14, 112, 672, 160, 5, 2, 168, 2)
+    assert v3_fits(1, 14, 14, 112, 672, 160, 5, 2, 168, 2,
+                   allow_wpad=False)
     assert _mode(256, 7, 7, 160, 960, 160, 5, 1, 240, 2)[0] == "whole"
     # V3-Small block 0 at 224: SE at 112-squared — whole busts VMEM and
     # rows mode can't host the gate's global pool -> xla fallback.

@@ -273,3 +273,158 @@ def test_fused_i8_rows_mode_exact(n, h, cin, e, cout, stride, res, act,
     got = v3_block_pallas_i8(jnp.asarray(x_i8), lay(qe), lay(qd), lay(qp),
                              k=3, stride=stride, act=act, residual=res)
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+@pytest.mark.parametrize("carry_in,carry_out", [(True, False), (True, True),
+                                                (False, True)])
+def test_fused_i8_bf16_carriage_rows_exact(carry_in, carry_out):
+    """bf16 integer carriage through the rows kernel (block1-L class):
+    same integers as the int8 carrier, bit-for-bit (design.md §8 —
+    carriage removes the int8 4D-element-window lowering that measured
+    6x slower at 112² on chip)."""
+    import jax.numpy as jnp
+
+    from mobilenet_tpu.quant.pallas_ir_v3_i8 import v3_block_pallas_i8
+    from mobilenet_tpu.quant.v3 import (_dwk_acc_np, _pw_acc_np,
+                                        _quant_named, _requant_named_np)
+
+    rng = np.random.default_rng(3)
+    n, h, cin, e, cout, stride = 2, 112, 16, 64, 24, 2
+    qe = _quant_named(rng.normal(0, cin ** -0.5, (cin, e)).astype(
+        np.float32), rng.normal(0, 0.1, (e,)).astype(np.float32), 1,
+        np.float32(0.05), np.float32(0.08))
+    qd = _quant_named(rng.normal(0, 0.3, (3, 3, 1, e)).astype(np.float32),
+                      rng.normal(0, 0.1, (e,)).astype(np.float32), 3,
+                      np.float32(0.08), np.float32(0.07), k_taps=9)
+    qp = _quant_named(rng.normal(0, e ** -0.5, (e, cout)).astype(
+        np.float32), rng.normal(0, 0.1, (cout,)).astype(np.float32), 1,
+        np.float32(0.07), np.float32(0.05))
+    x_i8 = rng.integers(-100, 101, (n, h, h, cin)).astype(np.int8)
+    z = _requant_named_np(_pw_acc_np(x_i8, qe.w_i8) + qe.bias_i32,
+                          qe.a, qe.inv_s, "relu")
+    z = _requant_named_np(_dwk_acc_np(z, qd.w_i8, stride, 3) + qd.bias_i32,
+                          qd.a, qd.inv_s, "relu")
+    want = _requant_named_np(_pw_acc_np(z, qp.w_i8) + qp.bias_i32,
+                             qp.a, qp.inv_s, "linear")
+    lay = lambda l: {"w": jnp.asarray(l.w_i8),  # noqa: E731
+                     "b": jnp.asarray(l.bias_i32),
+                     "a": jnp.asarray(l.a), "inv_s": float(l.inv_s)}
+    xin = jnp.asarray(x_i8)
+    if carry_in:
+        xin = xin.astype(jnp.bfloat16)
+    out_dt = jnp.bfloat16 if carry_out else jnp.int8
+    got = v3_block_pallas_i8(xin, lay(qe), lay(qd), lay(qp), k=3,
+                             stride=stride, act="relu", residual=False,
+                             out_dtype=out_dt)
+    assert got.dtype == out_dt
+    np.testing.assert_array_equal(
+        np.asarray(got).astype(np.int32), want.astype(np.int32))
+
+
+@pytest.mark.parametrize("carry,h", [(False, 32), (True, 32), (True, 80)])
+def test_fused_i8_identity_expand_exact(carry, h):
+    """No-expand blocks (V3 block 0) fuse via the exact identity
+    expansion for either carrier dtype — whole mode at 32, rows at 80
+    (the block-0-at-112² class scaled to suite speed)."""
+    import jax.numpy as jnp
+
+    from mobilenet_tpu.quant.pallas_ir_v3_i8 import v3_block_pallas_i8
+    from mobilenet_tpu.quant.v3 import (_dwk_acc_np, _pw_acc_np,
+                                        _quant_named, _requant_named_np)
+
+    rng = np.random.default_rng(4)
+    n, c = 2, 16
+    qd = _quant_named(rng.normal(0, 0.3, (3, 3, 1, c)).astype(np.float32),
+                      rng.normal(0, 0.1, (c,)).astype(np.float32), 3,
+                      np.float32(0.05), np.float32(0.07), k_taps=9)
+    qp = _quant_named(rng.normal(0, c ** -0.5, (c, c)).astype(np.float32),
+                      rng.normal(0, 0.1, (c,)).astype(np.float32), 1,
+                      np.float32(0.07), np.float32(0.05))
+    x_i8 = rng.integers(-100, 101, (n, h, h, c)).astype(np.int8)
+    z = _requant_named_np(_dwk_acc_np(x_i8, qd.w_i8, 1, 3) + qd.bias_i32,
+                          qd.a, qd.inv_s, "relu")
+    want = _requant_named_np(_pw_acc_np(z, qp.w_i8) + qp.bias_i32,
+                             qp.a, qp.inv_s, "linear")
+    want = np.clip(want.astype(np.int32) + x_i8.astype(np.int32),
+                   -128, 127).astype(np.int8)
+    lay = lambda l: {"w": jnp.asarray(l.w_i8),  # noqa: E731
+                     "b": jnp.asarray(l.bias_i32),
+                     "a": jnp.asarray(l.a), "inv_s": float(l.inv_s)}
+    xin = jnp.asarray(x_i8)
+    if carry:
+        xin = xin.astype(jnp.bfloat16)
+    got = v3_block_pallas_i8(xin, None, lay(qd), lay(qp), k=3, stride=1,
+                             act="relu", residual=True)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_fused_plan_v3_carriage_chain():
+    """The carry plan: conv1 emits bf16 only when block 0 accepts it;
+    producer/consumer dtypes chain; the stretch closes back to int8
+    before the first small-spatial block (CARRY_MIN_H)."""
+    import jax.numpy as jnp
+
+    from mobilenet_tpu.quant.v3 import _as_device_tree_v3, _fused_plan_v3
+
+    cfg = V3Config(variant="large", alpha=1.0, resolution=224)
+    folded = fold_bn_v3(init_params_v3(cfg, seed=0), eps=cfg.bn_eps)
+    dev = _as_device_tree_v3(quantize_v3(folded, cfg, n_calib=4))
+    cd, plan = _fused_plan_v3(dev, cfg, 256)
+    assert cd == jnp.bfloat16
+    # every in_dtype equals its producer's out_dtype
+    prev = cd
+    for fused, in_dt, out_dt in plan:
+        assert in_dt == prev
+        prev = out_dt
+    assert plan[-1][2] == jnp.int8  # the tail ops receive int8
+    # blocks 0-2 (112²/56² inputs) carry; the 28²-input blocks do not
+    assert [p[1] for p in plan[:4]] == [jnp.bfloat16] * 3 + [jnp.bfloat16]
+    assert all(p[1] == jnp.int8 for p in plan[4:])
+
+
+def test_wpad_mode_i8_exact():
+    """The padded-width whole mode (block-12 class: h_out*w_out odd busts
+    the sublane rule at full ep) — exact for both carriers, incl. SE."""
+    import jax.numpy as jnp
+
+    from mobilenet_tpu.ops.pallas_ir_v3 import _mode as v3mode
+    from mobilenet_tpu.quant.pallas_ir_v3_i8 import v3_block_pallas_i8
+    from mobilenet_tpu.quant.v3 import (_dwk_acc_np, _pw_acc_np,
+                                        _quant_named, _requant_named_np,
+                                        _se_i8_np)
+
+    rng = np.random.default_rng(5)
+    n, h, cin, e, cout, k, s, se = 32, 14, 64, 512, 128, 5, 2, 128
+    assert v3mode(n, h, h, cin, e, cout, k, s, se, 2)[0] == "wpad"
+    sc = np.float32(0.05)
+    qe = _quant_named(rng.normal(0, cin ** -0.5, (cin, e)).astype(
+        np.float32), rng.normal(0, 0.1, (e,)).astype(np.float32), 1, sc, sc)
+    qd = _quant_named(rng.normal(0, 0.3, (k, k, 1, e)).astype(np.float32),
+                      rng.normal(0, 0.1, (e,)).astype(np.float32), 3,
+                      sc, sc, k_taps=k * k)
+    qp = _quant_named(rng.normal(0, e ** -0.5, (e, cout)).astype(
+        np.float32), rng.normal(0, 0.1, (cout,)).astype(np.float32), 1,
+        sc, sc)
+    q1 = _quant_named(rng.normal(0, e ** -0.5, (e, se)).astype(np.float32),
+                      rng.normal(0, 0.1, (se,)).astype(np.float32), 1,
+                      sc, sc)
+    q2 = _quant_named(rng.normal(0, se ** -0.5, (se, e)).astype(np.float32),
+                      rng.normal(0, 0.1, (e,)).astype(np.float32), 1,
+                      sc, sc)
+    x_i8 = rng.integers(-100, 101, (n, h, h, cin)).astype(np.int8)
+    z = _requant_named_np(_pw_acc_np(x_i8, qe.w_i8) + qe.bias_i32,
+                          qe.a, qe.inv_s, "hswish")
+    z = _requant_named_np(_dwk_acc_np(z, qd.w_i8, s, k) + qd.bias_i32,
+                          qd.a, qd.inv_s, "hswish")
+    z = _se_i8_np(z, q1, q2)
+    want = _requant_named_np(_pw_acc_np(z, qp.w_i8) + qp.bias_i32,
+                             qp.a, qp.inv_s, "linear")
+    lay = lambda l: {"w": jnp.asarray(l.w_i8),  # noqa: E731
+                     "b": jnp.asarray(l.bias_i32),
+                     "a": jnp.asarray(l.a), "inv_s": float(l.inv_s)}
+    for carrier in (jnp.int8, jnp.bfloat16):
+        xin = jnp.asarray(x_i8).astype(carrier)
+        got = v3_block_pallas_i8(xin, lay(qe), lay(qd), lay(qp), k=k,
+                                 stride=s, act="hswish", se1=lay(q1),
+                                 se2=lay(q2), residual=False)
+        np.testing.assert_array_equal(np.asarray(got), want)
