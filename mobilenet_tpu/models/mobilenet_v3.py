@@ -294,6 +294,38 @@ def run_blocks_v3(params, y, config: V3Config, routing, *,
         cin_a = int(y.shape[-1])
         e_a = int(blk["exp"]["w"].shape[1]) if "exp" in blk else cin_a
         cout_a = int(blk["prj"]["w"].shape[1])
+        if (routing[i] == "fused" and not collect and not bd.has_expand
+                and bd.kernel == 3 and bd.stride == 1 and not bd.se_mid
+                and bd.act == "relu"):
+            # t == 1 relu block (V3-Large block 0): its dw runs at
+            # Cin < 128 — lane-pack R = 128/Cin pixels per vector, the
+            # measured V2 block-0 fix (11.4 -> 2.36 ms at 112²,
+            # benchmarks/v2_fused_v5e.md; the identity-expand rows route
+            # wastes 7/8 of every vector at ep=128). Linear projection
+            # mode + plain-ReLU dw epilogue map V3's block exactly;
+            # the residual joins as one XLA add (~0.2 ms of HBM at 112²).
+            r = 128 // cin_a if (cin_a < 128 and 128 % cin_a == 0) else 0
+            if (r and (int(y.shape[2]) * cin_a) % 128 == 0
+                    and (r * cout_a) % 128 == 0):
+                from ..ops.pallas_block_packed import (  # noqa: PLC0415
+                    pack, separable_block_packed, unpack)
+
+                xp = pack(y, cin_a)
+                yp = separable_block_packed(
+                    xp, blk["dw"]["w"], blk["dw"]["b"],
+                    blk["prj"]["w"], blk["prj"]["b"], cin_a, cout_a,
+                    False, pw_epilogue=False)
+                if bd.has_res:
+                    # residual IN THE PACKED LAYOUT (cin == cout, so the
+                    # packings coincide): an elementwise add on (..., 16)
+                    # arrays runs at 1/8 lane occupancy and measured
+                    # +8.4 ms/batch at 112²; the packed add is free
+                    # (28.3 vs 19.9 ms — benchmarks/v3_campaign_raw.log
+                    # block-0 A/B, 2026-08-18). pack() is a reshape, so
+                    # packed add == unpacked add exactly.
+                    yp = yp + xp
+                y = unpack(yp, cout_a)
+                continue
         if (routing[i] == "fused" and not collect
                 and v3_fits(int(y.shape[0]), int(y.shape[1]),
                             int(y.shape[2]), cin_a, e_a, cout_a, bd.kernel,
