@@ -297,3 +297,184 @@ def separable_block_packed_i8(
         h_out=h_out, n=n, x_index=x_index, interpret=interpret,
         scratch_rows=scratch_rows,
     )
+
+
+# ---------------------------------------------------------------------------
+# Named-activation packed block (the V3 block-0 class): bf16-carried ints,
+# stride 1, LINEAR projection, quant/v3's calibrated requant (a, inv_s)
+# instead of V1's fixed (m, six_q). Residual joins OUTSIDE in the packed
+# bf16 domain (measured free there; an unpacked (...,16) add costs 8x lane
+# waste — benchmarks/v3_campaign_raw.log block-0 A/B).
+# ---------------------------------------------------------------------------
+
+
+def _named_requant_f32(acc_f32, a_vec, inv_s, act):
+    """quant/v3._requant_named_* twin on an f32 EXACT-integer accumulator
+    (same IEEE op order: v = acc*a, act(v), rint(v*inv_s), clip)."""
+    v = acc_f32 * a_vec.astype(jnp.float32)
+    if act == "relu":
+        v = jnp.maximum(v, jnp.float32(0.0))
+    elif act == "hswish":
+        g = jnp.clip(v + jnp.float32(3.0), 0.0, 6.0) * jnp.float32(1.0 / 6.0)
+        v = v * g
+    else:
+        assert act == "linear", act
+    return jnp.clip(jnp.round(v * jnp.float32(inv_s)), -128, 127)
+
+
+def _named_s1_kernel(x_ref, dww_ref, dwb_ref, da_ref, pww_ref, pwb_ref,
+                     pa_ref, o_ref, s_ref, *, th, w4, r, cin, act, g, bn,
+                     out_cols, d_inv, p_inv, out_dtype):
+    import jax as _jax
+
+    i = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, i == 0))
+    def _():
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    if g == 1:
+        s_ref[:, 1 : th + 1, :, :] = x_ref[...]
+    else:
+        @pl.when(i == 0)
+        def _():
+            s_ref[:, 1 : th + 2, :, :] = x_ref[:, 0 : th + 1]
+            s_ref[:, 0:1, :, :] = jnp.zeros_like(s_ref[:, 0:1, :, :])
+
+        if g > 2:
+            @pl.when(jnp.logical_and(i > 0, i < g - 1))
+            def _():
+                s_ref[:, 0 : th + 2, :, :] = x_ref[...]
+
+        @pl.when(i == g - 1)
+        def _():
+            s_ref[:, 0 : th + 1, :, :] = x_ref[:, 1 : th + 2]
+            s_ref[:, th + 1 : th + 2, :, :] = jnp.zeros_like(
+                s_ref[:, th + 1 : th + 2, :, :])
+
+    sv = s_ref[...].astype(jnp.float32)  # exact ints (bf16 carrier)
+    lane = _jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 128), 3)
+    group = lane // cin
+    rolled_l = pltpu.roll(sv, 128 - cin, axis=3)
+    left_tap = jnp.where(group == r - 1, _shift_cols(rolled_l, -1), rolled_l)
+    rolled_r = pltpu.roll(sv, cin, axis=3)
+    right_tap = jnp.where(group == 0, _shift_cols(rolled_r, +1), rolled_r)
+    taps = (right_tap, sv, left_tap)
+
+    acc = jnp.zeros((bn, th, w4, 128), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            t = taps[dx][:, dy : dy + th]
+            acc = acc + t * dww_ref[dy, dx, :].astype(jnp.float32)
+
+    yd = _named_requant_f32(acc + dwb_ref[0].astype(jnp.float32),
+                            da_ref[0], d_inv, act)
+    # LINEAR projection as an exact bf16 MXU dot: yd ints <= 127 and the
+    # block-diagonal kron keeps |dot| <= Cin*127^2 (2.58e5 at Cin=16) —
+    # exact in the f32 accumulator; bias joins in f32 (bound checked at
+    # the routing site against concrete quantized constants).
+    y2 = yd.astype(jnp.bfloat16).reshape(bn * th * w4, 128)
+    out = jnp.dot(y2, pww_ref[...],
+                  preferred_element_type=jnp.float32)
+    out = out + pwb_ref[0].astype(jnp.float32)
+    q = _named_requant_f32(out, pa_ref[0], p_inv, "linear")
+    o_ref[...] = q.reshape(bn, th, out_cols, 128).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cin", "cout", "act", "d_inv", "p_inv", "out_dtype",
+                     "block_h", "block_n", "interpret"),
+)
+def packed_block_i8_named(
+    x_packed,              # (N, H, W*Cin/128, 128) bf16-carried ints
+    dw_w_i8, dw_bias_i32, dw_a,
+    pw_w_i8, pw_bias_i32, pw_a,
+    cin: int, cout: int, act: str, d_inv: float, p_inv: float,
+    out_dtype: str = "bfloat16", *,
+    block_h: Optional[int] = None, block_n: Optional[int] = None,
+    interpret: Optional[bool] = None,
+):
+    """Stride-1 lane-packed named-act int8 block (V3 block-0 class).
+
+    x_packed carries bf16 integers (quant/v3's carriage — pack() of the
+    carried activation); returns the packed LINEAR projection output on
+    the int8 grid in `out_dtype` (bf16 to keep the carriage, int8 at a
+    carriage boundary). Bit-identical to quant/v3's XLA ops sequence
+    (dw requant -> linear prj requant); the residual, when the block has
+    one, is the caller's packed-domain add + clip.
+    """
+    if interpret is None:
+        interpret = _should_interpret()
+    out_dtype = jnp.dtype(out_dtype)
+    n, h, w4, lanes = x_packed.shape
+    assert lanes == 128 and 128 % cin == 0 and x_packed.dtype == jnp.bfloat16
+    r = 128 // cin
+    assert r * cout % 128 == 0, (r, cout)
+    out_cols = w4 * (r * cout) // 128
+
+    def est(bn_, th_):
+        u_win = bn_ * (th_ + 2) * w4 * 128
+        u_mid = bn_ * th_ * w4 * 128
+        u_out = bn_ * th_ * out_cols * 128
+        return (3 * u_win * 2 + 2 * u_out * 2 + u_mid * 2
+                + (3 * u_win + u_mid + u_out) * 4)
+
+    cap = int(16.3 * 2 ** 20)
+    th = block_h or h
+    while th > 1 and (h % th or est(1, th) > cap):
+        th -= 1
+    bn = block_n or 1
+    if block_n is None:
+        while (bn * 2 <= n and n % (bn * 2) == 0 and bn * th * w4 < 256
+               and est(bn * 2, th) < cap):
+            bn *= 2
+    while n % bn:
+        bn -= 1
+    g = h // th
+    th_in = th if g == 1 else th + 2
+    if g == 1:
+        x_index = lambda b_, i: (b_ * bn, 0, 0, 0)
+    else:
+        x_index = lambda b_, i: (
+            b_ * bn, jnp.clip(i * th - 1, 0, h - (th + 2)), 0, 0)
+
+    dww = jnp.tile(dw_w_i8.reshape(3, 3, cin), (1, 1, r))
+    dwb = jnp.tile(dw_bias_i32.reshape(1, cin), (1, r))
+    da = jnp.tile(dw_a.reshape(1, cin).astype(jnp.float32), (1, r))
+    pww = jnp.kron(jnp.eye(r, dtype=jnp.int8), pw_w_i8).astype(jnp.bfloat16)
+    pwb = jnp.tile(pw_bias_i32.reshape(1, cout), (1, r))
+    pa = jnp.tile(pw_a.reshape(1, cout).astype(jnp.float32), (1, r))
+
+    kernel = functools.partial(
+        _named_s1_kernel, th=th, w4=w4, r=r, cin=cin, act=act, g=g, bn=bn,
+        out_cols=out_cols, d_inv=float(d_inv), p_inv=float(p_inv),
+        out_dtype=out_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bn, g),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(bn), pl.Element(th_in), pl.Element(w4),
+                 pl.Element(128)),
+                x_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, 128), lambda b_, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, r * cout), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r * cout), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r * cout), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bn, th, out_cols, 128),
+                               lambda b_, i: (b_, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, out_cols, 128), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bn, th + 2, w4, 128), jnp.bfloat16)],
+        interpret=interpret,
+    )(x_packed, dww, dwb, da, pww, pwb, pa)

@@ -473,6 +473,21 @@ def _fused_plan_v3(dev, config: V3Config, n: int):
     return conv1_dtype, plan
 
 
+def _packed_bias_ok(blk, cin: int) -> bool:
+    """Exactness bound for the packed route's bf16 projection dot:
+    |block-diag dot| <= cin*127^2, so the f32 sum with the bias stays an
+    exact integer while cin*127^2 + |b| < 2^24. Checked against the
+    CONCRETE quantized constants (the pipelines close over the device
+    tree); a traced tree falls back to the generic fused kernel."""
+    import numpy as np
+
+    try:
+        bmax = int(np.abs(np.asarray(blk["prj"]["b"])).max())
+    except Exception:
+        return False
+    return cin * 127 * 127 + bmax < 2 ** 24
+
+
 def forward_v3_i8(dev: Dict[str, Any], x_q, config: V3Config, *,
                   collect: bool = False,
                   num_blocks: Optional[int] = None,
@@ -510,6 +525,41 @@ def forward_v3_i8(dev: Dict[str, Any], x_q, config: V3Config, *,
         if num_blocks is not None and i >= num_blocks:
             return y
         if plan is not None and plan[i][0]:
+            cin_a = int(y.shape[-1])
+            if (not bd.has_expand and bd.kernel == 3 and bd.stride == 1
+                    and not bd.se_mid and bd.act == "relu"
+                    and y.dtype == jnp.bfloat16 and cin_a < 128
+                    and 128 % cin_a == 0
+                    and (int(y.shape[2]) * cin_a) % 128 == 0
+                    and ((128 // cin_a)
+                         * int(blk["prj"]["w"].shape[1])) % 128 == 0
+                    and _packed_bias_ok(blk, cin_a)):
+                # t == 1 relu block on the lane-packed named-act kernel —
+                # the float block-0 treatment's int8 twin (the identity-
+                # expand rows route wastes 7/8 of every vector at ep=128;
+                # models/mobilenet_v3.py block-0 comment). Residual joins
+                # in the PACKED bf16 domain: exact ints (|sum| <= 254 is
+                # exact in bf16), clip to the int8 grid, measured free
+                # (an unpacked (...,16) add costs 8x lane waste).
+                from ..ops.pallas_block_packed import pack, unpack
+                from .pallas_block_packed_i8 import packed_block_i8_named
+
+                cout_a = int(blk["prj"]["w"].shape[1])
+                out_dt = plan[i][2]
+                xp = pack(y, cin_a)
+                d, p = blk["dw"], blk["prj"]
+                yp = packed_block_i8_named(
+                    xp, d["w"], d["b"], d["a"], p["w"], p["b"], p["a"],
+                    cin_a, cout_a, bd.act, float(d["inv_s"]),
+                    float(p["inv_s"]),
+                    out_dtype="bfloat16" if bd.has_res else
+                    jnp.dtype(out_dt).name)
+                if bd.has_res:
+                    yp = jnp.clip(yp.astype(jnp.float32)
+                                  + xp.astype(jnp.float32),
+                                  -128, 127).astype(out_dt)
+                y = unpack(yp, cout_a)
+                continue
             y = v3_block_pallas_i8(
                 y, blk.get("exp"), blk["dw"], blk["prj"], k=bd.kernel,
                 stride=bd.stride, act=bd.act,
