@@ -56,9 +56,19 @@ def _shift_cols(v, direction):
     return jnp.pad(v[:, :, 1:, :], ((0, 0), (0, 0), (0, 1), (0, 0)))
 
 
+def _pw_requant(out32, pwm_ref, pw_six_q, relu6, pw_linear):
+    """pw epilogue: V1's in-domain ReLU6 requant, or the V2 linear-
+    bottleneck requant (clip(round(acc*m), -128, 127) — the exact op order
+    of quant/v2._pw_i8_linear_dev / pw_i8_linear)."""
+    if pw_linear:
+        v = out32.astype(jnp.float32) * pwm_ref[0].astype(jnp.float32)
+        return jnp.clip(jnp.round(v), -128, 127)
+    return _requant_f32(out32, pwm_ref[0], pw_six_q, relu6)
+
+
 def _s1_kernel(x_ref, dww_ref, dwb_ref, dwm_ref, pww_ref, pwb_ref, pwm_ref,
                o_ref, s_ref, *, th, w4, r, cin, relu6, g, bn, out_cols,
-               dw_six_q, pw_six_q):
+               dw_six_q, pw_six_q, pw_linear=False):
     i = pl.program_id(1)
     is_first_step = jnp.logical_and(pl.program_id(0) == 0, i == 0)
 
@@ -113,13 +123,14 @@ def _s1_kernel(x_ref, dww_ref, dwb_ref, dwm_ref, pww_ref, pwb_ref, pwm_ref,
         preferred_element_type=jnp.int32,
     )
     out32 = out32 + pwb_ref[0].astype(jnp.int32)
-    o_ref[...] = _requant_f32(out32, pwm_ref[0], pw_six_q, relu6).reshape(
+    o_ref[...] = _pw_requant(out32, pwm_ref, pw_six_q, relu6,
+                             pw_linear).reshape(
         bn, th, out_cols, 128).astype(jnp.int8)
 
 
 def _s2_kernel(x_ref, dww_ref, dwb_ref, dwm_ref, pww_ref, pwb_ref, pwm_ref,
                o_ref, s_ref, *, th, w4, r, cin, relu6, g, bn, out_cols,
-               dw_six_q, pw_six_q):
+               dw_six_q, pw_six_q, pw_linear=False):
     i = pl.program_id(1)
     is_first_step = jnp.logical_and(pl.program_id(0) == 0, i == 0)
 
@@ -166,7 +177,8 @@ def _s2_kernel(x_ref, dww_ref, dwb_ref, dwm_ref, pww_ref, pwb_ref, pwm_ref,
         preferred_element_type=jnp.int32,
     )
     out32 = out32 + pwb_ref[0].astype(jnp.int32)
-    o_ref[...] = _requant_f32(out32, pwm_ref[0], pw_six_q, relu6).reshape(
+    o_ref[...] = _pw_requant(out32, pwm_ref, pw_six_q, relu6,
+                             pw_linear).reshape(
         bn, th, out_cols, 128).astype(jnp.int8)
 
 
@@ -204,7 +216,7 @@ def _common_call(kernel_fn, x_packed, stride, args, *, th, bn, g, th_in, w4,
 @functools.partial(
     jax.jit,
     static_argnames=("cin", "cout", "stride", "dw_six_q", "pw_six_q", "relu6",
-                     "block_h", "block_n", "interpret"),
+                     "pw_linear", "block_h", "block_n", "interpret"),
 )
 def separable_block_packed_i8(
     x_packed: jax.Array,   # (N, H, W*Cin/128, 128) int8, lane = j*Cin + c
@@ -221,12 +233,15 @@ def separable_block_packed_i8(
     pw_six_q: float,
     relu6: bool = True,
     *,
+    pw_linear: bool = False,
     block_h: Optional[int] = None,
     block_n: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Packed int8 fused block (stride 1 or 2). Output is packed int8:
-    R*Cout/128 lane groups for stride 1, (R/2)*Cout/128 for stride 2."""
+    R*Cout/128 lane groups for stride 1, (R/2)*Cout/128 for stride 2.
+    pw_linear=True swaps the pw epilogue for the V2 linear-bottleneck
+    requant (no activation — quant/v2._pw_i8_linear_dev's exact ops)."""
     if interpret is None:
         interpret = _should_interpret()
     n, h, w4, lanes = x_packed.shape
@@ -290,6 +305,7 @@ def separable_block_packed_i8(
     kernel = functools.partial(
         kfn, th=th, w4=w4, r=r, cin=cin, relu6=relu6, g=g, bn=bn,
         out_cols=out_cols, dw_six_q=dw_six_q, pw_six_q=pw_six_q,
+        pw_linear=pw_linear,
     )
     return _common_call(
         kernel, x_packed, stride, (dww, dwb, dwm, pww, pwb, pwm),

@@ -244,14 +244,50 @@ def forward_v2_i8(dev: Dict[str, Any], x_i8, config: V2Config, *,
             zip(config.block_defs, dev["blocks"])):
         if num_blocks is not None and i >= num_blocks:
             return y
+        cin_a = int(y.shape[-1])
+        if (use_fused and not collect and "exp" not in blk and stride == 1
+                and cin_a < 128 and 128 % cin_a == 0
+                and (int(y.shape[2]) * cin_a) % 128 == 0):
+            # t == 1 (block 0): lane-packed int8 route with the LINEAR pw
+            # epilogue — the XLA int8 fallback here cost 12.4 ms/batch-256
+            # at 1.0-224 vs bf16's packed 2.36 (2026-08-18 attribution,
+            # v3_campaign_raw.log). Cout pads up to a Cin multiple with
+            # ZERO channels (w/b/m = 0 -> exact zero lanes); the pads are
+            # in-graph constants (folded at compile) and the next block's
+            # expansion rows pad to consume them — logits unchanged.
+            d, p = blk["dw"], blk["prj"]
+            cout_a = int(p["w"].shape[1])
+            coutp = -(-cout_a // cin_a) * cin_a
+            if ((128 // cin_a) * coutp) % 128 == 0 and cin != cout:
+                pw_w, pw_b, pw_m = p["w"], p["b"], p["m"]
+                if coutp != cout_a:
+                    pw_w = jnp.pad(pw_w, ((0, 0), (0, coutp - cout_a)))
+                    pw_b = jnp.pad(pw_b, (0, coutp - cout_a))
+                    pw_m = jnp.pad(pw_m, (0, coutp - cout_a))
+                from ..ops.pallas_block_packed import (  # noqa: PLC0415
+                    pack, unpack)
+                from .pallas_block_packed_i8 import (  # noqa: PLC0415
+                    separable_block_packed_i8)
+
+                yp = separable_block_packed_i8(
+                    pack(y, cin_a), d["w"], d["b"], d["m"],
+                    pw_w, pw_b, pw_m, cin_a, coutp, 1,
+                    d["six_q"], 0.0, relu6, pw_linear=True)
+                y = unpack(yp, coutp)
+                continue
         if (use_fused and not collect and "exp" in blk
                 and ir_i8_fits(int(y.shape[0]), int(y.shape[1]),
                                int(y.shape[2]), int(y.shape[-1]),
                                int(blk["exp"]["w"].shape[1]),
                                int(blk["prj"]["w"].shape[1]), stride)):
             e, d, p = blk["exp"], blk["dw"], blk["prj"]
+            e_w = e["w"]
+            if cin_a > int(e_w.shape[0]):
+                # consume block 0's zero-channel projection padding:
+                # zero expansion rows contribute nothing — exact.
+                e_w = jnp.pad(e_w, ((0, cin_a - int(e_w.shape[0])), (0, 0)))
             y = inverted_residual_pallas_i8(
-                y, e["w"], e["b"], e["m"], e["six_q"],
+                y, e_w, e["b"], e["m"], e["six_q"],
                 d["w"], d["b"], d["m"], d["six_q"],
                 p["w"], p["b"], p["m"], stride,
                 stride == 1 and cin == cout)
@@ -259,7 +295,10 @@ def forward_v2_i8(dev: Dict[str, Any], x_i8, config: V2Config, *,
         z = y
         if "exp" in blk:
             e = blk["exp"]
-            z = qops.pointwise_i8(z, e["w"], e["b"], e["m"], e["six_q"], relu6)
+            e_w = e["w"]
+            if cin_a > int(e_w.shape[0]):
+                e_w = jnp.pad(e_w, ((0, cin_a - int(e_w.shape[0])), (0, 0)))
+            z = qops.pointwise_i8(z, e_w, e["b"], e["m"], e["six_q"], relu6)
             if collect:
                 acts[f"block{i:02d}_exp"] = z
         d = blk["dw"]

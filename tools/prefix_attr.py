@@ -33,10 +33,36 @@ def build_entries(args, prefixes, int8=None):
     if int8 is None:
         int8 = args.int8
     if getattr(args, "model", "v1") == "v2":
-        assert not int8, "--model v2 attribution is bf16-only"
         from mobilenet_tpu.checkpoints.padding import pad_block0_v2
         from mobilenet_tpu.checkpoints.v2 import fold_bn_v2, init_params_v2
         from mobilenet_tpu.models.mobilenet_v2 import V2Config, forward_v2
+
+        if int8:
+            from mobilenet_tpu.quant import ops as qops
+            from mobilenet_tpu.quant.quantize import ACT_IN_SCALE
+            from mobilenet_tpu.quant.v2 import (_as_device_tree_v2,
+                                                forward_v2_i8, quantize_v2)
+
+            cfg = V2Config(alpha=args.alpha, resolution=args.res,
+                           compute_dtype="bfloat16")
+            folded = fold_bn_v2(init_params_v2(cfg, seed=0), eps=cfg.bn_eps)
+            dev = _as_device_tree_v2(quantize_v2(folded, cfg))
+            fused = args.routing != "xla"
+            entries = {}
+            for k in prefixes:
+                nb = None if k == "full" else int(k)
+
+                def fni(images_u8, nb=nb):
+                    x = prep.preprocess(images_u8, cfg.resolution,
+                                        jnp.float32)
+                    x_q = qops.quantize_input_dev(x, ACT_IN_SCALE,
+                                                  out_dtype=jnp.bfloat16)
+                    y = forward_v2_i8(dev, x_q, cfg, use_fused=fused,
+                                      num_blocks=nb)
+                    return jnp.sum(y.astype(jnp.float32)).reshape(1)
+
+                entries[k] = jax.jit(fni)
+            return cfg, entries
 
         cfg = V2Config(alpha=args.alpha, resolution=args.res,
                        compute_dtype="bfloat16")
