@@ -115,6 +115,12 @@ class V2Config:
         return f"mobilenet_v2_{self.alpha:g}_{self.resolution}"
 
 
+# Trace-time knob for the packed-expand stride-2 route (run_blocks_v2):
+# True ships it; A/B tools flip it (tools/ab_b1_packed.py). V3 twin in
+# models/mobilenet_v3.py.
+PACKED_EXPAND_S2 = True
+
+
 def _routing_v2(config: V2Config, dw_backend, batch: int) -> Tuple[str, ...]:
     """Per-block backend list (len == 17). "xla" | "fused" | tuple.
 
@@ -221,8 +227,21 @@ def run_blocks_v2(params, y, config: V2Config, routing, *,
         # block 0's lane-divisor projection padding (checkpoints.padding.
         # pad_block0_v2) — zero channels, logits exactly unchanged.
         cin_a = int(y.shape[-1])
-        e_a = int(blk["exp"]["w"].shape[1]) if "exp" in blk else cin_a
+        # A packed-expand s2 producer (below) widens the activation with
+        # zero channels; consumers pad their expand rows (and residual
+        # blocks their projection cols) with zeros in-graph to match —
+        # exact, compile-folded for closed-over params (the V3 twin).
+        if "exp" in blk and int(blk["exp"]["w"].shape[0]) < cin_a:
+            pad = cin_a - int(blk["exp"]["w"].shape[0])
+            blk = dict(blk, exp=dict(blk["exp"], w=jnp.pad(
+                blk["exp"]["w"], ((0, pad), (0, 0)))))
         cout_a = int(blk["prj"]["w"].shape[1])
+        if has_res and cout_a < cin_a:
+            blk = dict(blk, prj=dict(
+                w=jnp.pad(blk["prj"]["w"], ((0, 0), (0, cin_a - cout_a))),
+                b=jnp.pad(blk["prj"]["b"], (0, cin_a - cout_a))))
+            cout_a = cin_a
+        e_a = int(blk["exp"]["w"].shape[1]) if "exp" in blk else cin_a
         if routing[i] == "fused" and not collect and "exp" not in blk:
             # t == 1 (block 0 only): its dw runs at Cin < 128 — lane-pack
             # R = 128/Cin pixels per vector (the measured V1 fix for 112²
@@ -240,6 +259,31 @@ def run_blocks_v2(params, y, config: V2Config, routing, *,
                     pw_epilogue=False)
                 y = unpack(yp, cout_a)
                 continue
+        if (PACKED_EXPAND_S2 and routing[i] == "fused" and not collect
+                and "exp" in blk and stride == 2
+                and cin_a < 128 and 128 % cin_a == 0
+                and (int(y.shape[2]) * cin_a) % 128 == 0
+                and int(y.shape[1]) % 2 == 0 and int(y.shape[2]) % 2 == 0
+                and e_a < 128 and 128 % e_a == 0 and (128 // e_a) % 2 == 0):
+            # Narrow-input stride-2 expand block: the V3 packed-expand
+            # twin (models/mobilenet_v3.py — full rationale + numbers
+            # there). Eligibility REQUIRES the packed stage-2 (E | 128,
+            # even ratio): V2's standard grid has E = 96α at block 1,
+            # and the dense-stage-2 fallback variant MEASURED A LOSS at
+            # 1.0-224 (11,458 -> 10,684 img/s, tools/ab_b1_packed.py
+            # --model v2, 2026-08-19), so standard V2 configs stay on the
+            # base fused route; the route fires only for imported
+            # checkpoints whose expand width divides 128.
+            from ..ops.pallas_block_packed import (  # noqa: PLC0415
+                pack, packed_expand, separable_block_packed_s2)
+
+            ye = packed_expand(y, blk["exp"]["w"], blk["exp"]["b"], "relu6")
+            pw = jnp.pad(blk["prj"]["w"], ((0, 0), (0, 128 - cout_a)))
+            pb = jnp.pad(blk["prj"]["b"], (0, 128 - cout_a))
+            y = separable_block_packed_s2(
+                pack(ye, e_a), blk["dw"]["w"], blk["dw"]["b"], pw, pb,
+                e_a, 128, True, pw_epilogue=False)
+            continue
         if (routing[i] == "fused" and not collect and ("exp" in blk or i == 0)
                 and ir_fits(int(y.shape[0]), int(y.shape[1]), int(y.shape[2]),
                             cin_a, e_a, cout_a, stride,

@@ -190,6 +190,12 @@ def se_apply(z: jax.Array, se: Dict[str, Any]) -> jax.Array:
     return z * g[:, None, None, :]
 
 
+# Trace-time knob for the packed-expand stride-2 route (run_blocks_v3):
+# True ships it; A/B tools flip it to race the route against the rows-mode
+# fused kernel in one process (tools/ab_b1_packed.py).
+PACKED_EXPAND_S2 = True
+
+
 def _routing_v3(config: V3Config, dw_backend, batch: int) -> Tuple[str, ...]:
     """Per-block backend tuple, the V2 pattern (_routing_v2). None (the
     plain-JAX/CPU tier) -> xla; "auto" -> fused at throughput batches, xla
@@ -292,8 +298,22 @@ def run_blocks_v3(params, y, config: V3Config, routing, *,
         # Shapes from the ACTUAL params (the V2 discipline: a padded device
         # tree must route by what it carries, not the nominal config).
         cin_a = int(y.shape[-1])
-        e_a = int(blk["exp"]["w"].shape[1]) if "exp" in blk else cin_a
+        # A packed-s2 producer (below) widens the activation with zero
+        # channels; consumers pad their expand rows (and, for residual
+        # blocks, their projection cols) with zeros IN-GRAPH to match —
+        # exact (zero rows/cols contribute exact f32 zeros), and folded at
+        # compile when the params are closed-over constants.
+        if "exp" in blk and int(blk["exp"]["w"].shape[0]) < cin_a:
+            pad = cin_a - int(blk["exp"]["w"].shape[0])
+            blk = dict(blk, exp=dict(blk["exp"], w=jnp.pad(
+                blk["exp"]["w"], ((0, pad), (0, 0)))))
         cout_a = int(blk["prj"]["w"].shape[1])
+        if bd.has_res and cout_a < cin_a:
+            blk = dict(blk, prj=dict(
+                w=jnp.pad(blk["prj"]["w"], ((0, 0), (0, cin_a - cout_a))),
+                b=jnp.pad(blk["prj"]["b"], (0, cin_a - cout_a))))
+            cout_a = cin_a
+        e_a = int(blk["exp"]["w"].shape[1]) if "exp" in blk else cin_a
         if (routing[i] == "fused" and not collect and not bd.has_expand
                 and bd.kernel == 3 and bd.stride == 1 and not bd.se_mid
                 and bd.act == "relu"):
@@ -326,6 +346,41 @@ def run_blocks_v3(params, y, config: V3Config, routing, *,
                     yp = yp + xp
                 y = unpack(yp, cout_a)
                 continue
+        if (PACKED_EXPAND_S2 and routing[i] == "fused" and not collect
+                and bd.has_expand
+                and bd.kernel == 3 and bd.stride == 2 and not bd.se_mid
+                and bd.act == "relu" and cin_a < 128 and 128 % cin_a == 0
+                and (int(y.shape[2]) * cin_a) % 128 == 0
+                and int(y.shape[1]) % 2 == 0 and int(y.shape[2]) % 2 == 0
+                and e_a < 128 and 128 % e_a == 0 and (128 // e_a) % 2 == 0):
+            # Narrow-input stride-2 expand block (V3-Large block 1: Cin=16
+            # at 112², E=64): the rows-mode fused kernel reads (…, 16)
+            # element windows at 1/8 lane occupancy and runs its expand dot
+            # at K=16 — measured 9.2 ms of the 20.9 ms model (2026-08-19
+            # attribution). Two-stage packed route instead: the expansion
+            # as ONE full-width kron matmul in the packed layout
+            # (ops.pallas_block_packed.packed_expand), then the proven V1
+            # packed stride-2 dw+pw kernel with a linear projection
+            # epilogue. The projection pads to 128 output channels (zero
+            # cols — exact) so the packed kernel's lane-group contract
+            # holds; consumers pad their expand rows to match (above).
+            # Measured (tools/ab_b1_packed.py, batch 256, interleaved):
+            # V3-Large 1.0-224 12,668 -> 15,804 img/s, logits EXACTLY
+            # equal. Eligibility REQUIRES the packed stage-2 (E | 128,
+            # even ratio): the dense stage-2 fallback variant measured a
+            # 7% LOSS on V2 1.0-224 (E=96: 11,458 -> 10,684 — 3/4 lane
+            # occupancy + the expanded tensor round-tripping HBM), so
+            # E-indivisible blocks stay on the base fused route.
+            from ..ops.pallas_block_packed import (  # noqa: PLC0415
+                pack, packed_expand, separable_block_packed_s2)
+
+            ye = packed_expand(y, blk["exp"]["w"], blk["exp"]["b"], bd.act)
+            pw = jnp.pad(blk["prj"]["w"], ((0, 0), (0, 128 - cout_a)))
+            pb = jnp.pad(blk["prj"]["b"], (0, 128 - cout_a))
+            y = separable_block_packed_s2(
+                pack(ye, e_a), blk["dw"]["w"], blk["dw"]["b"], pw, pb,
+                e_a, 128, False, pw_epilogue=False)
+            continue
         if (routing[i] == "fused" and not collect
                 and v3_fits(int(y.shape[0]), int(y.shape[1]),
                             int(y.shape[2]), cin_a, e_a, cout_a, bd.kernel,

@@ -253,6 +253,42 @@ def unpack(x_packed: jax.Array, c: int) -> jax.Array:
     return x_packed.reshape(n, h, w4 * lanes // c, c)
 
 
+def packed_expand(x: jax.Array, exp_w: jax.Array, exp_b: jax.Array,
+                  act: str) -> jax.Array:
+    """Expansion 1x1 conv of a NARROW-channel layer (Cin < 128) computed in
+    the lane-packed layout: (N*H*W*Cin/128, 128) @ kron(I_R, We) with
+    R = 128/Cin. The standard pointwise matmul at Cin = 16 runs the MXU at
+    K = 16 and reads (…, 16) vectors at 1/8 lane occupancy — measured as
+    the dominant cost of the 112² expand blocks (V3-Large block 1 at 9.2
+    ms/batch-256, benchmarks/v3_campaign_raw.log 2026-08-19 attribution).
+    The kron keeps K at the full 128 lanes (the zero off-diagonal blocks
+    add exact f32 zeros, so numerics match ops.conv.pointwise_conv's dot +
+    bias + act op order). Output reshapes FREELY to dense NHWC: the kron
+    output lane order is (pixel j, channel e) pixel-major, so
+    (N, H, W*Cin/128, R*E) row-major IS (N, H, W, E) row-major.
+
+    Requires 128 % Cin == 0 and (W * Cin) % 128 == 0. Returns (N, H, W, E)
+    in x.dtype — the expanded tensor DOES land in HBM here (unlike the
+    fused in-kernel expands); callers pair it with a fused dw+prj stage-2
+    kernel so only one E-wide tensor round-trips.
+    """
+    from .conv import _precision, bias_act  # noqa: PLC0415
+
+    n, h, w, cin = x.shape
+    e = int(exp_w.shape[1])
+    r = 128 // cin
+    assert 128 % cin == 0 and (w * cin) % 128 == 0, (cin, w)
+    xp = pack(x, cin)
+    w4 = xp.shape[2]
+    kw = jnp.kron(jnp.eye(r, dtype=exp_w.dtype), exp_w).astype(x.dtype)
+    y = jnp.dot(xp.reshape(n * h * w4, 128), kw,
+                precision=_precision(x),
+                preferred_element_type=jnp.float32)
+    y = bias_act(y, jnp.tile(exp_b.reshape(1, e), (1, r)).reshape(-1),
+                 None, act)
+    return y.reshape(n, h, w, e).astype(x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Packed stride-2 block (any even R = 128/Cin): with lane = j*C + c (pixel
 # R*g+j), define A[p] = sum_dx in[p+dx] * k_dx for EVERY pixel p; the
@@ -271,7 +307,7 @@ def unpack(x_packed: jax.Array, c: int) -> jax.Array:
 
 def _packed_s2_kernel(
     x_ref, dww_ref, dwb_ref, pww_ref, pwb_ref, o_ref, s_ref,
-    *, th, w4, r, cin, relu6, out_dtype, g, bn, out_cols,
+    *, th, w4, r, cin, relu6, out_dtype, g, bn, out_cols, pw_epilogue=True,
 ):
     i = pl.program_id(1)
     is_first_step = jnp.logical_and(pl.program_id(0) == 0, i == 0)
@@ -319,13 +355,18 @@ def _packed_s2_kernel(
         else jax.lax.Precision.DEFAULT
     )
     out = jnp.dot(y2, pww_ref[...], preferred_element_type=jnp.float32, precision=prec)
-    out = _act(out + pwb_ref[0].astype(jnp.float32), relu6)
+    out = out + pwb_ref[0].astype(jnp.float32)
+    if pw_epilogue:
+        out = _act(out, relu6)
+    # pw_epilogue=False emits bias-added UNACTIVATED output — the linear
+    # projection of an inverted-residual block (the s1 kernel's mode).
     o_ref[...] = out.reshape(bn, th, out_cols, 128).astype(out_dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cin", "cout", "relu6", "block_h", "block_n", "interpret"),
+    static_argnames=("cin", "cout", "relu6", "block_h", "block_n",
+                     "pw_epilogue", "interpret"),
 )
 def separable_block_packed_s2(
     x_packed: jax.Array,  # (N, H, W*Cin/128, 128), lane = j*Cin + c
@@ -337,6 +378,7 @@ def separable_block_packed_s2(
     cout: int,
     relu6: bool = True,
     *,
+    pw_epilogue: bool = True,
     block_h: Optional[int] = None,
     block_n: Optional[int] = None,
     interpret: Optional[bool] = None,
@@ -389,6 +431,7 @@ def separable_block_packed_s2(
     kernel = functools.partial(
         _packed_s2_kernel, th=th, w4=w4, r=r, cin=cin, relu6=relu6,
         out_dtype=x_packed.dtype, g=g, bn=bn, out_cols=out_cols,
+        pw_epilogue=pw_epilogue,
     )
 
     return pl.pallas_call(

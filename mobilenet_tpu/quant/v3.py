@@ -416,7 +416,11 @@ def _se_i8_dev(z_i8, se1, se2):
     return jnp.clip(out, -128, 127).astype(jnp.int8)
 
 
-CARRY_MIN_H = 56  # carry bf16 into fused blocks whose input is >= 56^2
+# Carry bf16 into fused blocks whose input spatial is >= this. Measured on
+# chip (tools/ab_v3_carry.py, Large-224 batch 256, interleaved, all
+# candidates logit-EXACT): 56 -> 9,647 img/s, 28 -> 9,853 (+0.55 ms/batch,
+# the 28² SE blocks' int8 element windows), 14/7 a wash vs 28.
+CARRY_MIN_H = 28
 
 
 def _fused_plan_v3(dev, config: V3Config, n: int):

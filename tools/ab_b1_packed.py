@@ -1,0 +1,93 @@
+"""Race the packed-expand stride-2 route (V3/V2 block 1) against the
+shipping fused routing without it — one process, interleaved, e2e.
+
+Block 1 (Cin=16 at 112²) measured 9.2 ms/batch-256 of V3-Large's 20.9 ms
+under the rows-mode fused kernel (2026-08-19 attribution): (…, 16) element
+windows at 1/8 lane occupancy + a K=16 expand dot. The new route runs the
+expansion as one full-width kron matmul in the packed layout and the
+dw+prj stage on the proven V1 packed (E|128) or dense stride-2 kernel
+(models/mobilenet_v3.py run_blocks_v3; mobilenet_v2 twin).
+
+Also gates: new-route logits vs base-route logits (bf16 class) before
+timing.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from _bench_common import interleave_bench, make_batch
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--alpha", type=float, default=1.0)
+    ap.add_argument("--res", type=int, default=224)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--model", default="v3",
+                    choices=["v3", "v3small", "v2"])
+    args = ap.parse_args()
+
+    from mobilenet_tpu.ops import preprocess as prep
+
+    if args.model == "v2":
+        from mobilenet_tpu import models as _m  # noqa: F401
+        from mobilenet_tpu.checkpoints.padding import pad_block0_v2
+        from mobilenet_tpu.checkpoints.v2 import fold_bn_v2, init_params_v2
+        from mobilenet_tpu.models import mobilenet_v2 as mod
+        from mobilenet_tpu.models.mobilenet_v2 import V2Config, forward_v2
+
+        cfg = V2Config(alpha=args.alpha, resolution=args.res,
+                       compute_dtype="bfloat16")
+        folded = pad_block0_v2(
+            fold_bn_v2(init_params_v2(cfg, seed=0), eps=cfg.bn_eps))
+        params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), folded)
+        fwd = forward_v2
+    else:
+        from mobilenet_tpu.checkpoints.v3 import fold_bn_v3, init_params_v3
+        from mobilenet_tpu.models import mobilenet_v3 as mod
+        from mobilenet_tpu.models.mobilenet_v3 import V3Config, forward_v3
+
+        cfg = V3Config(variant="large" if args.model == "v3" else "small",
+                       alpha=args.alpha, resolution=args.res,
+                       compute_dtype="bfloat16")
+        folded = fold_bn_v3(init_params_v3(cfg, seed=0), eps=cfg.bn_eps)
+        params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), folded)
+        fwd = forward_v3
+
+    entries = {}
+    for label, flag in (("base", False), ("packed_b1", True)):
+        def fn(images_u8, flag=flag):
+            x = prep.preprocess(images_u8, cfg.resolution, jnp.bfloat16)
+            old = mod.PACKED_EXPAND_S2
+            mod.PACKED_EXPAND_S2 = flag  # trace-time knob
+            try:
+                return fwd(params, x, cfg, dw_backend="fused")
+            finally:
+                mod.PACKED_EXPAND_S2 = old
+
+        entries[label] = jax.jit(fn)
+
+    img = make_batch(args.batch, args.res)
+    ys = {k: np.asarray(f(img)).astype(np.float64)
+          for k, f in entries.items()}
+    d = np.abs(ys["packed_b1"] - ys["base"])
+    scale = np.abs(ys["base"]).max()
+    print(f"logits max_abs diff = {d.max():.4e}  (base absmax {scale:.2f}, "
+          f"rel {d.max() / scale:.2%})", flush=True)
+    top_a = ys["base"].argmax(1)
+    top_b = ys["packed_b1"].argmax(1)
+    print(f"top-1 agreement: {(top_a == top_b).mean():.4f}", flush=True)
+    interleave_bench(entries, img, args.batch, args.steps, args.rounds)
+
+
+if __name__ == "__main__":
+    main()
