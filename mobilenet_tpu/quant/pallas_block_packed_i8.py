@@ -494,3 +494,201 @@ def packed_block_i8_named(
         scratch_shapes=[pltpu.VMEM((bn, th + 2, w4, 128), jnp.bfloat16)],
         interpret=interpret,
     )(x_packed, dww, dwb, da, pww, pwb, pa)
+
+
+# ---------------------------------------------------------------------------
+# Named-act packed EXPAND + stride-2 block: the int8 twins of the float
+# packed-expand route (models/mobilenet_v3.py block-1 class; design.md
+# §3.3d). Block 1 of int8 V3-Large measured 8.95 of 26.1 ms/batch-256
+# (tools/prefix_attr.py --model v3 --int8, 2026-08-19) — the same (…, 16)
+# lane-occupancy disease the float route cured. The expansion runs as one
+# full-width kron matmul on the bf16-carried integers (exact f32 integer
+# accumulation — |dot| <= Cin*127², bias bound checked at the routing
+# site), requants with the exact quant/v3 op order, and lands directly in
+# the packed layout of E; the stride-2 dw + LINEAR projection then runs on
+# the named-act twin of ops/pallas_block_packed._packed_s2_kernel.
+# ---------------------------------------------------------------------------
+
+
+def packed_expand_i8_named(x_carry, exp_w_i8, exp_b_i32, exp_a, inv_s,
+                           act: str):
+    """Expansion 1x1 of a narrow bf16-CARRIED int8 layer in the lane-packed
+    layout: (N*H*(W*Cin/128), 128) @ kron(I_R, We) with R = 128/Cin, then
+    the quant/v3 named requant. The bf16 MXU dot accumulates EXACT f32
+    integers (products <= 127², <= Cin terms per output; the zero
+    off-diagonal kron blocks add exact zeros), so acc equals the oracle's
+    i32 accumulator bit-for-bit and the requant twin keeps the int8 EXACT
+    contract. Returns (N, H, W, E) bf16 carrying the requantized integers
+    (the kron's pixel-major lane order makes the reshape free)."""
+    from ..ops.pallas_block_packed import pack  # noqa: PLC0415
+
+    n, h, w, cin = x_carry.shape
+    assert x_carry.dtype == jnp.bfloat16
+    e = int(exp_w_i8.shape[1])
+    r = 128 // cin
+    assert 128 % cin == 0 and (w * cin) % 128 == 0, (cin, w)
+    xp = pack(x_carry, cin)
+    w4 = xp.shape[2]
+    kw = jnp.kron(jnp.eye(r, dtype=jnp.int8), exp_w_i8).astype(jnp.bfloat16)
+    acc = jnp.dot(xp.reshape(n * h * w4, 128), kw,
+                  preferred_element_type=jnp.float32)
+    acc = acc + jnp.tile(exp_b_i32.reshape(1, e), (1, r)).astype(jnp.float32)
+    a_t = jnp.tile(exp_a.reshape(1, e).astype(jnp.float32), (1, r))
+    q = _named_requant_f32(acc, a_t[0], float(inv_s), act)
+    return q.reshape(n, h, w, e).astype(jnp.bfloat16)
+
+
+def _named_s2_kernel(x_ref, dww_ref, dwb_ref, da_ref, pww_ref, pwb_ref,
+                     pa_ref, o_ref, s_ref, *, th, w4, r, cin, act, g, bn,
+                     out_cols, d_inv, p_inv, out_dtype):
+    import jax as _jax
+
+    i = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, i == 0))
+    def _():
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    # rows cover image rows [2*ts, 2*ts+2th+1]; col W4 stays a zero border
+    if g == 1:
+        s_ref[:, 0 : 2 * th, 0:w4, :] = x_ref[...]
+    else:
+        @pl.when(i < g - 1)
+        def _():
+            s_ref[:, 0 : 2 * th + 2, 0:w4, :] = x_ref[...]
+
+        @pl.when(i == g - 1)
+        def _():
+            s_ref[:, 0 : 2 * th, 0:w4, :] = x_ref[:, 2 : 2 * th + 2]
+            s_ref[:, 2 * th : 2 * th + 2, 0:w4, :] = jnp.zeros_like(
+                s_ref[:, 2 * th : 2 * th + 2, 0:w4, :])
+
+    sv = s_ref[...].astype(jnp.float32)  # exact ints (bf16 carrier)
+    lane = _jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 128), 3)
+    group = lane // cin
+    roll1 = pltpu.roll(sv, 128 - cin, axis=3)              # pixel p+1
+    shift1 = jnp.where(group == r - 1, _shift_cols(roll1, -1), roll1)
+    roll2 = pltpu.roll(sv, (128 - 2 * cin) % 128, axis=3)  # pixel p+2
+    shift2 = jnp.where(group >= r - 2, _shift_cols(roll2, -1), roll2)
+    taps = (sv, shift1, shift2)
+
+    n_pairs = sv.shape[1] // 2
+    acc = jnp.zeros((bn, th, w4 + 1, 128), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            t = taps[dx].reshape(bn, n_pairs, 2, w4 + 1, 128)[
+                :, dy // 2 : dy // 2 + th, dy % 2]
+            acc = acc + t * dww_ref[dy, dx, :].astype(jnp.float32)
+
+    yd = _named_requant_f32(
+        acc[:, :, 0:w4, :] + dwb_ref[0].astype(jnp.float32),
+        da_ref[0], d_inv, act)
+    # LINEAR projection as an exact bf16 MXU dot (the named s1 kernel's
+    # argument: |dot| <= E*127² plus the bias bound checked at the routing
+    # site keep the f32 accumulator an exact integer).
+    y2 = yd.astype(jnp.bfloat16).reshape(bn * th * w4, 128)
+    out = jnp.dot(y2, pww_ref[...], preferred_element_type=jnp.float32)
+    out = out + pwb_ref[0].astype(jnp.float32)
+    q = _named_requant_f32(out, pa_ref[0], p_inv, "linear")
+    o_ref[...] = q.reshape(bn, th, out_cols, 128).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cin", "cout", "act", "d_inv", "p_inv", "out_dtype",
+                     "block_h", "block_n", "interpret"),
+)
+def packed_block_i8_named_s2(
+    x_packed,              # (N, H, W*Cin/128, 128) bf16-carried ints
+    dw_w_i8, dw_bias_i32, dw_a,
+    pw_w_i8, pw_bias_i32, pw_a,
+    cin: int, cout: int, act: str, d_inv: float, p_inv: float,
+    out_dtype: str = "bfloat16", *,
+    block_h: Optional[int] = None, block_n: Optional[int] = None,
+    interpret: Optional[bool] = None,
+):
+    """Stride-2 lane-packed named-act int8 block (V3 block-1 stage 2).
+
+    The named twin of ops/pallas_block_packed.separable_block_packed_s2
+    with pw_epilogue=False: dw 3x3 s2 via the A[p]-everywhere + even-lane
+    selection algebra (same taps, same row windows), quant/v3's requant
+    after the dw and after the LINEAR projection. Bit-identical to the
+    XLA ops sequence. Returns the (R/2)-packed layout of cout (dense NHWC
+    when (R/2)*cout == 128 — the caller pads the projection to 128 zero
+    cols, which requant maps to exact zeros)."""
+    if interpret is None:
+        interpret = _should_interpret()
+    out_dtype = jnp.dtype(out_dtype)
+    n, h, w4, lanes = x_packed.shape
+    assert lanes == 128 and x_packed.dtype == jnp.bfloat16
+    r = 128 // cin
+    assert 128 % cin == 0 and r % 2 == 0, (cin, r)
+    assert (r // 2) * cout % 128 == 0, (r, cout)
+    assert h % 2 == 0
+    h_out = h // 2
+    out_cols = w4 * ((r // 2) * cout) // 128
+
+    th = block_h or min(h_out, 16)
+    while h_out % th:
+        th -= 1
+    bn = block_n or 1
+    if block_n is None:
+        while (
+            bn * 2 <= n and n % (bn * 2) == 0 and bn * th * w4 < 256
+            and bn * 2 * (2 * th + 2) * (w4 + 1) * 128 * 4 < 2**22
+        ):
+            bn *= 2
+    while n % bn:
+        bn -= 1
+    g = h_out // th
+
+    th_in = 2 * th if g == 1 else 2 * th + 2
+    if g == 1:
+        x_index = lambda b_, i: (b_ * bn, 0, 0, 0)
+    else:
+        x_index = lambda b_, i: (
+            b_ * bn, jnp.minimum(i * 2 * th, h - (2 * th + 2)), 0, 0)
+
+    dww = jnp.tile(dw_w_i8.reshape(3, 3, cin), (1, 1, r))
+    dwb = jnp.tile(dw_bias_i32.reshape(1, cin), (1, r))
+    da = jnp.tile(dw_a.reshape(1, cin).astype(jnp.float32), (1, r))
+    # selection: out lane block j' takes A's lane block j = 2*j'
+    sel = jnp.zeros((r, r // 2), jnp.int8).at[
+        2 * jnp.arange(r // 2), jnp.arange(r // 2)].set(1)
+    pww = jnp.kron(sel, pw_w_i8).astype(jnp.bfloat16)
+    pwb = jnp.tile(pw_bias_i32.reshape(1, cout), (1, r // 2))
+    pa = jnp.tile(pw_a.reshape(1, cout).astype(jnp.float32), (1, r // 2))
+
+    kernel = functools.partial(
+        _named_s2_kernel, th=th, w4=w4, r=r, cin=cin, act=act, g=g, bn=bn,
+        out_cols=out_cols, d_inv=float(d_inv), p_inv=float(p_inv),
+        out_dtype=out_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bn, g),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(bn), pl.Element(th_in), pl.Element(w4),
+                 pl.Element(128)),
+                x_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, 128), lambda b_, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, (r // 2) * cout), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, (r // 2) * cout), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, (r // 2) * cout), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bn, th, out_cols, 128),
+                               lambda b_, i: (b_, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h_out, out_cols, 128), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bn, 2 * th + 2, w4 + 1, 128),
+                                   jnp.bfloat16)],
+        interpret=interpret,
+    )(x_packed, dww, dwb, da, pww, pwb, pa)

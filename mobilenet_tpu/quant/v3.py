@@ -477,6 +477,51 @@ def _fused_plan_v3(dev, config: V3Config, n: int):
     return conv1_dtype, plan
 
 
+# Trace-time knob for the int8 packed-expand stride-2 route (the float
+# route's twin, models/mobilenet_v3.PACKED_EXPAND_S2); A/B tools flip it.
+PACKED_EXPAND_S2_I8 = True
+
+
+def _dot_bias_ok(layer, k_terms: int) -> bool:
+    """Exactness bound for a bf16-carried integer dot with k_terms nonzero
+    products per output: k_terms*127² + |bias_i32| < 2^24 keeps the f32
+    accumulator an exact integer. Checked against CONCRETE quantized
+    constants; a traced tree returns False (no packed route)."""
+    import numpy as np
+
+    try:
+        bmax = int(np.abs(np.asarray(layer["b"])).max())
+    except Exception:
+        return False
+    return k_terms * 127 * 127 + bmax < 2 ** 24
+
+
+def _xla_block_v3_i8(z, bd, blk):
+    """One bottleneck on the exact XLA ops (the unfused sequence, no
+    collect taps) — the fallback when a padded-width block no longer fits
+    the fused kernel's VMEM plan."""
+    import jax.numpy as jnp
+
+    x_in = z
+    if bd.has_expand:
+        e = blk["exp"]
+        z = _requant_named_dev(_pw_acc_dev(z, e["w"], e["b"]),
+                               e["a"], e["inv_s"], bd.act)
+    d = blk["dw"]
+    z = _requant_named_dev(
+        _dwk_acc_dev(z, d["w"], bd.stride, bd.kernel) + d["b"],
+        d["a"], d["inv_s"], bd.act)
+    if bd.se_mid:
+        z = _se_i8_dev(z, blk["se1"], blk["se2"])
+    p = blk["prj"]
+    out = _requant_named_dev(_pw_acc_dev(z, p["w"], p["b"]),
+                             p["a"], p["inv_s"], "linear")
+    if bd.has_res:
+        out = jnp.clip(out.astype(jnp.int32) + x_in.astype(jnp.int32),
+                       -128, 127).astype(jnp.int8)
+    return out
+
+
 def _packed_bias_ok(blk, cin: int) -> bool:
     """Exactness bound for the packed route's bf16 projection dot:
     |block-diag dot| <= cin*127^2, so the f32 sum with the bias stays an
@@ -528,8 +573,25 @@ def forward_v3_i8(dev: Dict[str, Any], x_q, config: V3Config, *,
     for i, (bd, blk) in enumerate(zip(config.block_defs, dev["blocks"])):
         if num_blocks is not None and i >= num_blocks:
             return y
+        cin_a = int(y.shape[-1])
+        cin_nom = (int(blk["exp"]["w"].shape[0]) if "exp" in blk
+                   else int(blk["dw"]["w"].shape[-1]))
+        if "exp" in blk and cin_nom < cin_a:
+            # A packed-s2 producer (below) widened the activation with zero
+            # channels; pad the expand rows (int8 zeros — exact zero
+            # contributions) and, for residual blocks, the projection cols
+            # (zero w/b/a -> requant emits exact zeros) to match. The
+            # padded stretch collapses at the first non-residual block.
+            blk = dict(blk, exp=dict(blk["exp"], w=jnp.pad(
+                blk["exp"]["w"], ((0, cin_a - cin_nom), (0, 0)))))
+        if bd.has_res and int(blk["prj"]["w"].shape[1]) < cin_a:
+            pc = cin_a - int(blk["prj"]["w"].shape[1])
+            blk = dict(blk, prj=dict(
+                blk["prj"],
+                w=jnp.pad(blk["prj"]["w"], ((0, 0), (0, pc))),
+                b=jnp.pad(blk["prj"]["b"], (0, pc)),
+                a=jnp.pad(blk["prj"]["a"], (0, pc))))
         if plan is not None and plan[i][0]:
-            cin_a = int(y.shape[-1])
             if (not bd.has_expand and bd.kernel == 3 and bd.stride == 1
                     and not bd.se_mid and bd.act == "relu"
                     and y.dtype == jnp.bfloat16 and cin_a < 128
@@ -564,6 +626,60 @@ def forward_v3_i8(dev: Dict[str, Any], x_q, config: V3Config, *,
                                   -128, 127).astype(out_dt)
                 y = unpack(yp, cout_a)
                 continue
+            e_a = (int(blk["exp"]["w"].shape[1]) if bd.has_expand else cin_a)
+            if (PACKED_EXPAND_S2_I8 and bd.has_expand and bd.kernel == 3
+                    and bd.stride == 2 and not bd.se_mid and bd.act == "relu"
+                    and y.dtype == jnp.bfloat16 and cin_a < 128
+                    and 128 % cin_a == 0
+                    and (int(y.shape[2]) * cin_a) % 128 == 0
+                    and int(y.shape[1]) % 2 == 0 and int(y.shape[2]) % 2 == 0
+                    and e_a < 128 and 128 % e_a == 0
+                    and (128 // e_a) % 2 == 0
+                    and _dot_bias_ok(blk["exp"], cin_a)
+                    and _dot_bias_ok(blk["prj"], e_a)):
+                # Narrow-input stride-2 expand block (V3-Large block 1:
+                # Cin=16 at 112², E=64) — measured 8.95 of 26.1 ms/batch-256
+                # on the generic fused kernel (prefix_attr --int8,
+                # 2026-08-19): the float packed-expand route's int8 twin
+                # (design.md §3.3d). Expansion as one kron matmul on the
+                # bf16-carried ints, then the named-act packed s2 kernel
+                # with a LINEAR projection padded to 128 zero cols (requant
+                # maps them to exact zeros); consumers pad to match
+                # (above). Bit-identical to the XLA ops sequence.
+                from ..ops.pallas_block_packed import pack  # noqa: PLC0415
+                from .pallas_block_packed_i8 import (  # noqa: PLC0415
+                    packed_block_i8_named_s2, packed_expand_i8_named)
+
+                ex, d, p = blk["exp"], blk["dw"], blk["prj"]
+                ye = packed_expand_i8_named(
+                    y, ex["w"], ex["b"], ex["a"], ex["inv_s"], bd.act)
+                cout_a = int(p["w"].shape[1])
+                pw = jnp.pad(p["w"], ((0, 0), (0, 128 - cout_a)))
+                pb = jnp.pad(p["b"], (0, 128 - cout_a))
+                pa = jnp.pad(p["a"], (0, 128 - cout_a))
+                yp = packed_block_i8_named_s2(
+                    pack(ye, e_a), d["w"], d["b"], d["a"], pw, pb, pa,
+                    e_a, 128, bd.act, float(d["inv_s"]), float(p["inv_s"]),
+                    out_dtype=jnp.dtype(plan[i][2]).name)
+                # (R/2)*cout_pad == 128: the packed output IS dense NHWC
+                y = yp.reshape(yp.shape[0], yp.shape[1], -1, 128)
+                continue
+            if cin_a > cin_nom:
+                # a widened input busts the nominal-VMEM plan decision;
+                # re-check feasibility at the ACTUAL dims (the bf16
+                # model's cin_a discipline) and fall back to the exact
+                # XLA ops when the padded block no longer fits.
+                from .pallas_ir_v3_i8 import v3_i8_fits  # noqa: PLC0415
+
+                if not v3_i8_fits(
+                        int(y.shape[0]), int(y.shape[1]), int(y.shape[2]),
+                        cin_a, e_a, int(blk["prj"]["w"].shape[1]),
+                        bd.kernel, bd.stride,
+                        0 if not bd.se_mid else
+                        int(blk["se1"]["w"].shape[1])):
+                    z = y.astype(jnp.int8) if y.dtype == jnp.bfloat16 else y
+                    y = _xla_block_v3_i8(z, bd, blk)
+                    continue
             y = v3_block_pallas_i8(
                 y, blk.get("exp"), blk["dw"], blk["prj"], k=bd.kernel,
                 stride=bd.stride, act=bd.act,

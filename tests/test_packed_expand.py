@@ -134,3 +134,68 @@ def test_consumer_pads_keep_logits_when_route_off(monkeypatch):
     want = forward_v3(params, x, cfg, dw_backend="xla")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_i8_packed_s2_route_taken_and_bit_identical(monkeypatch):
+    """The int8 twin (quant/v3.PACKED_EXPAND_S2_I8): the route must FIRE at
+    Large-96 (block 1: Cin=16, E=64, carried bf16 input) and the fused
+    logits must stay BIT-IDENTICAL to the XLA int8 route."""
+    import jax.numpy as jnp
+
+    from mobilenet_tpu.quant import pallas_block_packed_i8 as pbi
+    from mobilenet_tpu.quant.quantize import quantize_input
+    from mobilenet_tpu.quant.v3 import (_as_device_tree_v3, forward_v3_i8,
+                                        quantize_v3)
+
+    cfg = V3Config(variant="large", alpha=1.0, resolution=96)
+    folded = fold_bn_v3(init_params_v3(cfg, seed=0), eps=cfg.bn_eps)
+    dev = _as_device_tree_v3(quantize_v3(folded, cfg, n_calib=4))
+    x = _rng(2, 96, 96, 3, seed=9) * 0.5
+    x_i8 = jnp.asarray(quantize_input(x))
+    calls = []
+    orig = pbi.packed_expand_i8_named
+    monkeypatch.setattr(pbi, "packed_expand_i8_named",
+                        lambda *a, **k: (calls.append(a[0].shape),
+                                         orig(*a, **k))[1])
+    lf = np.asarray(forward_v3_i8(dev, x_i8, cfg, use_fused=True))
+    assert calls and calls[0][-1] == 16, calls
+    lx = np.asarray(forward_v3_i8(dev, x_i8, cfg))
+    np.testing.assert_array_equal(lx, lf)
+
+
+def test_i8_named_s2_kernel_exact_vs_ops():
+    """packed_block_i8_named_s2 alone vs the quant/v3 XLA ops sequence
+    (dw requant -> linear prj requant) on a random named-quant block."""
+    import jax.numpy as jnp
+
+    from mobilenet_tpu.ops.pallas_block_packed import pack
+    from mobilenet_tpu.quant.pallas_block_packed_i8 import (
+        packed_block_i8_named_s2)
+    from mobilenet_tpu.quant.v3 import (_dwk_acc_dev, _pw_acc_dev,
+                                        _requant_named_dev)
+
+    rng = np.random.default_rng(3)
+    cin, cout, h, w = 64, 128, 16, 16
+    x_q = rng.integers(-128, 128, (2, h, w, cin)).astype(np.int8)
+    dw_w = rng.integers(-127, 128, (3, 3, 1, cin)).astype(np.int8)
+    dw_b = rng.integers(-1000, 1000, (cin,)).astype(np.int32)
+    dw_a = (rng.uniform(0.5, 2.0, (cin,)) * 1e-3).astype(np.float32)
+    pw_w = rng.integers(-127, 128, (cin, cout)).astype(np.int8)
+    pw_b = rng.integers(-1000, 1000, (cout,)).astype(np.int32)
+    pw_a = (rng.uniform(0.5, 2.0, (cout,)) * 1e-3).astype(np.float32)
+    d_inv, p_inv = 37.0, 53.0
+
+    z = _requant_named_dev(
+        _dwk_acc_dev(jnp.asarray(x_q), jnp.asarray(dw_w), 2, 3)
+        + jnp.asarray(dw_b), jnp.asarray(dw_a), d_inv, "relu")
+    want = _requant_named_dev(
+        _pw_acc_dev(z, jnp.asarray(pw_w), jnp.asarray(pw_b)),
+        jnp.asarray(pw_a), p_inv, "linear")
+
+    xp = pack(jnp.asarray(x_q).astype(jnp.bfloat16), cin)
+    got = packed_block_i8_named_s2(
+        xp, jnp.asarray(dw_w), jnp.asarray(dw_b), jnp.asarray(dw_a),
+        jnp.asarray(pw_w), jnp.asarray(pw_b), jnp.asarray(pw_a),
+        cin, cout, "relu", d_inv, p_inv, out_dtype="int8")
+    got = np.asarray(got).reshape(2, h // 2, w // 2, cout)
+    np.testing.assert_array_equal(got, np.asarray(want))
