@@ -119,6 +119,11 @@ class V2Config:
 # True ships it; A/B tools flip it (tools/ab_b1_packed.py). V3 twin in
 # models/mobilenet_v3.py.
 PACKED_EXPAND_S2 = True
+# Single-kernel fused expand+dw-s2+prj route (ops/pallas_expand_s2; V3 twin
+# has the rationale + measured numbers). Unlike the two-stage route, its
+# eligibility does NOT need E | 128 — (R/2)*E lane alignment suffices, so
+# V2's standard E = 96α block 1 qualifies. A/B: tools/ab_b1_fused.py.
+FUSED_EXPAND_S2 = True
 
 
 def _routing_v2(config: V2Config, dw_backend, batch: int) -> Tuple[str, ...]:
@@ -259,11 +264,35 @@ def run_blocks_v2(params, y, config: V2Config, routing, *,
                     pw_epilogue=False)
                 y = unpack(yp, cout_a)
                 continue
-        if (PACKED_EXPAND_S2 and routing[i] == "fused" and not collect
-                and "exp" in blk and stride == 2
-                and cin_a < 128 and 128 % cin_a == 0
-                and (int(y.shape[2]) * cin_a) % 128 == 0
-                and int(y.shape[1]) % 2 == 0 and int(y.shape[2]) % 2 == 0
+        narrow_s2 = (
+            PACKED_EXPAND_S2 and routing[i] == "fused" and not collect
+            and "exp" in blk and stride == 2
+            and cin_a < 128 and 128 % cin_a == 0
+            and (int(y.shape[2]) * cin_a) % 128 == 0
+            and int(y.shape[1]) % 2 == 0 and int(y.shape[2]) % 2 == 0)
+        if narrow_s2:
+            from ..ops.pallas_expand_s2 import (  # noqa: PLC0415
+                expand_block_packed_s2, expand_s2_eligible)
+
+            r2 = (128 // cin_a) // 2
+            cm = 128 // r2 if r2 else 0
+            cout_p = -(-cout_a // cm) * cm if cm else 0
+            if (FUSED_EXPAND_S2 and r2
+                    and expand_s2_eligible(cin_a, e_a, cout_p,
+                                           int(y.shape[2]))):
+                # Single fused kernel (module knob above; V3 twin carries
+                # the measured numbers). relu6 activations, linear
+                # projection — the V2 inverted-residual contract.
+                from ..ops.pallas_block_packed import pack  # noqa: PLC0415
+
+                pw = jnp.pad(blk["prj"]["w"], ((0, 0), (0, cout_p - cout_a)))
+                pb = jnp.pad(blk["prj"]["b"], (0, cout_p - cout_a))
+                out = expand_block_packed_s2(
+                    pack(y, cin_a), blk["exp"]["w"], blk["exp"]["b"],
+                    blk["dw"]["w"], blk["dw"]["b"], pw, pb, cin_a, True)
+                y = out.reshape(out.shape[0], out.shape[1], -1, cout_p)
+                continue
+        if (narrow_s2
                 and e_a < 128 and 128 % e_a == 0 and (128 // e_a) % 2 == 0):
             # Narrow-input stride-2 expand block: the V3 packed-expand
             # twin (models/mobilenet_v3.py — full rationale + numbers

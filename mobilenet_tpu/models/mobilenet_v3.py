@@ -194,6 +194,18 @@ def se_apply(z: jax.Array, se: Dict[str, Any]) -> jax.Array:
 # True ships it; A/B tools flip it to race the route against the rows-mode
 # fused kernel in one process (tools/ab_b1_packed.py).
 PACKED_EXPAND_S2 = True
+# Single-kernel expand+dw-s2+prj route (ops/pallas_expand_s2): removes the
+# expanded tensor's HBM round-trip AND the discarded odd-pixel dw FMAs of
+# the two-stage route — measured 3.23 vs 6.29 ms/batch-256 standalone at
+# the V3-Large block-1 geometry (tools/probe_b1_s2.py, 2026-08-19). False
+# falls back to the two-stage route; A/B: tools/ab_b1_fused.py.
+FUSED_EXPAND_S2 = True
+# Output width of the fused route: None -> minimal lane-aligned padding of
+# Cout (e.g. 24 -> 32 at Cin=16 — 4x less HBM on the block output);
+# 128 -> the two-stage route's full-128 padding (downstream narrow blocks
+# run their kernels at dense 128-lane geometry). The e2e winner is config-
+# dependent; tools/ab_b1_fused.py races both.
+FUSED_EXPAND_S2_PAD = None
 
 
 def _routing_v3(config: V3Config, dw_backend, batch: int) -> Tuple[str, ...]:
@@ -346,12 +358,46 @@ def run_blocks_v3(params, y, config: V3Config, routing, *,
                     yp = yp + xp
                 y = unpack(yp, cout_a)
                 continue
-        if (PACKED_EXPAND_S2 and routing[i] == "fused" and not collect
-                and bd.has_expand
-                and bd.kernel == 3 and bd.stride == 2 and not bd.se_mid
-                and bd.act == "relu" and cin_a < 128 and 128 % cin_a == 0
-                and (int(y.shape[2]) * cin_a) % 128 == 0
-                and int(y.shape[1]) % 2 == 0 and int(y.shape[2]) % 2 == 0
+        narrow_s2 = (
+            PACKED_EXPAND_S2 and routing[i] == "fused" and not collect
+            and bd.has_expand
+            and bd.kernel == 3 and bd.stride == 2 and not bd.se_mid
+            and bd.act == "relu" and cin_a < 128 and 128 % cin_a == 0
+            and (int(y.shape[2]) * cin_a) % 128 == 0
+            and int(y.shape[1]) % 2 == 0 and int(y.shape[2]) % 2 == 0)
+        if narrow_s2:
+            from ..ops.pallas_expand_s2 import (  # noqa: PLC0415
+                expand_block_packed_s2, expand_s2_eligible)
+
+            r2 = (128 // cin_a) // 2
+            # Minimal zero-padded Cout with lane-aligned packed output:
+            # (R/2)*Cout_p % 128 == 0 (cin | 128 => r2 is a power of two) —
+            # or the FUSED_EXPAND_S2_PAD override (128 restores the
+            # two-stage route's dense downstream geometry).
+            cm = 128 // r2 if r2 else 0
+            cout_p = -(-cout_a // cm) * cm if cm else 0
+            if FUSED_EXPAND_S2_PAD and cm:
+                cout_p = max(cout_p,
+                             -(-FUSED_EXPAND_S2_PAD // cm) * cm)
+            if (FUSED_EXPAND_S2 and r2
+                    and expand_s2_eligible(cin_a, e_a, cout_p,
+                                           int(y.shape[2]))):
+                # Single fused kernel: expand (even pixels only, in VMEM),
+                # dw3x3 s2, linear projection — no HBM round-trip for the
+                # E-wide tensor, half the dw FMA width of the two-stage
+                # route (module docstring of ops/pallas_expand_s2).
+                # Measured 3.23 vs 6.29 ms/batch-256 standalone at the
+                # V3-Large block-1 geometry (tools/probe_b1_s2.py).
+                from ..ops.pallas_block_packed import pack  # noqa: PLC0415
+
+                pw = jnp.pad(blk["prj"]["w"], ((0, 0), (0, cout_p - cout_a)))
+                pb = jnp.pad(blk["prj"]["b"], (0, cout_p - cout_a))
+                out = expand_block_packed_s2(
+                    pack(y, cin_a), blk["exp"]["w"], blk["exp"]["b"],
+                    blk["dw"]["w"], blk["dw"]["b"], pw, pb, cin_a, False)
+                y = out.reshape(out.shape[0], out.shape[1], -1, cout_p)
+                continue
+        if (narrow_s2
                 and e_a < 128 and 128 % e_a == 0 and (128 // e_a) % 2 == 0):
             # Narrow-input stride-2 expand block (V3-Large block 1: Cin=16
             # at 112², E=64): the rows-mode fused kernel reads (…, 16)

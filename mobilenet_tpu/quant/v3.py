@@ -480,6 +480,10 @@ def _fused_plan_v3(dev, config: V3Config, n: int):
 # Trace-time knob for the int8 packed-expand stride-2 route (the float
 # route's twin, models/mobilenet_v3.PACKED_EXPAND_S2); A/B tools flip it.
 PACKED_EXPAND_S2_I8 = True
+# Single-kernel named-act fused expand+dw-s2+prj (quant/pallas_expand_s2_i8
+# — the bf16 FUSED_EXPAND_S2 route's EXACT twin); A/B: tools/ab_b1_fused.py
+# --int8.
+FUSED_EXPAND_S2_I8 = True
 
 
 def _dot_bias_ok(layer, k_terms: int) -> bool:
@@ -627,16 +631,51 @@ def forward_v3_i8(dev: Dict[str, Any], x_q, config: V3Config, *,
                 y = unpack(yp, cout_a)
                 continue
             e_a = (int(blk["exp"]["w"].shape[1]) if bd.has_expand else cin_a)
-            if (PACKED_EXPAND_S2_I8 and bd.has_expand and bd.kernel == 3
-                    and bd.stride == 2 and not bd.se_mid and bd.act == "relu"
-                    and y.dtype == jnp.bfloat16 and cin_a < 128
-                    and 128 % cin_a == 0
-                    and (int(y.shape[2]) * cin_a) % 128 == 0
-                    and int(y.shape[1]) % 2 == 0 and int(y.shape[2]) % 2 == 0
+            narrow_s2 = (
+                PACKED_EXPAND_S2_I8 and bd.has_expand and bd.kernel == 3
+                and bd.stride == 2 and not bd.se_mid and bd.act == "relu"
+                and y.dtype == jnp.bfloat16 and cin_a < 128
+                and 128 % cin_a == 0
+                and (int(y.shape[2]) * cin_a) % 128 == 0
+                and int(y.shape[1]) % 2 == 0 and int(y.shape[2]) % 2 == 0
+                and _dot_bias_ok(blk["exp"], cin_a)
+                and _dot_bias_ok(blk["prj"], e_a))
+            if narrow_s2:
+                from ..ops.pallas_expand_s2 import (  # noqa: PLC0415
+                    expand_s2_eligible)
+
+                r2 = (128 // cin_a) // 2
+                cm = 128 // r2 if r2 else 0
+                cout_a = int(blk["prj"]["w"].shape[1])
+                cout_p = -(-cout_a // cm) * cm if cm else 0
+                if (FUSED_EXPAND_S2_I8 and r2
+                        and expand_s2_eligible(cin_a, e_a, cout_p,
+                                               int(y.shape[2]))
+                        and _dot_bias_ok(blk["dw"], 9)):
+                    # Single fused kernel — the bf16 FUSED_EXPAND_S2
+                    # route's EXACT named-act twin (module docstring of
+                    # quant/pallas_expand_s2_i8). Padded projection cols
+                    # carry zero w/b/a, so requant emits exact zeros;
+                    # consumers pad to match (above).
+                    from ..ops.pallas_block_packed import pack  # noqa: PLC0415
+                    from .pallas_expand_s2_i8 import (  # noqa: PLC0415
+                        expand_block_packed_s2_i8)
+
+                    ex, d, p = blk["exp"], blk["dw"], blk["prj"]
+                    pw = jnp.pad(p["w"], ((0, 0), (0, cout_p - cout_a)))
+                    pb = jnp.pad(p["b"], (0, cout_p - cout_a))
+                    pa = jnp.pad(p["a"], (0, cout_p - cout_a))
+                    out = expand_block_packed_s2_i8(
+                        pack(y, cin_a), ex["w"], ex["b"], ex["a"],
+                        d["w"], d["b"], d["a"], pw, pb, pa,
+                        cin_a, bd.act, float(ex["inv_s"]),
+                        float(d["inv_s"]), float(p["inv_s"]),
+                        out_dtype=jnp.dtype(plan[i][2]).name)
+                    y = out.reshape(out.shape[0], out.shape[1], -1, cout_p)
+                    continue
+            if (narrow_s2
                     and e_a < 128 and 128 % e_a == 0
-                    and (128 // e_a) % 2 == 0
-                    and _dot_bias_ok(blk["exp"], cin_a)
-                    and _dot_bias_ok(blk["prj"], e_a)):
+                    and (128 // e_a) % 2 == 0):
                 # Narrow-input stride-2 expand block (V3-Large block 1:
                 # Cin=16 at 112², E=64) — measured 8.95 of 26.1 ms/batch-256
                 # on the generic fused kernel (prefix_attr --int8,

@@ -74,7 +74,10 @@ def test_v3_packed_s2_route_matches_xla(variant, alpha):
 
 def test_v3_route_actually_taken(monkeypatch):
     """The knob changes the traced program (guards against the eligibility
-    silently failing and the test above passing vacuously)."""
+    silently failing and the test above passing vacuously). The fused
+    single-kernel route (FUSED_EXPAND_S2) supersedes the two-stage route
+    when on, so this guards the two-stage FALLBACK with it off."""
+    monkeypatch.setattr(mod_v3, "FUSED_EXPAND_S2", False)
     cfg = V3Config(variant="large", alpha=1.0, resolution=96,
                    compute_dtype="float32")
     params = fold_bn_v3(init_params_v3(cfg, seed=0), eps=cfg.bn_eps)
@@ -147,6 +150,11 @@ def test_i8_packed_s2_route_taken_and_bit_identical(monkeypatch):
     from mobilenet_tpu.quant.v3 import (_as_device_tree_v3, forward_v3_i8,
                                         quantize_v3)
 
+    from mobilenet_tpu.quant import v3 as qv3
+
+    # The fused single-kernel twin (FUSED_EXPAND_S2_I8) supersedes this
+    # route when on; guard the two-stage fallback with it off.
+    monkeypatch.setattr(qv3, "FUSED_EXPAND_S2_I8", False)
     cfg = V3Config(variant="large", alpha=1.0, resolution=96)
     folded = fold_bn_v3(init_params_v3(cfg, seed=0), eps=cfg.bn_eps)
     dev = _as_device_tree_v3(quantize_v3(folded, cfg, n_calib=4))

@@ -1,0 +1,200 @@
+"""Fused expand + dw3x3-s2 + projection kernel vs the NumPy oracle.
+
+Covers the narrow stride-2 expand blocks (V3-Large block 1 geometry: Cin=16,
+E=64 at 112p — the fattest bf16 segment after the 2026-08-19 packed campaign,
+benchmarks/roofline_v5e.md) plus the eligibility grid edges: single/multi
+grid step (border masks), R=2 (no odd discard ambiguity), relu6, and the
+pw_epilogue (V1 separable-block) mode.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mobilenet_tpu.ops.pallas_block_packed import pack
+from mobilenet_tpu.ops.pallas_expand_s2 import (
+    expand_block_packed_s2, expand_s2_eligible,
+)
+from mobilenet_tpu.oracle import numpy_ref
+
+
+def _oracle(x, exp_w, exp_b, dw_w, dw_b, pw_w, pw_b, relu6, pw_epilogue):
+    z = numpy_ref.pointwise_ref(x, exp_w, exp_b, relu6)
+    mid = numpy_ref.depthwise_ref(z, dw_w, 2, dw_b, relu6)
+    return numpy_ref.pointwise_ref(
+        mid, pw_w, pw_b, relu6 if pw_epilogue else None)
+
+
+def _case(rng, n, h, cin, e, cout, relu6=False, pw_epilogue=False,
+          block_h=None):
+    x = rng.uniform(-1, 1, (n, h, h, cin)).astype(np.float32)
+    exp_w = rng.normal(0, 0.4, (cin, e)).astype(np.float32)
+    exp_b = rng.normal(0, 0.2, (e,)).astype(np.float32)
+    dw_w = rng.normal(0, 0.5, (3, 3, 1, e)).astype(np.float32)
+    dw_b = rng.normal(0, 0.2, (e,)).astype(np.float32)
+    pw_w = rng.normal(0, 0.3, (e, cout)).astype(np.float32)
+    pw_b = rng.normal(0, 0.2, (cout,)).astype(np.float32)
+
+    assert expand_s2_eligible(cin, e, cout, h)
+    got = expand_block_packed_s2(
+        pack(jnp.asarray(x), cin), jnp.asarray(exp_w), jnp.asarray(exp_b),
+        jnp.asarray(dw_w), jnp.asarray(dw_b), jnp.asarray(pw_w),
+        jnp.asarray(pw_b), cin, relu6, pw_epilogue=pw_epilogue,
+        block_h=block_h, interpret=True,
+    )
+    got = np.asarray(got).reshape(n, h // 2, h // 2, cout)
+    ref = _oracle(x, exp_w, exp_b, dw_w, dw_b, pw_w, pw_b, relu6, pw_epilogue)
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "n,h,cin,e,cout",
+    [
+        (1, 16, 16, 64, 32),    # V3-L block 1 geometry (R=8), small image
+        (2, 32, 16, 64, 32),    # same, batch 2, multi grid step
+        (1, 16, 64, 128, 128),  # R=2: EE=128, no structural zeros
+        (2, 16, 32, 64, 64),    # R=4
+        (1, 32, 8, 32, 16),     # R=16, deep packing
+    ],
+)
+def test_vs_oracle(rng, n, h, cin, e, cout):
+    _case(rng, n, h, cin, e, cout)
+
+
+def test_relu6_and_epilogue(rng):
+    _case(rng, 1, 16, 16, 64, 32, relu6=True, pw_epilogue=True)
+
+
+def test_multi_grid_border_masks(rng):
+    """Force g > 1 with a small row tile so the last-step row mask and the
+    delta=2 tap's column fixup are both exercised."""
+    _case(rng, 1, 32, 16, 64, 32, block_h=4)
+    _case(rng, 2, 16, 64, 128, 128, block_h=2)
+
+
+def test_i8_fused_kernel_exact_vs_ops():
+    """expand_block_packed_s2_i8 alone vs the quant/v3 XLA ops sequence
+    (expand requant -> dw requant -> linear prj requant) — EXACT int8
+    contract, bit-for-bit."""
+    import jax.numpy as jnp
+
+    from mobilenet_tpu.ops.pallas_block_packed import pack
+    from mobilenet_tpu.quant.pallas_expand_s2_i8 import (
+        expand_block_packed_s2_i8)
+    from mobilenet_tpu.quant.v3 import (_dwk_acc_dev, _pw_acc_dev,
+                                        _requant_named_dev)
+
+    rng = np.random.default_rng(5)
+    cin, e, cout, h, w = 16, 64, 32, 16, 16
+    x_q = rng.integers(-128, 128, (2, h, w, cin)).astype(np.int8)
+    exp_w = rng.integers(-127, 128, (cin, e)).astype(np.int8)
+    exp_b = rng.integers(-1000, 1000, (e,)).astype(np.int32)
+    exp_a = (rng.uniform(0.5, 2.0, (e,)) * 1e-3).astype(np.float32)
+    dw_w = rng.integers(-127, 128, (3, 3, 1, e)).astype(np.int8)
+    dw_b = rng.integers(-1000, 1000, (e,)).astype(np.int32)
+    dw_a = (rng.uniform(0.5, 2.0, (e,)) * 1e-3).astype(np.float32)
+    pw_w = rng.integers(-127, 128, (e, cout)).astype(np.int8)
+    pw_b = rng.integers(-1000, 1000, (cout,)).astype(np.int32)
+    pw_a = (rng.uniform(0.5, 2.0, (cout,)) * 1e-3).astype(np.float32)
+    e_inv, d_inv, p_inv = 29.0, 37.0, 53.0
+
+    z = _requant_named_dev(
+        _pw_acc_dev(jnp.asarray(x_q), jnp.asarray(exp_w),
+                    jnp.asarray(exp_b)),
+        jnp.asarray(exp_a), e_inv, "relu")
+    z = _requant_named_dev(
+        _dwk_acc_dev(z, jnp.asarray(dw_w), 2, 3) + jnp.asarray(dw_b),
+        jnp.asarray(dw_a), d_inv, "relu")
+    want = _requant_named_dev(
+        _pw_acc_dev(z, jnp.asarray(pw_w), jnp.asarray(pw_b)),
+        jnp.asarray(pw_a), p_inv, "linear")
+
+    xp = pack(jnp.asarray(x_q).astype(jnp.bfloat16), cin)
+    got = expand_block_packed_s2_i8(
+        xp, jnp.asarray(exp_w), jnp.asarray(exp_b), jnp.asarray(exp_a),
+        jnp.asarray(dw_w), jnp.asarray(dw_b), jnp.asarray(dw_a),
+        jnp.asarray(pw_w), jnp.asarray(pw_b), jnp.asarray(pw_a),
+        cin, "relu", e_inv, d_inv, p_inv, out_dtype="int8")
+    got = np.asarray(got).reshape(2, h // 2, w // 2, cout)
+    np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_i8_fused_kernel_exact_multi_grid():
+    """Multi-grid-step tiles (border masks) keep the EXACT contract."""
+    import jax.numpy as jnp
+
+    from mobilenet_tpu.ops.pallas_block_packed import pack
+    from mobilenet_tpu.quant.pallas_expand_s2_i8 import (
+        expand_block_packed_s2_i8)
+    from mobilenet_tpu.quant.v3 import (_dwk_acc_dev, _pw_acc_dev,
+                                        _requant_named_dev)
+
+    rng = np.random.default_rng(11)
+    cin, e, cout, h, w = 16, 64, 32, 32, 16
+    x_q = rng.integers(-128, 128, (1, h, w, cin)).astype(np.int8)
+    exp_w = rng.integers(-127, 128, (cin, e)).astype(np.int8)
+    exp_b = rng.integers(-500, 500, (e,)).astype(np.int32)
+    exp_a = (rng.uniform(0.5, 2.0, (e,)) * 1e-3).astype(np.float32)
+    dw_w = rng.integers(-127, 128, (3, 3, 1, e)).astype(np.int8)
+    dw_b = rng.integers(-500, 500, (e,)).astype(np.int32)
+    dw_a = (rng.uniform(0.5, 2.0, (e,)) * 1e-3).astype(np.float32)
+    pw_w = rng.integers(-127, 128, (e, cout)).astype(np.int8)
+    pw_b = rng.integers(-500, 500, (cout,)).astype(np.int32)
+    pw_a = (rng.uniform(0.5, 2.0, (cout,)) * 1e-3).astype(np.float32)
+
+    z = _requant_named_dev(
+        _pw_acc_dev(jnp.asarray(x_q), jnp.asarray(exp_w),
+                    jnp.asarray(exp_b)),
+        jnp.asarray(exp_a), 29.0, "relu")
+    z = _requant_named_dev(
+        _dwk_acc_dev(z, jnp.asarray(dw_w), 2, 3) + jnp.asarray(dw_b),
+        jnp.asarray(dw_a), 37.0, "relu")
+    want = _requant_named_dev(
+        _pw_acc_dev(z, jnp.asarray(pw_w), jnp.asarray(pw_b)),
+        jnp.asarray(pw_a), 53.0, "linear")
+
+    xp = pack(jnp.asarray(x_q).astype(jnp.bfloat16), cin)
+    got = expand_block_packed_s2_i8(
+        xp, jnp.asarray(exp_w), jnp.asarray(exp_b), jnp.asarray(exp_a),
+        jnp.asarray(dw_w), jnp.asarray(dw_b), jnp.asarray(dw_a),
+        jnp.asarray(pw_w), jnp.asarray(pw_b), jnp.asarray(pw_a),
+        cin, "relu", 29.0, 37.0, 53.0, out_dtype="int8", block_h=4)
+    got = np.asarray(got).reshape(1, h // 2, w // 2, cout)
+    np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_i8_fused_route_taken_and_bit_identical(monkeypatch):
+    """FUSED_EXPAND_S2_I8 fires at Large-96 (block 1) and the logits stay
+    BIT-IDENTICAL to the XLA int8 route."""
+    import jax.numpy as jnp
+
+    from mobilenet_tpu.checkpoints.v3 import fold_bn_v3, init_params_v3
+    from mobilenet_tpu.models.mobilenet_v3 import V3Config
+    from mobilenet_tpu.quant import pallas_expand_s2_i8 as pei
+    from mobilenet_tpu.quant.quantize import quantize_input
+    from mobilenet_tpu.quant.v3 import (_as_device_tree_v3, forward_v3_i8,
+                                        quantize_v3)
+
+    cfg = V3Config(variant="large", alpha=1.0, resolution=96)
+    folded = fold_bn_v3(init_params_v3(cfg, seed=0), eps=cfg.bn_eps)
+    dev = _as_device_tree_v3(quantize_v3(folded, cfg, n_calib=4))
+    rng = np.random.default_rng(13)
+    x = rng.uniform(-1, 1, (2, 96, 96, 3)).astype(np.float32) * 0.5
+    x_i8 = jnp.asarray(quantize_input(x))
+    calls = []
+    orig = pei.expand_block_packed_s2_i8
+    monkeypatch.setattr(
+        pei, "expand_block_packed_s2_i8",
+        lambda *a, **k: (calls.append(a[0].shape), orig(*a, **k))[1])
+    lf = np.asarray(forward_v3_i8(dev, x_i8, cfg, use_fused=True))
+    assert calls, "fused int8 expand-s2 route was not taken at Large-96"
+    lx = np.asarray(forward_v3_i8(dev, x_i8, cfg))
+    np.testing.assert_array_equal(lx, lf)
+
+
+def test_eligibility():
+    assert expand_s2_eligible(16, 64, 32, 112)      # V3-L b1 (padded cout)
+    assert not expand_s2_eligible(16, 64, 24, 112)  # unpadded cout: 4*24=96
+    assert not expand_s2_eligible(24, 64, 32, 112)  # 128 % 24 != 0
+    assert not expand_s2_eligible(128, 256, 128, 7)  # not narrow
+    assert not expand_s2_eligible(16, 60, 32, 112)  # EE=240 not lane-aligned

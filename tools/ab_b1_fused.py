@@ -1,0 +1,93 @@
+"""Race the single-kernel fused expand-s2 route (ops/pallas_expand_s2)
+against the two-stage packed-expand route — one process, interleaved, e2e.
+
+Standalone, the fused kernel measured 3.23 vs 6.29 ms/batch-256 at the
+V3-Large block-1 geometry (tools/probe_b1_s2.py, 2026-08-19): it removes
+the expanded tensor's HBM round-trip and halves the dw FMA width by
+expanding only even pixels. This tool confirms the e2e delta and gates
+the two routes' logits against each other (bf16 reassociation class).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from _bench_common import interleave_bench, make_batch
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--alpha", type=float, default=1.0)
+    ap.add_argument("--res", type=int, default=224)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--model", default="v3", choices=["v3", "v3small", "v2"])
+    args = ap.parse_args()
+
+    from mobilenet_tpu.ops import preprocess as prep
+
+    if args.model == "v2":
+        from mobilenet_tpu.checkpoints.padding import pad_block0_v2
+        from mobilenet_tpu.checkpoints.v2 import fold_bn_v2, init_params_v2
+        from mobilenet_tpu.models import mobilenet_v2 as mod
+        from mobilenet_tpu.models.mobilenet_v2 import V2Config, forward_v2
+
+        cfg = V2Config(alpha=args.alpha, resolution=args.res,
+                       compute_dtype="bfloat16")
+        folded = pad_block0_v2(
+            fold_bn_v2(init_params_v2(cfg, seed=0), eps=cfg.bn_eps))
+        params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), folded)
+        fwd = forward_v2
+    else:
+        from mobilenet_tpu.checkpoints.v3 import fold_bn_v3, init_params_v3
+        from mobilenet_tpu.models import mobilenet_v3 as mod
+        from mobilenet_tpu.models.mobilenet_v3 import V3Config, forward_v3
+
+        cfg = V3Config(variant="large" if args.model == "v3" else "small",
+                       alpha=args.alpha, resolution=args.res,
+                       compute_dtype="bfloat16")
+        folded = fold_bn_v3(init_params_v3(cfg, seed=0), eps=cfg.bn_eps)
+        params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), folded)
+        fwd = forward_v3
+
+    entries = {}
+    for label, flag, pad in (("two_stage", False, None),
+                             ("fused_min", True, None),
+                             ("fused_wide", True, 128)):
+        def fn(images_u8, flag=flag, pad=pad):
+            x = prep.preprocess(images_u8, cfg.resolution, jnp.bfloat16)
+            old = mod.FUSED_EXPAND_S2
+            old_pad = mod.FUSED_EXPAND_S2_PAD
+            mod.FUSED_EXPAND_S2 = flag  # trace-time knobs
+            mod.FUSED_EXPAND_S2_PAD = pad
+            try:
+                return fwd(params, x, cfg, dw_backend="fused")
+            finally:
+                mod.FUSED_EXPAND_S2 = old
+                mod.FUSED_EXPAND_S2_PAD = old_pad
+
+        entries[label] = jax.jit(fn)
+
+    img = make_batch(args.batch, args.res)
+    ys = {k: np.asarray(f(img)).astype(np.float64)
+          for k, f in entries.items()}
+    scale = np.abs(ys["two_stage"]).max()
+    top_a = ys["two_stage"].argmax(1)
+    for k in ("fused_min", "fused_wide"):
+        d = np.abs(ys[k] - ys["two_stage"])
+        agree = (top_a == ys[k].argmax(1)).mean()
+        print(f"{k}: logits max_abs diff = {d.max():.4e}  (absmax "
+              f"{scale:.2f}, rel {d.max() / scale:.2%}), top-1 agreement "
+              f"{agree:.4f}", flush=True)
+    interleave_bench(entries, img, args.batch, args.steps, args.rounds)
+
+
+if __name__ == "__main__":
+    main()
