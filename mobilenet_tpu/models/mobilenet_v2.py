@@ -124,6 +124,9 @@ PACKED_EXPAND_S2 = True
 # eligibility does NOT need E | 128 — (R/2)*E lane alignment suffices, so
 # V2's standard E = 96α block 1 qualifies. A/B: tools/ab_b1_fused.py.
 FUSED_EXPAND_S2 = True
+# Output-width override (None = minimal lane-aligned Cout padding; 128 =
+# dense downstream geometry — the V3 twin's knob, measured there).
+FUSED_EXPAND_S2_PAD = None
 
 
 def _routing_v2(config: V2Config, dw_backend, batch: int) -> Tuple[str, ...]:
@@ -277,6 +280,8 @@ def run_blocks_v2(params, y, config: V2Config, routing, *,
             r2 = (128 // cin_a) // 2
             cm = 128 // r2 if r2 else 0
             cout_p = -(-cout_a // cm) * cm if cm else 0
+            if FUSED_EXPAND_S2_PAD and cm:
+                cout_p = max(cout_p, -(-FUSED_EXPAND_S2_PAD // cm) * cm)
             if (FUSED_EXPAND_S2 and r2
                     and expand_s2_eligible(cin_a, e_a, cout_p,
                                            int(y.shape[2]))):

@@ -481,9 +481,13 @@ def _fused_plan_v3(dev, config: V3Config, n: int):
 # route's twin, models/mobilenet_v3.PACKED_EXPAND_S2); A/B tools flip it.
 PACKED_EXPAND_S2_I8 = True
 # Single-kernel named-act fused expand+dw-s2+prj (quant/pallas_expand_s2_i8
-# — the bf16 FUSED_EXPAND_S2 route's EXACT twin); A/B: tools/ab_b1_fused.py
-# --int8.
-FUSED_EXPAND_S2_I8 = True
+# — the bf16 FUSED_EXPAND_S2 route's EXACT twin). MEASURED OUT e2e on v5e
+# (tools/ab_b1_fused.py --int8, Large-224 batch 256, 2026-08-19): 12,131 ->
+# 10,742 img/s — unlike the bf16 kernel (whose plain relu rides the dw FMA
+# epilogue), the int8 twin pays a full named-requant pass (mul, round,
+# clip) per TAP at the expanded width, 3x the two-stage route's single
+# requant. Ships OFF; kept as a tested option (kernel + exactness tests).
+FUSED_EXPAND_S2_I8 = False
 
 
 def _dot_bias_ok(layer, k_terms: int) -> bool:

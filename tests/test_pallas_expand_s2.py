@@ -165,16 +165,20 @@ def test_i8_fused_kernel_exact_multi_grid():
 
 def test_i8_fused_route_taken_and_bit_identical(monkeypatch):
     """FUSED_EXPAND_S2_I8 fires at Large-96 (block 1) and the logits stay
-    BIT-IDENTICAL to the XLA int8 route."""
+    BIT-IDENTICAL to the XLA int8 route. The knob ships OFF (measured loss
+    e2e on v5e — quant/v3.py comment); force it on to guard the kernel's
+    route-level exactness."""
     import jax.numpy as jnp
 
     from mobilenet_tpu.checkpoints.v3 import fold_bn_v3, init_params_v3
     from mobilenet_tpu.models.mobilenet_v3 import V3Config
     from mobilenet_tpu.quant import pallas_expand_s2_i8 as pei
+    from mobilenet_tpu.quant import v3 as qv3
     from mobilenet_tpu.quant.quantize import quantize_input
     from mobilenet_tpu.quant.v3 import (_as_device_tree_v3, forward_v3_i8,
                                         quantize_v3)
 
+    monkeypatch.setattr(qv3, "FUSED_EXPAND_S2_I8", True)
     cfg = V3Config(variant="large", alpha=1.0, resolution=96)
     folded = fold_bn_v3(init_params_v3(cfg, seed=0), eps=cfg.bn_eps)
     dev = _as_device_tree_v3(quantize_v3(folded, cfg, n_calib=4))

@@ -29,9 +29,52 @@ def main():
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--model", default="v3", choices=["v3", "v3small", "v2"])
+    ap.add_argument("--int8", action="store_true",
+                    help="race the int8 twin (quant/v3.FUSED_EXPAND_S2_I8)")
     args = ap.parse_args()
 
     from mobilenet_tpu.ops import preprocess as prep
+
+    if args.int8:
+        assert args.model in ("v3", "v3small")
+        from mobilenet_tpu.checkpoints.v3 import fold_bn_v3, init_params_v3
+        from mobilenet_tpu.models.mobilenet_v3 import V3Config
+        from mobilenet_tpu.quant import v3 as qv3
+        from mobilenet_tpu.quant.quantize import ACT_IN_SCALE
+        from mobilenet_tpu.quant.v3 import (_as_device_tree_v3,
+                                            forward_v3_i8, quantize_v3)
+
+        cfg = V3Config(variant="large" if args.model == "v3" else "small",
+                       alpha=args.alpha, resolution=args.res)
+        folded = fold_bn_v3(init_params_v3(cfg, seed=0), eps=cfg.bn_eps)
+        dev = _as_device_tree_v3(quantize_v3(folded, cfg))
+
+        entries = {}
+        for label, flag in (("two_stage", False), ("fused_b1", True)):
+            def fn(images_u8, flag=flag):
+                from mobilenet_tpu.quant.ops import quantize_input_dev
+
+                x = prep.preprocess(images_u8, cfg.resolution, jnp.float32)
+                x_q = quantize_input_dev(x, ACT_IN_SCALE,
+                                         out_dtype=jnp.bfloat16)
+                old = qv3.FUSED_EXPAND_S2_I8
+                qv3.FUSED_EXPAND_S2_I8 = flag
+                try:
+                    return forward_v3_i8(dev, x_q, cfg, use_fused=True)
+                finally:
+                    qv3.FUSED_EXPAND_S2_I8 = old
+
+            entries[label] = jax.jit(fn)
+
+        img = make_batch(args.batch, args.res)
+        ys = {k: np.asarray(f(img)).astype(np.float64)
+              for k, f in entries.items()}
+        d = np.abs(ys["fused_b1"] - ys["two_stage"])
+        print(f"int8 logits max_abs diff = {d.max():.4e} "
+              f"(EXACT contract: must be 0)", flush=True)
+        assert d.max() == 0.0
+        interleave_bench(entries, img, args.batch, args.steps, args.rounds)
+        return
 
     if args.model == "v2":
         from mobilenet_tpu.checkpoints.padding import pad_block0_v2
