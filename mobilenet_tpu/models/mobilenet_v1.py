@@ -37,6 +37,11 @@ DW_BACKENDS = ("xla", "pallas", "fused")
 # CHAIN_SYSTOLIC_F forces it.
 CHAIN_AT_BATCH1 = True
 
+# Fused pool+fc head kernel (ops/pallas_head.py) on non-xla routings:
+# the head stretch is launch-overhead-bound (2026-08-19 attribution);
+# A/B: tools/ab_head.py.
+FUSED_HEAD = True
+
 
 def _routing(config: ModelConfig, use_pallas_dw, dw_backend, batch: int):
     """Resolve the per-block backend list (len == 13).
@@ -118,6 +123,19 @@ def forward(
     if num_blocks is not None:  # truncated prefix entry: blocks only, no head
         return y
 
+    if FUSED_HEAD and not collect and routing[-1] != "xla":
+        from ..ops.pallas_head import fused_head, head_fits  # noqa: PLC0415
+
+        if head_fits(int(y.shape[0]), int(y.shape[1]), int(y.shape[2]),
+                     int(y.shape[3]), None,
+                     [(params["fc"]["w"], params["fc"]["b"], "linear")],
+                     jnp.dtype(y.dtype).itemsize):
+            # pool + fc in ONE kernel (ops/pallas_head.py): the head
+            # stretch is launch-overhead-bound, not compute-bound
+            # (2026-08-19 attribution: ~1.2 ms vs a 0.03 ms floor).
+            return fused_head(
+                y, None,
+                [(params["fc"]["w"], params["fc"]["b"], "linear")])
     pooled = ops.global_avg_pool(y)
     if collect:
         acts["pool"] = pooled

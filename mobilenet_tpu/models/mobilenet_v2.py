@@ -127,6 +127,9 @@ FUSED_EXPAND_S2 = True
 # Output-width override (None = minimal lane-aligned Cout padding; 128 =
 # dense downstream geometry — the V3 twin's knob, measured there).
 FUSED_EXPAND_S2_PAD = None
+# Fused conv_last->pool->fc head kernel (ops/pallas_head.py) on fused
+# routings; A/B: tools/ab_head.py.
+FUSED_HEAD = True
 
 
 def _routing_v2(config: V2Config, dw_backend, batch: int) -> Tuple[str, ...]:
@@ -203,6 +206,17 @@ def forward_v2(
     if num_blocks is not None:  # truncated prefix entry: blocks only, no head
         return y
 
+    if FUSED_HEAD and not collect and routing[-1] == "fused":
+        from ..ops.pallas_head import fused_head, head_fits  # noqa: PLC0415
+
+        conv = (params["conv_last"]["w"], params["conv_last"]["b"], "relu6")
+        post = [(params["fc"]["w"], params["fc"]["b"], "linear")]
+        if head_fits(int(y.shape[0]), int(y.shape[1]), int(y.shape[2]),
+                     int(y.shape[3]), conv, post,
+                     jnp.dtype(y.dtype).itemsize):
+            # conv_last -> pool -> fc in ONE kernel (the V3 twin's
+            # rationale, models/mobilenet_v3.py).
+            return fused_head(y, conv, post)
     y = ops.pointwise_conv(y, params["conv_last"]["w"],
                            bias=params["conv_last"]["b"], relu6=True)
     if collect:

@@ -206,6 +206,9 @@ FUSED_EXPAND_S2 = True
 # run their kernels at dense 128-lane geometry). The e2e winner is config-
 # dependent; tools/ab_b1_fused.py races both.
 FUSED_EXPAND_S2_PAD = None
+# Fused conv_last->pool->head->fc kernel (ops/pallas_head.py) on fused
+# routings; A/B: tools/ab_head.py.
+FUSED_HEAD = True
 
 
 def _routing_v3(config: V3Config, dw_backend, batch: int) -> Tuple[str, ...]:
@@ -275,6 +278,21 @@ def forward_v3(
     if num_blocks is not None:
         return y
 
+    if FUSED_HEAD and not collect and routing[-1] == "fused":
+        from ..ops.pallas_head import fused_head, head_fits  # noqa: PLC0415
+
+        conv = (params["conv_last"]["w"], params["conv_last"]["b"],
+                config.head_act)
+        post = [(params["head"]["w"], params["head"]["b"], config.head_act),
+                (params["fc"]["w"], params["fc"]["b"], "linear")]
+        if head_fits(int(y.shape[0]), int(y.shape[1]), int(y.shape[2]),
+                     int(y.shape[3]), conv, post,
+                     jnp.dtype(y.dtype).itemsize):
+            # conv_last -> pool -> head -> fc in ONE kernel
+            # (ops/pallas_head.py): the four-launch head stretch measured
+            # 1.43 ms/batch-256 against a 0.03 ms floor (2026-08-19
+            # attribution) — launch overhead, not compute.
+            return fused_head(y, conv, post)
     y = ops.pointwise_conv(y, params["conv_last"]["w"],
                            bias=params["conv_last"]["b"], act=config.head_act)
     if collect:

@@ -196,6 +196,28 @@ def test_i8_fused_route_taken_and_bit_identical(monkeypatch):
     np.testing.assert_array_equal(lx, lf)
 
 
+def test_pad_override_keeps_model_output(monkeypatch):
+    """FUSED_EXPAND_S2_PAD=128 (the wide downstream-geometry variant) pads
+    with zero cols only — the model output must match the minimal-padding
+    default bitwise in f32 interpret mode (same op order, zeros exact)."""
+    import jax.numpy as jnp
+
+    from mobilenet_tpu.checkpoints.v3 import fold_bn_v3, init_params_v3
+    from mobilenet_tpu.models import mobilenet_v3 as mod_v3
+    from mobilenet_tpu.models.mobilenet_v3 import V3Config, forward_v3
+
+    cfg = V3Config(variant="large", alpha=1.0, resolution=96,
+                   compute_dtype="float32")
+    params = fold_bn_v3(init_params_v3(cfg, seed=0), eps=cfg.bn_eps)
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 96, 96, 3)).astype(np.float32))
+    base = forward_v3(params, x, cfg, dw_backend="fused")
+    monkeypatch.setattr(mod_v3, "FUSED_EXPAND_S2_PAD", 128)
+    wide = forward_v3(params, x, cfg, dw_backend="fused")
+    np.testing.assert_allclose(np.asarray(wide), np.asarray(base),
+                               atol=5e-5, rtol=1e-4)
+
+
 def test_eligibility():
     assert expand_s2_eligible(16, 64, 32, 112)      # V3-L b1 (padded cout)
     assert not expand_s2_eligible(16, 64, 24, 112)  # unpadded cout: 4*24=96
