@@ -74,6 +74,27 @@ def _sdot(a_i8, b_i8):
         preferred_element_type=jnp.int32)
 
 
+# Projection as a bf16 MXU dot on exact integers instead of an s8 dot:
+# skips the full-width f32 -> int8 CAST of the dw/SE output — f32 -> bf16
+# is a cheap truncation. Exact while e*127² + |prj bias| < 2^24 (checked
+# against the CONCRETE device tree at the call site). MEASURED OUT e2e on
+# v5e (tools/ab_i8_prj.py, V3-Large 1.0-224 batch 256, 2026-08-19):
+# 11,988 -> 11,815 img/s — the s8 MXU dot's 2x int8 rate and halved
+# operand traffic beat the saved cast. Ships OFF; kept as a tested
+# option (exactness covered by the ir_v3 int8 gates either way).
+PRJ_BF16_DOT = False
+
+
+def _prj_out(yd2d, pww_ref, pwb_ref, pa_ref, p_inv, prj_bf16):
+    if prj_bf16:
+        acc = jnp.dot(yd2d.astype(jnp.bfloat16), pww_ref[...],
+                      preferred_element_type=jnp.float32)
+        return _requant_named_k(acc + pwb_ref[0].astype(jnp.float32),
+                                pa_ref[0], p_inv, "linear")
+    out32 = _sdot(yd2d.astype(jnp.int8), pww_ref[...]) + pwb_ref[0]
+    return _requant_named_k(out32, pa_ref[0], p_inv, "linear")
+
+
 def _exp_dot(xv, ew_ref, eb_ref):
     """Expand accumulation, exact in either carrier dtype.
 
@@ -93,7 +114,7 @@ def _exp_dot(xv, ew_ref, eb_ref):
 
 def _v3_i8_kernel(*refs, bn, h, w, k, stride, act_exp, act, se, residual,
                   e_inv, d_inv, p_inv, s1_inv, hw_inv, out_dtype,
-                  wop=None):
+                  wop=None, prj_bf16=False):
     if se:
         (x_ref, ew_ref, eb_ref, ea_ref, dww_ref, dwb_ref, da_ref,
          pww_ref, pwb_ref, pa_ref, s1w_ref, s1b_ref, s1a_ref,
@@ -156,10 +177,9 @@ def _v3_i8_kernel(*refs, bn, h, w, k, stride, act_exp, act, se, residual,
         out3 = jnp.round(y3 * gate[:, None, :])
         yd = jnp.clip(out3, -128, 127).reshape(bn, h_out, w_out, ep)
 
-    # --- projection: s8 x s8 -> s32, linear requant, residual --------------
-    yd2 = yd.reshape(bn * h_out * w_out, ep).astype(jnp.int8)
-    out = _requant_named_k(_sdot(yd2, pww_ref[...]) + pwb_ref[0],
-                           pa_ref[0], p_inv, "linear")
+    # --- projection: bf16-exact or s8 MXU dot, linear requant, residual ----
+    out = _prj_out(yd.reshape(bn * h_out * w_out, ep), pww_ref, pwb_ref,
+                   pa_ref, p_inv, prj_bf16)
     if residual:
         xf = (xv.astype(jnp.int32).astype(jnp.float32)
               if xv.dtype == jnp.int8 else xv.astype(jnp.float32))
@@ -176,7 +196,7 @@ def _v3_i8_kernel_rows(
     x_ref, ew_ref, eb_ref, ea_ref, dww_ref, dwb_ref, da_ref,
     pww_ref, pwb_ref, pa_ref, o_ref, s_ref,
     *, th, h, w, stride, act_exp, act, residual, e_inv, d_inv, p_inv, g,
-    out_dtype,
+    out_dtype, prj_bf16=False,
 ):
     """Row-tiled int8 V3 variant (k = 3, no SE): the float rows kernel's
     halo/placement/residual-offset structure with named-act int8 staging
@@ -244,9 +264,8 @@ def _v3_i8_kernel_rows(
 
     acc = acc + dwb_ref[0].astype(jnp.float32)
     yd = _requant_named_k(acc, da_ref[0], d_inv, act)
-    yd2 = yd.reshape(th * w_out, ep).astype(jnp.int8)
-    out = _requant_named_k(_sdot(yd2, pww_ref[...]) + pwb_ref[0],
-                           pa_ref[0], p_inv, "linear")
+    out = _prj_out(yd.reshape(th * w_out, ep), pww_ref, pwb_ref,
+                   pa_ref, p_inv, prj_bf16)
     if not residual:
         o_ref[...] = out.astype(out_dtype)
         return
@@ -310,21 +329,34 @@ def v3_block_pallas_i8(
             float(se1["inv_s"]) if se else 0.0)
     if se:
         args += [se1["w"], se1["b"], se1["a"], se2["w"], se2["b"], se2["a"]]
+    prj_bf16 = False
+    if PRJ_BF16_DOT:
+        import numpy as np  # noqa: PLC0415
+
+        try:  # exactness bound vs the CONCRETE quantized constants
+            e_terms = int(prj["w"].shape[0])
+            bmax = int(np.abs(np.asarray(prj["b"])).max())
+            prj_bf16 = e_terms * 127 * 127 + bmax < 2 ** 24
+        except Exception:  # traced tree: keep the s8 dot
+            prj_bf16 = False
     return _v3_i8_impl(*args, k=int(k), stride=int(stride),
                        act_exp=str(act_exp), act=str(act),
                        se=se, residual=bool(residual), invs=invs,
                        out_dtype=jnp.dtype(out_dtype).name,
-                       block_n=block_n, interpret=interpret)
+                       block_n=block_n, interpret=interpret,
+                       prj_bf16=prj_bf16)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("k", "stride", "act_exp", "act", "se", "residual",
-                     "invs", "out_dtype", "block_n", "interpret"),
+                     "invs", "out_dtype", "block_n", "interpret",
+                     "prj_bf16"),
 )
 def _v3_i8_impl(x, ew, eb, ea, dww, dwb, da, pww, pwb, pa, *se_args,
                 k, stride, act_exp, act, se, residual, invs,
-                out_dtype="int8", block_n=None, interpret=None):
+                out_dtype="int8", block_n=None, interpret=None,
+                prj_bf16=False):
     if interpret is None:
         interpret = _should_interpret()
     out_dtype = jnp.dtype(out_dtype)
@@ -357,6 +389,9 @@ def _v3_i8_impl(x, ew, eb, ea, dww, dwb, da, pww, pwb, pa, *se_args,
             s2w = jnp.pad(s2w, ((0, 0), (0, ep - e)))
             s2b = jnp.pad(s2b, (0, ep - e))
             s2a = jnp.pad(s2a, (0, ep - e))
+
+    if prj_bf16:
+        pww = pww.astype(jnp.bfloat16)  # ints <= 127: exact in bf16
 
     from ..ops.pallas_ir_v3 import _mode as _v3_mode
 
@@ -395,7 +430,7 @@ def _v3_i8_impl(x, ew, eb, ea, dww, dwb, da, pww, pwb, pa, *se_args,
             act_exp=act_exp, act=act, se=se, residual=residual,
             e_inv=e_inv, d_inv=d_inv, p_inv=p_inv, s1_inv=s1_inv,
             hw_inv=1.0 / float(h_out * w_out), out_dtype=out_dtype,
-            wop=wop)
+            wop=wop, prj_bf16=prj_bf16)
         grid = (n // bn,)
         w_index = lambda b: (0, 0)
         in_specs = [pl.BlockSpec((bn * h * w, cin), lambda b: (b, 0),
@@ -436,7 +471,8 @@ def _v3_i8_impl(x, ew, eb, ea, dww, dwb, da, pww, pwb, pa, *se_args,
         kernel = functools.partial(
             _v3_i8_kernel_rows, th=th, h=h, w=w, stride=stride,
             act_exp=act_exp, act=act, residual=residual, e_inv=e_inv,
-            d_inv=d_inv, p_inv=p_inv, g=g, out_dtype=out_dtype)
+            d_inv=d_inv, p_inv=p_inv, g=g, out_dtype=out_dtype,
+            prj_bf16=prj_bf16)
         grid = (n, g)
         in_specs = [pl.BlockSpec(
             (pl.Element(1), pl.Element(th_in), pl.Element(w),
