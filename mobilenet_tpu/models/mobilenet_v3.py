@@ -209,6 +209,10 @@ FUSED_EXPAND_S2_PAD = None
 # Fused conv_last->pool->head->fc kernel (ops/pallas_head.py) on fused
 # routings; A/B: tools/ab_head.py.
 FUSED_HEAD = True
+# Lane-packed stride-1 SE bottleneck route (ops/pallas_se_packed.py):
+# R = 128/Cp pixels per vector for the sub-lane-width mid-network blocks
+# (V3-Large b2/b4/b5 at 224). A/B: tools/ab_se_packed.py.
+PACKED_SE = True
 
 
 def _routing_v3(config: V3Config, dw_backend, batch: int) -> Tuple[str, ...]:
@@ -445,6 +449,47 @@ def run_blocks_v3(params, y, config: V3Config, routing, *,
                 pack(ye, e_a), blk["dw"]["w"], blk["dw"]["b"], pw, pb,
                 e_a, 128, False, pw_epilogue=False)
             continue
+        if (PACKED_SE and routing[i] == "fused" and not collect
+                and bd.has_expand and bd.stride == 1):
+            from ..ops.pallas_se_packed import (  # noqa: PLC0415
+                se_block_packed, se_packed_fits, se_packed_geometry)
+
+            geo = se_packed_geometry(cin_a, e_a, cout_a, int(y.shape[2]),
+                                     bd.kernel, bd.stride)
+            if (geo is not None
+                    and (not bd.has_res or geo[2] == geo[0])
+                    and se_packed_fits(
+                        int(y.shape[0]), int(y.shape[1]), int(y.shape[2]),
+                        cin_a, e_a, cout_a, bd.kernel, bd.stride,
+                        jnp.dtype(y.dtype).itemsize)):
+                # Sub-lane-width s1 bottleneck (V3-Large b2/b4/b5: Cin
+                # 32-40 at 56²/28²): the dense whole-image kernel reads
+                # (…, Cin) windows at <= 31% lane occupancy; lane-pack
+                # R = 128/Cp pixels per vector instead (module docstring
+                # of ops/pallas_se_packed — SE folds in-kernel).
+                from ..ops.pallas_block_packed import pack  # noqa: PLC0415
+
+                cp, ep_, cout_p, r_ = geo
+                xin = y if cin_a == cp else jnp.pad(
+                    y, ((0, 0), (0, 0), (0, 0), (0, cp - cin_a)))
+                ew = (blk["exp"]["w"] if int(blk["exp"]["w"].shape[0]) == cp
+                      else jnp.pad(blk["exp"]["w"],
+                                   ((0, cp - cin_a), (0, 0))))
+                if bd.se_mid:
+                    sargs = (blk["se"]["w1"], blk["se"]["b1"],
+                             blk["se"]["w2"], blk["se"]["b2"])
+                    sw = int(blk["se"]["w1"].shape[1])
+                else:
+                    sargs = (None, None, None, None)
+                    sw = 0
+                pw, pb = blk["prj"]["w"], blk["prj"]["b"]
+                out = se_block_packed(
+                    pack(xin, cp), ew, blk["exp"]["b"],
+                    blk["dw"]["w"], blk["dw"]["b"], *sargs, pw, pb,
+                    cp, bd.kernel, bd.act, bd.has_res, sw)
+                # packed (N, H, W4, R*Cout_p) -> NHWC of Cout_p (free)
+                y = out.reshape(out.shape[0], out.shape[1], -1, cout_p)
+                continue
         if (routing[i] == "fused" and not collect
                 and v3_fits(int(y.shape[0]), int(y.shape[1]),
                             int(y.shape[2]), cin_a, e_a, cout_a, bd.kernel,
