@@ -211,8 +211,26 @@ FUSED_EXPAND_S2_PAD = None
 FUSED_HEAD = True
 # Lane-packed stride-1 SE bottleneck route (ops/pallas_se_packed.py):
 # R = 128/Cp pixels per vector for the sub-lane-width mid-network blocks
-# (V3-Large b2/b4/b5 at 224). A/B: tools/ab_se_packed.py.
-PACKED_SE = True
+# (V3-Large b2/b4/b5 at 224). True = every eligible block; False = off;
+# a collection of block indices = only those. MEASURED OUT 2026-08-19
+# (ships False): standalone each eligible block WINS (tools/
+# probe_se_packed_blocks.py: b2 2.005 -> 1.519, b4/b5 1.47/1.49 -> 1.37
+# ms at bn=1) but EVERY e2e subset LOSES (tools/ab_se_packed.py: dense
+# 15,802 img/s vs all 14,933 / all-bn1 15,180 / b2-only 15,448 / b4+b5
+# 15,423) — in-network the dense whole-image kernel runs ~0.5 ms/block
+# faster than its standalone time (grid pipelining across neighbors the
+# single-kernel probe can't see), and the packed route doesn't.
+# Record: benchmarks/roofline_v5e.md 2026-08-19.
+PACKED_SE = False
+# block_n override for the packed SE kernel (None = kernel auto, which
+# picks bn=2 at 28² — measured 0.12 ms/block slower than bn=1 standalone).
+PACKED_SE_BN = None
+
+
+def _packed_se_on(i: int) -> bool:
+    if PACKED_SE is True or PACKED_SE is False:
+        return bool(PACKED_SE)
+    return i in PACKED_SE
 
 
 def _routing_v3(config: V3Config, dw_backend, batch: int) -> Tuple[str, ...]:
@@ -449,7 +467,7 @@ def run_blocks_v3(params, y, config: V3Config, routing, *,
                 pack(ye, e_a), blk["dw"]["w"], blk["dw"]["b"], pw, pb,
                 e_a, 128, False, pw_epilogue=False)
             continue
-        if (PACKED_SE and routing[i] == "fused" and not collect
+        if (_packed_se_on(i) and routing[i] == "fused" and not collect
                 and bd.has_expand and bd.stride == 1):
             from ..ops.pallas_se_packed import (  # noqa: PLC0415
                 se_block_packed, se_packed_fits, se_packed_geometry)
@@ -486,7 +504,8 @@ def run_blocks_v3(params, y, config: V3Config, routing, *,
                 out = se_block_packed(
                     pack(xin, cp), ew, blk["exp"]["b"],
                     blk["dw"]["w"], blk["dw"]["b"], *sargs, pw, pb,
-                    cp, bd.kernel, bd.act, bd.has_res, sw)
+                    cp, bd.kernel, bd.act, bd.has_res, sw,
+                    block_n=PACKED_SE_BN)
                 # packed (N, H, W4, R*Cout_p) -> NHWC of Cout_p (free)
                 y = out.reshape(out.shape[0], out.shape[1], -1, cout_p)
                 continue

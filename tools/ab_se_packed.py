@@ -40,25 +40,33 @@ def main():
     folded = fold_bn_v3(init_params_v3(cfg, seed=0), eps=cfg.bn_eps)
     params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), folded)
 
+    # (label, PACKED_SE value, PACKED_SE_BN) — subsets race which blocks
+    # earn the packed route e2e (standalone wins don't compose: the
+    # widened cout a packed b4/b5 hands b6 taxes the downstream kernel).
+    variants = [("dense", False, None),
+                ("packed_all", True, None),
+                ("packed_all_bn1", True, 1),
+                ("packed_b2_bn1", frozenset({2}), 1),
+                ("packed_b45_bn1", frozenset({4, 5}), 1)]
     entries = {}
-    for label, flag in (("dense", False), ("packed_se", True)):
-        def fn(images_u8, flag=flag):
+    for label, flag, bn in variants:
+        def fn(images_u8, flag=flag, bn=bn):
             x = prep.preprocess(images_u8, cfg.resolution, jnp.bfloat16)
-            old = mod.PACKED_SE
-            mod.PACKED_SE = flag  # trace-time knob
+            old, oldbn = mod.PACKED_SE, mod.PACKED_SE_BN
+            mod.PACKED_SE, mod.PACKED_SE_BN = flag, bn  # trace-time knobs
             try:
                 return forward_v3(params, x, cfg, dw_backend="fused")
             finally:
-                mod.PACKED_SE = old
+                mod.PACKED_SE, mod.PACKED_SE_BN = old, oldbn
 
         entries[label] = jax.jit(fn)
 
     img = make_batch(args.batch, args.res)
     ys = {k: np.asarray(f(img)).astype(np.float64)
           for k, f in entries.items()}
-    d = np.abs(ys["packed_se"] - ys["dense"])
+    d = np.abs(ys["packed_all"] - ys["dense"])
     scale = np.abs(ys["dense"]).max()
-    agree = (ys["dense"].argmax(1) == ys["packed_se"].argmax(1)).mean()
+    agree = (ys["dense"].argmax(1) == ys["packed_all"].argmax(1)).mean()
     print(f"logits max_abs diff = {d.max():.4e}  (absmax {scale:.2f}, rel "
           f"{d.max() / scale:.2%}), top-1 agreement {agree:.4f}", flush=True)
     interleave_bench(entries, img, args.batch, args.steps, args.rounds)
