@@ -233,6 +233,100 @@ def _packed_se_on(i: int) -> bool:
     return i in PACKED_SE
 
 
+# Chain megakernel (ops/pallas_chain_v3.py): maximal runs of consecutive
+# dense-route bottlenecks execute as ONE Pallas launch (activations never
+# leave VMEM between blocks; bit-identical to the per-block fused route).
+# Motivated by the 14² stretch measuring 0.77-1.23 ms/block against
+# ~0.02 ms of MXU work each. RACED AND MEASURED OUT on chip 2026-08-19
+# (tools/ab_chain_v3.py, V3-Large 1.0-224 batch 256 bf16): greedy 15,228
+# vs per-block 15,549 img/s; every explicit segmentation loses too
+# (6:12 15,389 / 12:14 15,137 / both 14,894 vs 15,534) and bn=2 loses
+# (15,355 vs 15,705). Cross-kernel grid pipelining beats in-kernel
+# serialization on this stack — the "launch overhead" the chain removes
+# is overlapped compute, not dead time (roofline_v5e.md 2026-08-19).
+# Values: True = greedy maximal runs; False = off (SHIPPING default);
+# a collection of (start, stop) index ranges = chain exactly those runs
+# (still VMEM-gated).
+CHAIN_V3 = False
+# block_n override for the chain kernel (None = auto; raced per-config).
+CHAIN_V3_BN = None
+
+
+def _chain_ranges(i: int):
+    """None (greedy from i), a stop index (explicit range starting at i),
+    or -1 (no chain starts at i) under the CHAIN_V3 knob."""
+    if CHAIN_V3 is True:
+        return None
+    if CHAIN_V3 is False:
+        return -1
+    for s, e in CHAIN_V3:
+        if s == i:
+            return e
+    return -1
+
+
+def _try_chain_v3(params, y, config: "V3Config", routing, i: int,
+                  stop: int):
+    """Longest eligible chain of blocks starting at i: a list of
+    kernel-ready block dicts (widened like the per-block route widens)
+    plus the end index, or None. Blocks that own a better special route
+    (the packed narrow-s2 expand family, lane-packed SE when enabled)
+    terminate the run — measured winners keep their kernels."""
+    from ..ops.pallas_chain_v3 import chain_fits, chain_specs  # noqa: PLC0415
+
+    n, h0, w0 = int(y.shape[0]), int(y.shape[1]), int(y.shape[2])
+    itm = jnp.dtype(y.dtype).itemsize
+    c = int(y.shape[3])
+    hh, ww = h0, w0
+    run, shapes = [], []
+    for j in range(i, stop):
+        bd, blk = config.block_defs[j], params["blocks"][j]
+        if routing[j] != "fused" or not bd.has_expand:
+            break
+        if bd.kernel not in (3, 5) or bd.stride not in (1, 2):
+            break
+        if bd.stride == 2 and (hh % 2 or ww % 2):
+            break
+        if (PACKED_EXPAND_S2 and bd.kernel == 3 and bd.stride == 2
+                and not bd.se_mid and bd.act == "relu" and c < 128
+                and 128 % c == 0 and (ww * c) % 128 == 0):
+            break  # the packed expand-s2 route wins this geometry
+        if _packed_se_on(j):
+            break
+        ew, eb = blk["exp"]["w"], blk["exp"]["b"]
+        if int(ew.shape[0]) < c:
+            ew = jnp.pad(ew, ((0, c - int(ew.shape[0])), (0, 0)))
+        pw, pb = blk["prj"]["w"], blk["prj"]["b"]
+        cout = int(pw.shape[1])
+        if bd.has_res and cout < c:
+            pw = jnp.pad(pw, ((0, 0), (0, c - cout)))
+            pb = jnp.pad(pb, (0, c - cout))
+            cout = c
+        if bd.has_res and cout != c:
+            break
+        entry = dict(exp_w=ew, exp_b=eb, dw_w=blk["dw"]["w"],
+                     dw_b=blk["dw"]["b"], prj_w=pw, prj_b=pb,
+                     k=bd.kernel, stride=bd.stride, act=bd.act,
+                     residual=bd.has_res)
+        se_w = 0
+        if bd.se_mid:
+            entry.update(se_w1=blk["se"]["w1"], se_b1=blk["se"]["b1"],
+                         se_w2=blk["se"]["w2"], se_b2=blk["se"]["b2"])
+            se_w = int(blk["se"]["w1"].shape[1])
+        run.append(entry)
+        shapes.append((c, int(ew.shape[1]), cout, bd.kernel, bd.stride,
+                       se_w))
+        c = cout
+        hh, ww = -(-hh // bd.stride), -(-ww // bd.stride)
+    while len(run) >= 2:
+        specs = chain_specs(shapes, h0, w0, itm)
+        if specs is not None and chain_fits(n, specs, itm):
+            return run, i + len(run)
+        run.pop()
+        shapes.pop()
+    return None
+
+
 def _routing_v3(config: V3Config, dw_backend, batch: int) -> Tuple[str, ...]:
     """Per-block backend tuple, the V2 pattern (_routing_v2). None (the
     plain-JAX/CPU tier) -> xla; "auto" -> fused at throughput batches, xla
@@ -345,7 +439,22 @@ def run_blocks_v3(params, y, config: V3Config, routing, *,
     from ..ops.pallas_ir_v3 import v3_fits  # noqa: PLC0415
 
     stop = len(config.block_defs) if stop is None else stop
+    skip_until = start
     for i in range(start, stop):
+        if i < skip_until:
+            continue
+        if CHAIN_V3 and not collect:
+            rng_stop = _chain_ranges(i)
+            chain = None if rng_stop == -1 else _try_chain_v3(
+                params, y, config, routing, i,
+                stop if rng_stop is None else min(rng_stop, stop))
+            if chain is not None:
+                from ..ops.pallas_chain_v3 import (  # noqa: PLC0415
+                    v3_chain_pallas)
+
+                run, skip_until = chain
+                y = v3_chain_pallas(y, run, block_n=CHAIN_V3_BN)
+                continue
         bd, blk = config.block_defs[i], params["blocks"][i]
         # Shapes from the ACTUAL params (the V2 discipline: a padded device
         # tree must route by what it carries, not the nominal config).

@@ -65,9 +65,23 @@ from .pallas_block_packed import _act, _shift_cols
 from .pallas_dw import _should_interpret
 
 
+# Even/odd split expansion (the eo=True route): ONE (128, 2*EE) matmul
+# computes both the even-pixel and odd-pixel expansions of the UNSHIFTED
+# input; the third dw column tap (delta=2 = even pixels shifted by one
+# slot) is a lane roll of the even half by E lanes. Replaces 3 matmuls +
+# 3 act passes + 2 input rolls with 1 matmul + 1 act pass + 1 roll —
+# bit-identical (the shift is a pure pixel permutation; the kron'd
+# matmuls sum the same 16 products in the same K order, the structural
+# zeros land elsewhere but add exactly). Raced on chip 2026-08-19
+# (tools/ab_eo_expand.py, V3-Large b1 geometry batch 256 bf16):
+# standalone 2.71 vs 3.19 ms; e2e V3-Large 1.0-224 16,378 vs 16,055
+# img/s, logits bit-identical on the MXU — SHIPS ON.
+EO_EXPAND = True
+
+
 def _expand_s2_kernel(
     x_ref, kw_ref, eb_ref, dww_ref, dwb_ref, pww_ref, pwb_ref, o_ref, s_ref,
-    *, th, w4, r, cin, ee, relu6, out_dtype, g, bn, pw_epilogue,
+    *, th, w4, r, cin, ee, relu6, out_dtype, g, bn, pw_epilogue, eo,
 ):
     i = pl.program_id(1)
     is_first_step = jnp.logical_and(pl.program_id(0) == 0, i == 0)
@@ -95,17 +109,6 @@ def _expand_s2_kernel(
     rows = sv.shape[1]
     w4p = w4 + 1
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 128), 3)
-    group = lane // cin
-    # delta = 1: pixel p+1 at slot p. Group r-1 would need the next column,
-    # but r-1 is ODD and the even-pixel selection never reads odd slots —
-    # no fixup needed.
-    tap1 = pltpu.roll(sv, 128 - cin, axis=3)
-    # delta = 2: pixel p+2 at slot p; group r-2 (EVEN, selected) pulls the
-    # next column's pixel 0. Group r-1 is odd garbage — never selected.
-    roll2 = pltpu.roll(sv, (128 - 2 * cin) % 128, axis=3)
-    tap2 = jnp.where(group >= r - 2, _shift_cols(roll2, -1), roll2)
-
     # Validity masks (see module docstring): rows >= 2*th at the LAST grid
     # step are bottom padding, and the delta=2 tap's last even slot at the
     # last real column is pixel W — their post-expand values must be 0.
@@ -113,27 +116,64 @@ def _expand_s2_kernel(
     rows_valid = jnp.logical_or(i < g - 1, row_i < 2 * th)
     col_i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w4p, 1), 2)
     lane_e = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, ee), 3)
+    epix = ee // (r // 2)  # lanes per expanded pixel slot (= E)
     tap2_valid = jnp.logical_not(
-        jnp.logical_and(col_i == w4 - 1, lane_e >= ee - ee // (r // 2)))
+        jnp.logical_and(col_i == w4 - 1, lane_e >= ee - epix))
 
-    kw = kw_ref[...]          # (128, EE) = kron(S_even, exp_w)
+    kw = kw_ref[...]          # (128, EE) or (128, 2*EE) in eo mode
     eb = eb_ref[0].astype(jnp.float32)
     prec = (jax.lax.Precision.HIGHEST if kw.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
 
     n_pairs = rows // 2
     acc = jnp.zeros((bn, th, w4p, ee), jnp.float32)
-    for dx, tap in enumerate((sv, tap1, tap2)):
-        z = jnp.dot(tap.astype(kw.dtype).reshape(bn * rows * w4p, 128), kw,
-                    preferred_element_type=jnp.float32, precision=prec)
-        z = _act(z.reshape(bn, rows, w4p, ee) + eb, relu6)
-        z = jnp.where(rows_valid, z, 0.0)
-        if dx == 2:
-            z = jnp.where(tap2_valid, z, 0.0)
-        zp = z.reshape(bn, n_pairs, 2, w4p, ee)
+
+    def dw_acc(acc, z_t, dx):
+        zp = z_t.reshape(bn, n_pairs, 2, w4p, ee)
         for dy in range(3):
             t = zp[:, dy // 2 : dy // 2 + th, dy % 2]
             acc = acc + t * dww_ref[dy, dx, :].astype(jnp.float32)
+        return acc
+
+    if eo:
+        # One matmul: [kron(S_even, w) | kron(S_odd, w)] expands even and
+        # odd pixels of the UNSHIFTED frame together. taps: delta=0 = even
+        # half; delta=1 = odd half (pixel 2u+1 is in-group for every u —
+        # no column fixup); delta=2 = even half rolled left one pixel slot
+        # (E lanes), last slot pulling the next column group's slot 0.
+        z = jnp.dot(sv.astype(kw.dtype).reshape(bn * rows * w4p, 128), kw,
+                    preferred_element_type=jnp.float32, precision=prec)
+        z = _act(z.reshape(bn, rows, w4p, 2 * ee) + eb, relu6)
+        z = jnp.where(rows_valid, z, 0.0)
+        z_e, z_o = z[..., :ee], z[..., ee:]
+        roll_e = pltpu.roll(z_e, ee - epix, axis=3)
+        z_2 = jnp.where(lane_e >= ee - epix, _shift_cols(roll_e, -1),
+                        roll_e)
+        z_2 = jnp.where(tap2_valid, z_2, 0.0)
+        for dx, z_t in enumerate((z_e, z_o, z_2)):
+            acc = dw_acc(acc, z_t, dx)
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 128), 3)
+        group = lane // cin
+        # delta = 1: pixel p+1 at slot p. Group r-1 would need the next
+        # column, but r-1 is ODD and the even-pixel selection never reads
+        # odd slots — no fixup needed.
+        tap1 = pltpu.roll(sv, 128 - cin, axis=3)
+        # delta = 2: pixel p+2 at slot p; group r-2 (EVEN, selected) pulls
+        # the next column's pixel 0. Group r-1 is odd garbage — never
+        # selected.
+        roll2 = pltpu.roll(sv, (128 - 2 * cin) % 128, axis=3)
+        tap2 = jnp.where(group >= r - 2, _shift_cols(roll2, -1), roll2)
+
+        for dx, tap in enumerate((sv, tap1, tap2)):
+            z = jnp.dot(
+                tap.astype(kw.dtype).reshape(bn * rows * w4p, 128), kw,
+                preferred_element_type=jnp.float32, precision=prec)
+            z = _act(z.reshape(bn, rows, w4p, ee) + eb, relu6)
+            z = jnp.where(rows_valid, z, 0.0)
+            if dx == 2:
+                z = jnp.where(tap2_valid, z, 0.0)
+            acc = dw_acc(acc, z, dx)
 
     y = _act(acc[:, :, 0:w4, :] + dwb_ref[0].astype(jnp.float32), relu6)
     y2 = y.astype(pww_ref.dtype).reshape(bn * th * w4, ee)
@@ -156,19 +196,14 @@ def expand_s2_eligible(cin: int, e: int, cout: int, w: int) -> bool:
             and ((r // 2) * e) % 128 == 0 and ((r // 2) * cout) % 128 == 0)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cin", "relu6", "block_h", "block_n", "pw_epilogue",
-                     "interpret"),
-)
 def expand_block_packed_s2(
-    x_packed: jax.Array,  # (N, H, W*Cin/128, 128), lane = j*Cin + c
-    exp_w: jax.Array,     # (Cin, E)
-    exp_b: jax.Array,     # (E,)
-    dw_w: jax.Array,      # (3, 3, 1, E)
-    dw_b: jax.Array,      # (E,)
-    pw_w: jax.Array,      # (E, Cout)
-    pw_b: jax.Array,      # (Cout,)
+    x_packed: jax.Array,
+    exp_w: jax.Array,
+    exp_b: jax.Array,
+    dw_w: jax.Array,
+    dw_b: jax.Array,
+    pw_w: jax.Array,
+    pw_b: jax.Array,
     cin: int,
     relu6: bool = False,
     *,
@@ -176,6 +211,7 @@ def expand_block_packed_s2(
     block_h: Optional[int] = None,
     block_n: Optional[int] = None,
     interpret: Optional[bool] = None,
+    eo: Optional[bool] = None,
 ) -> jax.Array:
     """Fused act(expand 1x1) -> dw3x3 stride-2 + act -> pw projection on
     R-lane-packed narrow input. Returns (N, H/2, W4, (R/2)*Cout); callers
@@ -184,9 +220,41 @@ def expand_block_packed_s2(
 
     pw_epilogue=False (default) emits the UNACTIVATED linear projection of
     an inverted-residual block; True applies the block activation (the V1
-    separable-block mode)."""
+    separable-block mode). eo=None takes the module EO_EXPAND default —
+    resolved HERE (outside the jit) so flag flips are never masked by a
+    stale trace cache."""
+    if eo is None:
+        eo = EO_EXPAND
     if interpret is None:
         interpret = _should_interpret()
+    return _expand_block_packed_s2_impl(
+        x_packed, exp_w, exp_b, dw_w, dw_b, pw_w, pw_b, cin=cin,
+        relu6=relu6, pw_epilogue=pw_epilogue, block_h=block_h,
+        block_n=block_n, interpret=interpret, eo=eo)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cin", "relu6", "block_h", "block_n", "pw_epilogue",
+                     "interpret", "eo"),
+)
+def _expand_block_packed_s2_impl(
+    x_packed: jax.Array,  # (N, H, W*Cin/128, 128), lane = j*Cin + c
+    exp_w: jax.Array,     # (Cin, E)
+    exp_b: jax.Array,     # (E,)
+    dw_w: jax.Array,      # (3, 3, 1, E)
+    dw_b: jax.Array,      # (E,)
+    pw_w: jax.Array,      # (E, Cout)
+    pw_b: jax.Array,      # (Cout,)
+    *,
+    cin: int,
+    relu6: bool,
+    pw_epilogue: bool,
+    block_h: Optional[int],
+    block_n: Optional[int],
+    interpret: bool,
+    eo: bool,
+) -> jax.Array:
     n, h, w4, lanes = x_packed.shape
     e = int(exp_w.shape[1])
     cout = int(pw_w.shape[1])
@@ -199,22 +267,29 @@ def expand_block_packed_s2(
     oc = (r // 2) * cout
     itm = jnp.dtype(x_packed.dtype).itemsize
 
+    kwn = 2 * ee if eo else ee  # expand-matmul output width
+
     def est(bn_, th_):
         # Scoped-VMEM byte model (same style as pallas_block_packed.est):
-        # 2 pipelined in blocks + scratch + f32 window/rolls + ONE live
-        # expanded tap (the dx loop keeps a single z alive) + acc + pw
-        # temporaries + 2 out blocks.
+        # 2 pipelined in blocks + scratch + f32 window (+ rolls or the
+        # even/odd z pair) + live expanded taps + acc + pw temporaries +
+        # 2 out blocks.
         rows = 2 * th_ + 2
         u_in = bn_ * rows * w4 * 128
         u_win = bn_ * rows * (w4 + 1) * 128
         u_z = bn_ * rows * (w4 + 1) * ee
         u_acc = bn_ * th_ * (w4 + 1) * ee
         u_out = bn_ * th_ * w4 * oc
-        wts = (128 * ee + 9 * ee + ee + ee * oc + oc) * itm
+        wts = (128 * kwn + kwn + 10 * ee + ee * oc + oc) * itm
+        if eo:
+            # sv + z_both (2 u_z) + rolled delta-2 tap + its select temp
+            live = u_win * 4 + 4 * u_z * 4
+        else:
+            # sv + 2 hoisted input rolls + one live z + one select temp
+            live = 3 * u_win * 4 + 2 * u_z * 4
         return int(
             2 * u_in * itm + u_win * itm          # in blocks + scratch
-            + 3 * u_win * 4                       # sv + hoisted rolls
-            + 2 * u_z * 4                         # z + one select temp
+            + live
             + u_acc * 4
             + u_out * (4 + 3 * itm)               # f32 out + cast + 2 blocks
         ) + wts
@@ -247,8 +322,13 @@ def expand_block_packed_s2(
     dt = x_packed.dtype
     sel = jnp.zeros((r, r // 2), exp_w.dtype).at[
         2 * jnp.arange(r // 2), jnp.arange(r // 2)].set(1)
-    kw = jnp.kron(sel, exp_w).astype(dt)                       # (128, EE)
-    ebE = jnp.tile(exp_b.reshape(1, e), (1, r // 2))           # (1, EE)
+    kw = jnp.kron(sel, exp_w)                                  # (128, EE)
+    if eo:
+        sel_o = jnp.zeros((r, r // 2), exp_w.dtype).at[
+            2 * jnp.arange(r // 2) + 1, jnp.arange(r // 2)].set(1)
+        kw = jnp.concatenate([kw, jnp.kron(sel_o, exp_w)], axis=1)
+    kw = kw.astype(dt)                                         # (128, KWN)
+    ebE = jnp.tile(exp_b.reshape(1, e), (1, kwn // e))         # (1, KWN)
     dww = jnp.tile(dw_w.reshape(3, 3, e), (1, 1, r // 2))      # (3, 3, EE)
     dwb = jnp.tile(dw_b.reshape(1, e), (1, r // 2))
     pww = jnp.kron(jnp.eye(r // 2, dtype=pw_w.dtype), pw_w).astype(dt)
@@ -256,7 +336,7 @@ def expand_block_packed_s2(
 
     kernel = functools.partial(
         _expand_s2_kernel, th=th, w4=w4, r=r, cin=cin, ee=ee, relu6=relu6,
-        out_dtype=dt, g=g, bn=bn, pw_epilogue=pw_epilogue,
+        out_dtype=dt, g=g, bn=bn, pw_epilogue=pw_epilogue, eo=eo,
     )
 
     return pl.pallas_call(
@@ -269,9 +349,9 @@ def expand_block_packed_s2(
                 x_index,
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((128, ee), lambda b_, i: (0, 0),
+            pl.BlockSpec((128, kwn), lambda b_, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ee), lambda b_, i: (0, 0),
+            pl.BlockSpec((1, kwn), lambda b_, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 3, ee), lambda b_, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),

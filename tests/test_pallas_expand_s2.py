@@ -218,6 +218,37 @@ def test_pad_override_keeps_model_output(monkeypatch):
                                atol=5e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "n,h,cin,e,cout,block_h",
+    [
+        (1, 16, 16, 64, 32, None),   # V3-L b1 geometry (R=8)
+        (1, 16, 64, 128, 128, None),  # R=2: delta-2 tap = whole next column
+        (1, 32, 8, 32, 16, None),    # R=16, deep packing
+        (1, 32, 16, 64, 32, 4),      # multi grid step: border masks
+    ],
+)
+def test_eo_expand_bit_identical(rng, n, h, cin, e, cout, block_h):
+    """The even/odd split expansion (eo=True: one (128, 2*EE) matmul + a
+    lane roll for the delta-2 tap) is BIT-IDENTICAL to the per-tap route:
+    the shift is a pixel permutation and the kron'd matmuls accumulate
+    the same 16 products in the same K order."""
+    x = rng.uniform(-1, 1, (n, h, h, cin)).astype(np.float32)
+    ew = rng.normal(0, 0.4, (cin, e)).astype(np.float32)
+    eb = rng.normal(0, 0.2, (e,)).astype(np.float32)
+    dw = rng.normal(0, 0.5, (3, 3, 1, e)).astype(np.float32)
+    db = rng.normal(0, 0.2, (e,)).astype(np.float32)
+    pw = rng.normal(0, 0.3, (e, cout)).astype(np.float32)
+    pb = rng.normal(0, 0.2, (cout,)).astype(np.float32)
+    args = (pack(jnp.asarray(x), cin), jnp.asarray(ew), jnp.asarray(eb),
+            jnp.asarray(dw), jnp.asarray(db), jnp.asarray(pw),
+            jnp.asarray(pb), cin)
+    base = np.asarray(expand_block_packed_s2(
+        *args, block_h=block_h, interpret=True, eo=False))
+    new = np.asarray(expand_block_packed_s2(
+        *args, block_h=block_h, interpret=True, eo=True))
+    np.testing.assert_array_equal(base, new)
+
+
 def test_eligibility():
     assert expand_s2_eligible(16, 64, 32, 112)      # V3-L b1 (padded cout)
     assert not expand_s2_eligible(16, 64, 24, 112)  # unpadded cout: 4*24=96
