@@ -41,7 +41,7 @@ from .pallas_block_packed_i8 import _named_requant_f32, _shift_cols
 def _kernel(
     x_ref, kw_ref, eb_ref, ea_ref, dww_ref, dwb_ref, da_ref, pww_ref,
     pwb_ref, pa_ref, o_ref, s_ref,
-    *, th, w4, r, cin, ee, act, out_dtype, g, bn, e_inv, d_inv, p_inv,
+    *, th, w4, r, cin, ee, act, out_dtype, g, bn, e_inv, d_inv, p_inv, eo,
 ):
     i = pl.program_id(1)
 
@@ -68,39 +68,66 @@ def _kernel(
     rows = sv.shape[1]
     w4p = w4 + 1
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 128), 3)
-    group = lane // cin
-    # Tap algebra == the bf16 kernel: delta=1's group r-1 is odd (never
-    # selected by S_even), delta=2's group r-2 pulls the next column.
-    tap1 = pltpu.roll(sv, 128 - cin, axis=3)
-    roll2 = pltpu.roll(sv, (128 - 2 * cin) % 128, axis=3)
-    tap2 = jnp.where(group >= r - 2, _shift_cols(roll2, -1), roll2)
-
     row_i = jax.lax.broadcasted_iota(jnp.int32, (1, rows, 1, 1), 1)
     rows_valid = jnp.logical_or(i < g - 1, row_i < 2 * th)
     col_i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w4p, 1), 2)
     lane_e = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, ee), 3)
+    epix = ee // (r // 2)  # lanes per expanded pixel slot (= E)
     tap2_valid = jnp.logical_not(
-        jnp.logical_and(col_i == w4 - 1, lane_e >= ee - ee // (r // 2)))
+        jnp.logical_and(col_i == w4 - 1, lane_e >= ee - epix))
 
-    kw = kw_ref[...]                       # (128, EE) bf16 int weights
+    kw = kw_ref[...]                       # (128, EE|2*EE) bf16 int weights
     eb = eb_ref[0].astype(jnp.float32)     # i32 bias, exact in f32
     ea = ea_ref[0]
 
     n_pairs = rows // 2
     acc = jnp.zeros((bn, th, w4p, ee), jnp.float32)
-    for dx, tap in enumerate((sv, tap1, tap2)):
-        z = jnp.dot(tap.astype(jnp.bfloat16).reshape(bn * rows * w4p, 128),
-                    kw, preferred_element_type=jnp.float32)
-        z = _named_requant_f32(z.reshape(bn, rows, w4p, ee) + eb, ea,
-                               e_inv, act)
-        z = jnp.where(rows_valid, z, 0.0)
-        if dx == 2:
-            z = jnp.where(tap2_valid, z, 0.0)
-        zp = z.reshape(bn, n_pairs, 2, w4p, ee)
+
+    def dw_acc(acc, z_t, dx):
+        zp = z_t.reshape(bn, n_pairs, 2, w4p, ee)
         for dy in range(3):
             t = zp[:, dy // 2 : dy // 2 + th, dy % 2]
             acc = acc + t * dww_ref[dy, dx, :].astype(jnp.float32)
+        return acc
+
+    if eo:
+        # One [kron(S_even,w)|kron(S_odd,w)] matmul and ONE named-requant
+        # pass over 2*EE replace 3 matmuls + 3 requant passes (the
+        # measured reason the per-tap twin lost e2e — design.md §3.3e);
+        # the delta-2 tap is an E-lane roll of the requantized even half
+        # (a pixel permutation of exact integers — bit-identical).
+        z = jnp.dot(sv.astype(jnp.bfloat16).reshape(bn * rows * w4p, 128),
+                    kw, preferred_element_type=jnp.float32)
+        z = _named_requant_f32(z.reshape(bn, rows, w4p, 2 * ee) + eb, ea,
+                               e_inv, act)
+        z = jnp.where(rows_valid, z, 0.0)
+        z_e, z_o = z[..., :ee], z[..., ee:]
+        roll_e = pltpu.roll(z_e, ee - epix, axis=3)
+        z_2 = jnp.where(lane_e >= ee - epix, _shift_cols(roll_e, -1),
+                        roll_e)
+        z_2 = jnp.where(tap2_valid, z_2, 0.0)
+        for dx, z_t in enumerate((z_e, z_o, z_2)):
+            acc = dw_acc(acc, z_t, dx)
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 128), 3)
+        group = lane // cin
+        # Tap algebra == the bf16 kernel: delta=1's group r-1 is odd
+        # (never selected by S_even), delta=2's group r-2 pulls the next
+        # column.
+        tap1 = pltpu.roll(sv, 128 - cin, axis=3)
+        roll2 = pltpu.roll(sv, (128 - 2 * cin) % 128, axis=3)
+        tap2 = jnp.where(group >= r - 2, _shift_cols(roll2, -1), roll2)
+
+        for dx, tap in enumerate((sv, tap1, tap2)):
+            z = jnp.dot(
+                tap.astype(jnp.bfloat16).reshape(bn * rows * w4p, 128),
+                kw, preferred_element_type=jnp.float32)
+            z = _named_requant_f32(z.reshape(bn, rows, w4p, ee) + eb, ea,
+                                   e_inv, act)
+            z = jnp.where(rows_valid, z, 0.0)
+            if dx == 2:
+                z = jnp.where(tap2_valid, z, 0.0)
+            acc = dw_acc(acc, z, dx)
 
     yd = _named_requant_f32(
         acc[:, :, 0:w4, :] + dwb_ref[0].astype(jnp.float32),
@@ -112,11 +139,6 @@ def _kernel(
     o_ref[...] = q.reshape(bn, th, w4, -1).astype(out_dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cin", "act", "e_inv", "d_inv", "p_inv", "out_dtype",
-                     "block_h", "block_n", "interpret"),
-)
 def expand_block_packed_s2_i8(
     x_packed: jax.Array,   # (N, H, W*Cin/128, 128) bf16-carried ints
     exp_w_i8, exp_b_i32, exp_a,
@@ -128,15 +150,45 @@ def expand_block_packed_s2_i8(
     block_h: Optional[int] = None,
     block_n: Optional[int] = None,
     interpret: Optional[bool] = None,
+    eo: Optional[bool] = None,
 ) -> jax.Array:
     """Fused named-act int8 expand -> dw3x3 s2 -> LINEAR projection on an
     R-lane-packed bf16 integer carrier. Returns (N, H/2, W4, (R/2)*Cout)
     in out_dtype (int8 at a carriage boundary, bf16 to keep the carriage);
     pixel-major lanes — callers reshape freely to NHWC of the padded Cout.
     Bit-identical to quant/v3's XLA ops sequence (the interpret-tier test
-    asserts EXACT equality)."""
+    asserts EXACT equality). eo=None takes the float kernel's EO_EXPAND
+    default (resolved here, outside the jit)."""
+    if eo is None:
+        from ..ops import pallas_expand_s2 as _pes
+        eo = _pes.EO_EXPAND
     if interpret is None:
         interpret = _should_interpret()
+    return _expand_block_packed_s2_i8_impl(
+        x_packed, exp_w_i8, exp_b_i32, exp_a, dw_w_i8, dw_b_i32, dw_a,
+        pw_w_i8, pw_b_i32, pw_a, cin=cin, act=act, e_inv=e_inv,
+        d_inv=d_inv, p_inv=p_inv, out_dtype=out_dtype, block_h=block_h,
+        block_n=block_n, interpret=interpret, eo=eo)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cin", "act", "e_inv", "d_inv", "p_inv", "out_dtype",
+                     "block_h", "block_n", "interpret", "eo"),
+)
+def _expand_block_packed_s2_i8_impl(
+    x_packed: jax.Array,
+    exp_w_i8, exp_b_i32, exp_a,
+    dw_w_i8, dw_b_i32, dw_a,
+    pw_w_i8, pw_b_i32, pw_a,
+    *,
+    cin: int, act: str, e_inv: float, d_inv: float, p_inv: float,
+    out_dtype: str,
+    block_h: Optional[int],
+    block_n: Optional[int],
+    interpret: bool,
+    eo: bool,
+) -> jax.Array:
     out_dtype = jnp.dtype(out_dtype)
     n, h, w4, lanes = x_packed.shape
     assert lanes == 128 and x_packed.dtype == jnp.bfloat16
@@ -149,6 +201,8 @@ def expand_block_packed_s2_i8(
     ee = (r // 2) * e
     oc = (r // 2) * cout
 
+    kwn = 2 * ee if eo else ee  # expand-matmul output width
+
     def est(bn_, th_):
         # Byte model of the bf16 kernel (2-byte in/out carriers, f32
         # working set; requant temporaries alias the z/acc buffers).
@@ -158,11 +212,14 @@ def expand_block_packed_s2_i8(
         u_z = bn_ * rows * (w4 + 1) * ee
         u_acc = bn_ * th_ * (w4 + 1) * ee
         u_out = bn_ * th_ * w4 * oc
-        wts = (128 * ee + 9 * ee + ee + ee * oc + oc) * 4
+        wts = (128 * kwn + kwn + 10 * ee + ee * oc + oc) * 4
+        if eo:
+            live = u_win * 4 + 4 * u_z * 4
+        else:
+            live = 3 * u_win * 4 + 2 * u_z * 4
         return int(
             2 * u_in * 2 + u_win * 2
-            + 3 * u_win * 4
-            + 2 * u_z * 4
+            + live
             + u_acc * 4
             + u_out * (4 + 3 * 2)
         ) + wts
@@ -194,9 +251,14 @@ def expand_block_packed_s2_i8(
 
     sel = jnp.zeros((r, r // 2), jnp.int8).at[
         2 * jnp.arange(r // 2), jnp.arange(r // 2)].set(1)
-    kw = jnp.kron(sel, exp_w_i8).astype(jnp.bfloat16)             # (128, EE)
-    ebE = jnp.tile(exp_b_i32.reshape(1, e), (1, r // 2))
-    eaE = jnp.tile(exp_a.reshape(1, e).astype(jnp.float32), (1, r // 2))
+    kw = jnp.kron(sel, exp_w_i8)                                  # (128, EE)
+    if eo:
+        sel_o = jnp.zeros((r, r // 2), jnp.int8).at[
+            2 * jnp.arange(r // 2) + 1, jnp.arange(r // 2)].set(1)
+        kw = jnp.concatenate([kw, jnp.kron(sel_o, exp_w_i8)], axis=1)
+    kw = kw.astype(jnp.bfloat16)                                  # (128, KWN)
+    ebE = jnp.tile(exp_b_i32.reshape(1, e), (1, kwn // e))
+    eaE = jnp.tile(exp_a.reshape(1, e).astype(jnp.float32), (1, kwn // e))
     dww = jnp.tile(dw_w_i8.reshape(3, 3, e), (1, 1, r // 2))
     dwb = jnp.tile(dw_b_i32.reshape(1, e), (1, r // 2))
     daE = jnp.tile(dw_a.reshape(1, e).astype(jnp.float32), (1, r // 2))
@@ -208,7 +270,7 @@ def expand_block_packed_s2_i8(
     kernel = functools.partial(
         _kernel, th=th, w4=w4, r=r, cin=cin, ee=ee, act=act,
         out_dtype=out_dtype, g=g, bn=bn, e_inv=float(e_inv),
-        d_inv=float(d_inv), p_inv=float(p_inv),
+        d_inv=float(d_inv), p_inv=float(p_inv), eo=eo,
     )
 
     return pl.pallas_call(
@@ -219,11 +281,11 @@ def expand_block_packed_s2_i8(
                 (pl.Element(bn), pl.Element(th_in), pl.Element(w4),
                  pl.Element(128)),
                 x_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, ee), lambda b_, i: (0, 0),
+            pl.BlockSpec((128, kwn), lambda b_, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ee), lambda b_, i: (0, 0),
+            pl.BlockSpec((1, kwn), lambda b_, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ee), lambda b_, i: (0, 0),
+            pl.BlockSpec((1, kwn), lambda b_, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 3, ee), lambda b_, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),

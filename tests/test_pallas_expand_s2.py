@@ -163,6 +163,43 @@ def test_i8_fused_kernel_exact_multi_grid():
     np.testing.assert_array_equal(got, np.asarray(want))
 
 
+def test_i8_eo_expand_bit_identical():
+    """The int8 twin's even/odd split expansion (one matmul + ONE named
+    requant pass + an E-lane roll of exact integers) is BIT-IDENTICAL to
+    the per-tap route."""
+    import jax.numpy as jnp
+
+    from mobilenet_tpu.quant.pallas_expand_s2_i8 import (
+        expand_block_packed_s2_i8)
+
+    rng = np.random.default_rng(19)
+    for (n, h, cin, e, cout, bh) in [(2, 16, 16, 64, 32, None),
+                                     (1, 32, 16, 64, 32, 4),
+                                     (1, 16, 64, 128, 128, None)]:
+        x_q = rng.integers(-128, 128, (n, h, h, cin)).astype(np.int8)
+        args = (
+            pack(jnp.asarray(x_q).astype(jnp.bfloat16), cin),
+            jnp.asarray(rng.integers(-127, 128, (cin, e)).astype(np.int8)),
+            jnp.asarray(rng.integers(-1000, 1000, (e,)).astype(np.int32)),
+            jnp.asarray((rng.uniform(0.5, 2, (e,)) * 1e-3).astype(
+                np.float32)),
+            jnp.asarray(rng.integers(-127, 128, (3, 3, 1, e)).astype(
+                np.int8)),
+            jnp.asarray(rng.integers(-1000, 1000, (e,)).astype(np.int32)),
+            jnp.asarray((rng.uniform(0.5, 2, (e,)) * 1e-3).astype(
+                np.float32)),
+            jnp.asarray(rng.integers(-127, 128, (e, cout)).astype(np.int8)),
+            jnp.asarray(rng.integers(-1000, 1000, (cout,)).astype(
+                np.int32)),
+            jnp.asarray((rng.uniform(0.5, 2, (cout,)) * 1e-3).astype(
+                np.float32)),
+            cin, "relu", 29.0, 37.0, 53.0)
+        kw = dict(out_dtype="int8", block_h=bh, interpret=True)
+        base = np.asarray(expand_block_packed_s2_i8(*args, **kw, eo=False))
+        new = np.asarray(expand_block_packed_s2_i8(*args, **kw, eo=True))
+        np.testing.assert_array_equal(base, new)
+
+
 def test_i8_fused_route_taken_and_bit_identical(monkeypatch):
     """FUSED_EXPAND_S2_I8 fires at Large-96 (block 1) and the logits stay
     BIT-IDENTICAL to the XLA int8 route. The knob ships OFF (measured loss

@@ -61,14 +61,28 @@ def standalone(args):
 
 
 def e2e(args):
-    from mobilenet_tpu.checkpoints.v3 import fold_bn_v3, init_params_v3
-    from mobilenet_tpu.models.mobilenet_v3 import V3Config, forward_v3
     from mobilenet_tpu.ops import pallas_expand_s2 as pes
     from mobilenet_tpu.ops import preprocess as prep
 
-    cfg = V3Config(variant="large", alpha=args.alpha, resolution=args.res,
-                   compute_dtype="bfloat16")
-    folded = fold_bn_v3(init_params_v3(cfg, seed=0), eps=cfg.bn_eps)
+    if args.model == "v2":
+        from mobilenet_tpu.checkpoints.padding import pad_block0_v2
+        from mobilenet_tpu.checkpoints.v2 import fold_bn_v2, init_params_v2
+        from mobilenet_tpu.models.mobilenet_v2 import V2Config, forward_v2
+
+        cfg = V2Config(alpha=args.alpha, resolution=args.res,
+                       compute_dtype="bfloat16")
+        folded = pad_block0_v2(
+            fold_bn_v2(init_params_v2(cfg, seed=0), eps=cfg.bn_eps))
+        fwd = forward_v2
+    else:
+        from mobilenet_tpu.checkpoints.v3 import fold_bn_v3, init_params_v3
+        from mobilenet_tpu.models.mobilenet_v3 import V3Config, forward_v3
+
+        cfg = V3Config(variant="large" if args.model == "v3" else "small",
+                       alpha=args.alpha, resolution=args.res,
+                       compute_dtype="bfloat16")
+        folded = fold_bn_v3(init_params_v3(cfg, seed=0), eps=cfg.bn_eps)
+        fwd = forward_v3
     params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), folded)
 
     entries = {}
@@ -78,7 +92,7 @@ def e2e(args):
             old = pes.EO_EXPAND
             pes.EO_EXPAND = eo  # trace-time knob
             try:
-                return forward_v3(params, x, cfg, dw_backend="fused")
+                return fwd(params, x, cfg, dw_backend="fused")
             finally:
                 pes.EO_EXPAND = old
 
@@ -104,6 +118,7 @@ def main():
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--mode", default="both",
                     choices=["standalone", "e2e", "both"])
+    ap.add_argument("--model", default="v3", choices=["v3", "v3small", "v2"])
     args = ap.parse_args()
     if args.mode in ("standalone", "both"):
         standalone(args)
