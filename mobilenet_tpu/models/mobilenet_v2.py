@@ -294,21 +294,28 @@ def run_blocks_v2(params, y, config: V2Config, routing, *,
             r2 = (128 // cin_a) // 2
             cm = 128 // r2 if r2 else 0
             cout_p = -(-cout_a // cm) * cm if cm else 0
+            e_p = -(-e_a // cm) * cm if cm else 0  # zero-pad E (exact)
             if FUSED_EXPAND_S2_PAD and cm:
                 cout_p = max(cout_p, -(-FUSED_EXPAND_S2_PAD // cm) * cm)
             if (FUSED_EXPAND_S2 and r2
-                    and expand_s2_eligible(cin_a, e_a, cout_p,
+                    and expand_s2_eligible(cin_a, e_p, cout_p,
                                            int(y.shape[2]))):
                 # Single fused kernel (module knob above; V3 twin carries
                 # the measured numbers). relu6 activations, linear
                 # projection — the V2 inverted-residual contract.
                 from ..ops.pallas_block_packed import pack  # noqa: PLC0415
 
-                pw = jnp.pad(blk["prj"]["w"], ((0, 0), (0, cout_p - cout_a)))
+                de = e_p - e_a
+                ew = jnp.pad(blk["exp"]["w"], ((0, 0), (0, de)))
+                eb = jnp.pad(blk["exp"]["b"], (0, de))
+                dww = jnp.pad(blk["dw"]["w"], ((0, 0), (0, 0), (0, 0),
+                                               (0, de)))
+                dwb = jnp.pad(blk["dw"]["b"], (0, de))
+                pw = jnp.pad(blk["prj"]["w"],
+                             ((0, de), (0, cout_p - cout_a)))
                 pb = jnp.pad(blk["prj"]["b"], (0, cout_p - cout_a))
                 out = expand_block_packed_s2(
-                    pack(y, cin_a), blk["exp"]["w"], blk["exp"]["b"],
-                    blk["dw"]["w"], blk["dw"]["b"], pw, pb, cin_a, True)
+                    pack(y, cin_a), ew, eb, dww, dwb, pw, pb, cin_a, True)
                 y = out.reshape(out.shape[0], out.shape[1], -1, cout_p)
                 continue
         if (narrow_s2

@@ -522,14 +522,18 @@ def run_blocks_v3(params, y, config: V3Config, routing, *,
             # Minimal zero-padded Cout with lane-aligned packed output:
             # (R/2)*Cout_p % 128 == 0 (cin | 128 => r2 is a power of two) —
             # or the FUSED_EXPAND_S2_PAD override (128 restores the
-            # two-stage route's dense downstream geometry).
+            # two-stage route's dense downstream geometry). The EXPANDED
+            # dim pads the same way (e_p: (R/2)*E_p % 128 == 0 — zero
+            # cols/taps/rows are exact), which makes V3-Small block 1
+            # (E=72 -> 96) eligible for the fused kernel.
             cm = 128 // r2 if r2 else 0
             cout_p = -(-cout_a // cm) * cm if cm else 0
+            e_p = -(-e_a // cm) * cm if cm else 0
             if FUSED_EXPAND_S2_PAD and cm:
                 cout_p = max(cout_p,
                              -(-FUSED_EXPAND_S2_PAD // cm) * cm)
             if (FUSED_EXPAND_S2 and r2
-                    and expand_s2_eligible(cin_a, e_a, cout_p,
+                    and expand_s2_eligible(cin_a, e_p, cout_p,
                                            int(y.shape[2]))):
                 # Single fused kernel: expand (even pixels only, in VMEM),
                 # dw3x3 s2, linear projection — no HBM round-trip for the
@@ -539,11 +543,17 @@ def run_blocks_v3(params, y, config: V3Config, routing, *,
                 # V3-Large block-1 geometry (tools/probe_b1_s2.py).
                 from ..ops.pallas_block_packed import pack  # noqa: PLC0415
 
-                pw = jnp.pad(blk["prj"]["w"], ((0, 0), (0, cout_p - cout_a)))
+                de = e_p - e_a
+                ew = jnp.pad(blk["exp"]["w"], ((0, 0), (0, de)))
+                eb = jnp.pad(blk["exp"]["b"], (0, de))
+                dww = jnp.pad(blk["dw"]["w"], ((0, 0), (0, 0), (0, 0),
+                                               (0, de)))
+                dwb = jnp.pad(blk["dw"]["b"], (0, de))
+                pw = jnp.pad(blk["prj"]["w"],
+                             ((0, de), (0, cout_p - cout_a)))
                 pb = jnp.pad(blk["prj"]["b"], (0, cout_p - cout_a))
                 out = expand_block_packed_s2(
-                    pack(y, cin_a), blk["exp"]["w"], blk["exp"]["b"],
-                    blk["dw"]["w"], blk["dw"]["b"], pw, pb, cin_a, False)
+                    pack(y, cin_a), ew, eb, dww, dwb, pw, pb, cin_a, False)
                 y = out.reshape(out.shape[0], out.shape[1], -1, cout_p)
                 continue
         if (narrow_s2

@@ -55,6 +55,7 @@ def _case(rng, n, h, cin, e, cout, relu6=False, pw_epilogue=False,
         (1, 16, 64, 128, 128),  # R=2: EE=128, no structural zeros
         (2, 16, 32, 64, 64),    # R=4
         (1, 32, 8, 32, 16),     # R=16, deep packing
+        (1, 16, 16, 96, 32),    # V3-Small b1 e-padded geometry (EE=384)
     ],
 )
 def test_vs_oracle(rng, n, h, cin, e, cout):
@@ -284,6 +285,33 @@ def test_eo_expand_bit_identical(rng, n, h, cin, e, cout, block_h):
     new = np.asarray(expand_block_packed_s2(
         *args, block_h=block_h, interpret=True, eo=True))
     np.testing.assert_array_equal(base, new)
+
+
+def test_epad_route_fires_v3small(monkeypatch):
+    """E-padding (72 -> 96 zero cols/taps/rows — exact) makes V3-Small
+    block 1 eligible for the fused expand-s2 kernel; the route must fire
+    and match the xla route within the f32 reassociation class."""
+    import jax.numpy as jnp
+
+    from mobilenet_tpu.checkpoints.v3 import fold_bn_v3, init_params_v3
+    from mobilenet_tpu.models.mobilenet_v3 import V3Config, forward_v3
+    from mobilenet_tpu.ops import pallas_expand_s2 as pes
+
+    cfg = V3Config(variant="small", alpha=1.0, resolution=96,
+                   compute_dtype="float32")
+    params = fold_bn_v3(init_params_v3(cfg, seed=0), eps=cfg.bn_eps)
+    rng = np.random.default_rng(29)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 96, 96, 3)).astype(np.float32))
+    calls = []
+    orig = pes.expand_block_packed_s2
+    monkeypatch.setattr(
+        pes, "expand_block_packed_s2",
+        lambda *a, **k: (calls.append(tuple(a[1].shape)), orig(*a, **k))[1])
+    fused = np.asarray(forward_v3(params, x, cfg, dw_backend="fused"))
+    assert (16, 96) in calls, calls  # exp_w padded 72 -> 96
+    xla = np.asarray(forward_v3(params, x, cfg, dw_backend="xla"))
+    np.testing.assert_allclose(fused, xla, atol=5e-5, rtol=1e-4)
+    assert (fused.argmax(1) == xla.argmax(1)).all()
 
 
 def test_eligibility():
