@@ -278,9 +278,9 @@ def _verify_routing(args, cfg, folded, x) -> bool:
     from .utils import golden
 
     if isinstance(cfg, (V2Config, V3Config)) and args.routing not in (
-            "xla", "fused"):
+            "xla", "fused", "mixed"):
         sys.exit(f"--routing {args.routing} is a MobileNet-V1 routing; the "
-                 "V2/V3 families race xla vs fused")
+                 "V2/V3 families race xla vs fused/mixed")
     if isinstance(cfg, V2Config):
         from .models.mobilenet_v2 import forward_v2 as fwd
     elif isinstance(cfg, V3Config):

@@ -132,6 +132,13 @@ FUSED_EXPAND_S2_PAD = None
 FUSED_HEAD = True
 
 
+def mixed_b1_routing_v2(config: V2Config) -> Tuple[str, ...]:
+    """The measured batch-1 MIXED tuple (see _routing_v2 docstring):
+    XLA for the two 112-sq-tier blocks, fused Pallas from block 2 on."""
+    n = len(config.block_defs)
+    return ("xla",) * 2 + ("fused",) * (n - 2)
+
+
 def _routing_v2(config: V2Config, dw_backend, batch: int) -> Tuple[str, ...]:
     """Per-block backend list (len == 17). "xla" | "fused" | tuple.
 
@@ -150,16 +157,23 @@ def _routing_v2(config: V2Config, dw_backend, batch: int) -> Tuple[str, ...]:
     "auto": measured crossover on v5e at 1.0-224 bf16 (2026-08-17,
     tools/ab_v2_routing.py interleaved races + the padded
     latency_probe --model v2): fused wins every batch >= 2 (6,105 vs
-    5,643 img/s at batch 2; 9,478 vs 7,713 at 8; 12,737 vs 6,189 at 64);
-    at batch 1 ALL-XLA wins (0.1756 vs 0.1933 ms RTT-cancelled) — the
-    row-tiled IR kernels lose their grid pipelining at a single image,
-    the same launch-gap pattern as V1's packed 112-squared blocks.
+    5,643 img/s at batch 2; 9,478 vs 7,713 at 8; 12,737 vs 6,189 at 64).
+    At batch 1 the MIXED tuple wins (tools/ab_mixed_b1.py, 2026-08-19,
+    RTT-cancelled differenced chains on the shipped block0-padded tree):
+    mix2 0.1466 ms median vs all-xla 0.1694 / all-fused 0.2135, ahead in
+    all 4 interleaved rounds — XLA keeps the two 112-sq-tier blocks
+    (whose whole-image kernels lose grid pipelining at one image, V1's
+    measured pattern) and the fused kernels win the launch-gap-dominated
+    rest. A tail variant (xla for the three 7-sq blocks) measured 0.1496
+    — within noise of mix2, not shipped.
     """
     n = len(config.block_defs)
     if dw_backend is None:  # plain-JAX default (the sw_emu/CPU tier)
         dw_backend = "xla"
     elif dw_backend == "auto":
-        dw_backend = "fused" if batch >= 2 else "xla"
+        dw_backend = "fused" if batch >= 2 else "mixed"
+    if dw_backend == "mixed":
+        return mixed_b1_routing_v2(config)
     if isinstance(dw_backend, str):
         assert dw_backend in ("xla", "fused"), dw_backend
         routing = (dw_backend,) * n

@@ -327,17 +327,42 @@ def _try_chain_v3(params, y, config: "V3Config", routing, i: int,
     return None
 
 
+def mixed_b1_routing(config: V3Config) -> Tuple[str, ...]:
+    """The measured batch-1 MIXED tuple: XLA for the high-resolution
+    head blocks (whose lane-packed/fused-expand kernels lose their grid
+    pipelining at one whole-image tile — V1's measured pattern), fused
+    Pallas for the launch-gap-dominated rest. Large keeps two XLA blocks
+    (the 112-sq tier); Small — whose stem lands at 56-sq already and
+    whose per-block work is ~4x smaller — keeps four (through the 28-sq
+    tier): tools/ab_mixed_b1.py 2026-08-19, 1.0-224 bf16 — Small
+    6-round decider medians mix4 0.0952 ms vs all-xla 0.1052 (5/6
+    head-to-head wins) vs mix2+chain 0.1072; first race had mix2 at
+    0.1081 LOSING to all-xla, so the Large tuple must not leak here."""
+    n = len(config.block_defs)
+    nx = 4 if config.variant == "small" else 2
+    return ("xla",) * nx + ("fused",) * (n - nx)
+
+
 def _routing_v3(config: V3Config, dw_backend, batch: int) -> Tuple[str, ...]:
     """Per-block backend tuple, the V2 pattern (_routing_v2). None (the
-    plain-JAX/CPU tier) -> xla; "auto" -> fused at throughput batches, xla
-    at batch 1 (V2's measured crossover class, benchmarks/
-    routing_crossover_v5e.jsonl — re-raced for V3 in benchmarks/
-    v3_fused_v5e.md); per-block v3_fits still gates each fused pick."""
+    plain-JAX/CPU tier) -> xla; "auto" -> fused at throughput batches,
+    the measured MIXED tuple at batch 1; per-block v3_fits still gates
+    each fused pick.
+
+    Batch-1 crossover measured on v5e (tools/ab_mixed_b1.py, 2026-08-19,
+    RTT-cancelled differenced chains, interleaved rounds): V3-Large
+    1.0-224 bf16 medians — mix2 0.1542 ms vs all-xla 0.1628 vs all-fused
+    0.215 (two independent runs, mix2 wins 6/8 head-to-head rounds); a
+    chain-megakernel arm on top of mix2 is a wash (0.1548). The earlier
+    all-or-nothing race (v3_fused_v5e.md: xla 0.164 vs fused 0.189) only
+    bracketed the mixed middle ground this tuple ships."""
     n = len(config.block_defs)
     if dw_backend is None:
         dw_backend = "xla"
     elif dw_backend == "auto":
-        dw_backend = "fused" if batch >= 2 else "xla"
+        dw_backend = "fused" if batch >= 2 else "mixed"
+    if dw_backend == "mixed":
+        return mixed_b1_routing(config)
     if isinstance(dw_backend, str):
         assert dw_backend in ("xla", "fused"), dw_backend
         return (dw_backend,) * n
@@ -378,7 +403,8 @@ def forward_v3(
 
     dw_backend: None/"xla" (always-correct, the collect/train path),
     "fused" (one Pallas kernel per bottleneck, SE in-kernel — module
-    docstring), "auto" (measured crossover), or a per-block tuple.
+    docstring), "mixed" (the measured batch-1 tuple, mixed_b1_routing),
+    "auto" (measured crossover), or a per-block tuple.
     """
     acts: Dict[str, jax.Array] = {}
     routing = _routing_v3(config, dw_backend, int(x.shape[0]))

@@ -164,7 +164,16 @@ def _autotune_v2(config, batch_size, steps, candidates, seed, params,
 
     on_tpu = jax.default_backend() == "tpu"
     if candidates is None:
-        candidates = ("xla",) if not on_tpu else ("xla", "fused")
+        if not on_tpu:
+            candidates = ("xla",)
+        elif not int8 and mode == "latency":
+            # float batch 1 additionally races the measured mixed tuple
+            # (models.mobilenet_v2.mixed_b1_routing_v2 — the v5e winner
+            # at 1.0-224, tools/ab_mixed_b1.py); the int8 family path is
+            # a use_fused bool, no per-block middle ground to race.
+            candidates = ("xla", "fused", "mixed")
+        else:
+            candidates = ("xla", "fused")
 
     results: Dict[str, float] = {}
     if int8:
@@ -201,7 +210,10 @@ def _autotune_v2(config, batch_size, steps, candidates, seed, params,
         folded = params if params is not None else fold_bn_v2(
             init_params_v2(config, seed=seed), eps=config.bn_eps)
         for cand in candidates:
-            tree = pad_block0_v2(folded) if cand == "fused" else folded
+            # fused/mixed time on the block0-padded tree — the one the
+            # production pipeline ships for those routings.
+            tree = (pad_block0_v2(folded) if cand in ("fused", "mixed")
+                    else folded)
             dev = jax.tree.map(lambda a: jnp.asarray(a, dtype), tree)
             results[cand] = _float_latency_ms_v2(config, dev, cand, dtype)
         valid = {k: v for k, v in results.items() if v == v}
@@ -229,7 +241,16 @@ def _autotune_v3(config, batch_size, steps, candidates, seed, params,
 
     on_tpu = jax.default_backend() == "tpu"
     if candidates is None:
-        candidates = ("xla",) if not on_tpu else ("xla", "fused")
+        if not on_tpu:
+            candidates = ("xla",)
+        elif not int8 and mode == "latency":
+            # float batch 1 additionally races the measured mixed tuple
+            # (models.mobilenet_v3.mixed_b1_routing — the v5e winner at
+            # Large 1.0-224, tools/ab_mixed_b1.py); the int8 family path
+            # is a use_fused bool, no per-block middle ground to race.
+            candidates = ("xla", "fused", "mixed")
+        else:
+            candidates = ("xla", "fused")
     if int8:
         from ..quant.v3 import Int8PipelineV3
 

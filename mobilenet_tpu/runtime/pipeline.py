@@ -111,7 +111,7 @@ class InferencePipeline:
             host_params = fold_bn(
                 init_params(config, seed=seed), eps=config.bn_eps)
         rb = self.dw_backend
-        if self.is_v2 and (rb in ("auto", "fused") or (
+        if self.is_v2 and (rb in ("auto", "fused", "mixed") or (
                 isinstance(rb, (tuple, list)) and "fused" in rb)):
             # V2's IR kernel pads its expanded dim in VMEM (no host padding
             # needed); only block 0's lane-packed projection wants its Cout

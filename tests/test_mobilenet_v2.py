@@ -100,6 +100,34 @@ def test_fused_routing_matches_xla(setup):
     assert np.array_equal(np.argmax(lg_f, -1), np.argmax(lg_x, -1))
 
 
+def test_routing_v2_spec_resolution():
+    """auto resolves to the measured crossover: fused at throughput
+    batches, the MIXED batch-1 tuple (tools/ab_mixed_b1.py, v5e
+    2026-08-19: mix2 0.1466 ms vs all-xla 0.1694)."""
+    from mobilenet_tpu.models.mobilenet_v2 import (_routing_v2,
+                                                   mixed_b1_routing_v2)
+
+    cfg = V2Config(alpha=1.0, resolution=224)
+    n = len(cfg.block_defs)
+    assert _routing_v2(cfg, "auto", 256) == ("fused",) * n
+    assert _routing_v2(cfg, "auto", 1) == mixed_b1_routing_v2(cfg)
+    assert _routing_v2(cfg, "mixed", 64) == \
+        ("xla",) * 2 + ("fused",) * (n - 2)
+    assert _routing_v2(cfg, None, 1) == ("xla",) * n
+    with pytest.raises(AssertionError):
+        _routing_v2(cfg, "pallas", 1)
+
+
+def test_mixed_routing_matches_xla(setup):
+    """The shipped batch-1 mixed tuple agrees with xla logits — the
+    family twin of test_fused_routing_matches_xla."""
+    cfg, params, x = setup
+    xj = jnp.asarray(x[:1])
+    lg_x = np.asarray(forward_v2(params, xj, cfg, dw_backend="xla"))
+    lg_m = np.asarray(forward_v2(params, xj, cfg, dw_backend="mixed"))
+    np.testing.assert_allclose(lg_m, lg_x, atol=5e-4, rtol=1e-3)
+
+
 def test_bf16_top1_agrees_fp32(setup):
     cfg, params, x = setup
     p16 = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
