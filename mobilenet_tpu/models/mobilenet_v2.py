@@ -127,6 +127,11 @@ FUSED_EXPAND_S2 = True
 # Output-width override (None = minimal lane-aligned Cout padding; 128 =
 # dense downstream geometry — the V3 twin's knob, measured there).
 FUSED_EXPAND_S2_PAD = None
+# Restrict the fused expand-s2 route to these block indices (None = every
+# eligible block). A/B knob for the padding-ripple question: fusing b3
+# pads its cout 32->128, widening b4..b12's residual chain 4x
+# (tools/ab_b1_fused.py --model v2 races b1-only vs b1+b3).
+FUSED_EXPAND_S2_BLOCKS = None
 # Fused conv_last->pool->fc head kernel (ops/pallas_head.py) on fused
 # routings; A/B: tools/ab_head.py.
 FUSED_HEAD = True
@@ -312,6 +317,8 @@ def run_blocks_v2(params, y, config: V2Config, routing, *,
             if FUSED_EXPAND_S2_PAD and cm:
                 cout_p = max(cout_p, -(-FUSED_EXPAND_S2_PAD // cm) * cm)
             if (FUSED_EXPAND_S2 and r2
+                    and (FUSED_EXPAND_S2_BLOCKS is None
+                         or i in FUSED_EXPAND_S2_BLOCKS)
                     and expand_s2_eligible(cin_a, e_p, cout_p,
                                            int(y.shape[2]))):
                 # Single fused kernel (module knob above; V3 twin carries

@@ -191,6 +191,48 @@ def forward_all_v2_i8(q: V2QuantizedParams, x_i8: np.ndarray,
 # device path (XLA route; exact twin of the oracle above)
 # ---------------------------------------------------------------------------
 
+# Trace-time knob: route eligible stride-2 expand blocks (b1 cin32, b3
+# cin64 at 1.0-224 — the two largest int8 segments after the head,
+# 9.8 + 5.0 of 35.2 ms/batch-256, benchmarks/v2_attr_raw.log 2026-08-20)
+# through the single fused named-act kernel quant/pallas_expand_s2_i8 —
+# the bf16 FUSED_EXPAND_S2 route's EXACT twin. V2's fixed-scale scheme maps
+# onto the named kernel with NO kernel change: a = m, inv_s = 1.0, and for
+# six_q == 127.0 exactly (the fixed 6/127 hidden scale: np.f32(6.0)/
+# np.f32(6/127) == 127.0) the named relu epilogue clip(rint(max(v,0)))
+# is BIT-IDENTICAL to the oracle's rint(min(max(v,0), six_q)) — for v >= 0,
+# rint(min(v,127)) == min(rint(v),127) case-by-case at the 126.5/127
+# boundaries; _six_ok gates the precondition per layer. The projection is
+# the named "linear" with inv_s = 1.0 (v*1.0 is an exact f32 identity).
+# Unlike V3 (where this kernel lost to a two-stage packed route that V2's
+# E = 96-alpha widths can't take — 128 % 96 != 0), V2's fallback is the
+# rows-mode ir_i8 kernel at 112², measured 2x the bf16 twin.
+FUSED_EXPAND_S2_I8 = True
+# Restrict the int8 fused route to these block indices (None = every
+# eligible block) — the bf16 FUSED_EXPAND_S2_BLOCKS twin, for racing the
+# b3 padding ripple separately from b1.
+FUSED_EXPAND_S2_I8_BLOCKS = None
+
+
+def _six_ok(layer: Dict[str, Any]) -> bool:
+    """The named-relu == fixed-relu6 bit-equality precondition: rint(six_q)
+    must be 127 with six_q strictly inside (126.5, 127.5) — true exactly for
+    the fixed 6/127 hidden scale (six_q == 127.0); an imported checkpoint
+    with a recalibrated hidden scale falls back to the generic routes."""
+    s = float(layer["six_q"])
+    return 126.51 <= s <= 127.49
+
+
+def _bias_ok_i8(layer: Dict[str, Any], k_terms: int) -> bool:
+    """Exactness bound for a bf16-carried integer dot with k_terms nonzero
+    products per output: k_terms*127^2 + |bias_i32| < 2^24 keeps the f32
+    accumulator an exact integer (quant/v3._dot_bias_ok's twin; concrete
+    constants only — a traced tree returns False)."""
+    try:
+        bmax = int(np.abs(np.asarray(layer["b"])).max())
+    except Exception:
+        return False
+    return k_terms * 127 * 127 + bmax < 2 ** 24
+
 def _as_device_tree_v2(q: V2QuantizedParams) -> Dict[str, Any]:
     import jax.numpy as jnp
 
@@ -245,6 +287,24 @@ def forward_v2_i8(dev: Dict[str, Any], x_i8, config: V2Config, *,
         if num_blocks is not None and i >= num_blocks:
             return y
         cin_a = int(y.shape[-1])
+        # Widened-input discipline (the bf16 run_blocks_v2 twin): a packed
+        # producer widens the activation with EXACT-ZERO channels; pad the
+        # consumer's expand rows (zero int8 rows contribute nothing) and,
+        # for residual blocks, the projection cols (zero w/b/m -> the
+        # linear requant emits exact zeros, and the residual adds the
+        # producer's zero lanes) — logits unchanged.
+        if "exp" in blk and int(blk["exp"]["w"].shape[0]) < cin_a:
+            blk = dict(blk, exp=dict(blk["exp"], w=jnp.pad(
+                blk["exp"]["w"], ((0, cin_a - int(blk["exp"]["w"].shape[0])),
+                                  (0, 0)))))
+        cout_a = int(blk["prj"]["w"].shape[1])
+        if stride == 1 and cin == cout and cout_a < cin_a:
+            blk = dict(blk, prj=dict(
+                blk["prj"],
+                w=jnp.pad(blk["prj"]["w"], ((0, 0), (0, cin_a - cout_a))),
+                b=jnp.pad(blk["prj"]["b"], (0, cin_a - cout_a)),
+                m=jnp.pad(blk["prj"]["m"], (0, cin_a - cout_a))))
+            cout_a = cin_a
         if (use_fused and not collect and "exp" not in blk and stride == 1
                 and cin_a < 128 and 128 % cin_a == 0
                 and (int(y.shape[2]) * cin_a) % 128 == 0):
@@ -274,6 +334,50 @@ def forward_v2_i8(dev: Dict[str, Any], x_i8, config: V2Config, *,
                     pw_w, pw_b, pw_m, cin_a, coutp, 1,
                     d["six_q"], 0.0, relu6, pw_linear=True)
                 y = unpack(yp, coutp)
+                continue
+        if (FUSED_EXPAND_S2_I8 and use_fused and not collect
+                and (FUSED_EXPAND_S2_I8_BLOCKS is None
+                     or i in FUSED_EXPAND_S2_I8_BLOCKS)
+                and "exp" in blk and stride == 2
+                and cin_a < 128 and 128 % cin_a == 0
+                and (int(y.shape[2]) * cin_a) % 128 == 0
+                and int(y.shape[1]) % 2 == 0 and int(y.shape[2]) % 2 == 0):
+            e, d, p = blk["exp"], blk["dw"], blk["prj"]
+            e_a = int(e["w"].shape[1])
+            r2 = (128 // cin_a) // 2
+            cm = 128 // r2 if r2 else 0
+            cout_p = -(-cout_a // cm) * cm if cm else 0
+            e_p = -(-e_a // cm) * cm if cm else 0  # zero-pad E (exact)
+            from ..ops.pallas_expand_s2 import expand_s2_eligible  # noqa: PLC0415
+
+            if (r2 and expand_s2_eligible(cin_a, e_p, cout_p, int(y.shape[2]))
+                    and _six_ok(e) and _six_ok(d)
+                    and _bias_ok_i8(e, cin_a) and _bias_ok_i8(d, 9)
+                    and _bias_ok_i8(p, e_a)):
+                # Single fused expand+dw-s2+prj kernel on V2's constants
+                # (module knob above — the scheme mapping a = m, inv = 1.0
+                # and its bit-equality argument). Padded E lanes and Cout
+                # cols carry zero w/b/m -> exact zeros; consumers pad to
+                # match (the loop-top discipline).
+                from ..ops.pallas_block_packed import pack  # noqa: PLC0415
+                from .pallas_expand_s2_i8 import (  # noqa: PLC0415
+                    expand_block_packed_s2_i8)
+
+                de, dc = e_p - e_a, cout_p - cout_a
+                ew = jnp.pad(e["w"], ((0, 0), (0, de)))
+                eb = jnp.pad(e["b"], (0, de))
+                em = jnp.pad(e["m"], (0, de))
+                dww = jnp.pad(d["w"], ((0, 0), (0, 0), (0, 0), (0, de)))
+                dwb = jnp.pad(d["b"], (0, de))
+                dwm = jnp.pad(d["m"], (0, de))
+                pw = jnp.pad(p["w"], ((0, de), (0, dc)))
+                pb = jnp.pad(p["b"], (0, dc))
+                pm = jnp.pad(p["m"], (0, dc))
+                yb = y if y.dtype == jnp.bfloat16 else y.astype(jnp.bfloat16)
+                out = expand_block_packed_s2_i8(
+                    pack(yb, cin_a), ew, eb, em, dww, dwb, dwm, pw, pb, pm,
+                    cin_a, "relu", 1.0, 1.0, 1.0, out_dtype="int8")
+                y = out.reshape(out.shape[0], out.shape[1], -1, cout_p)
                 continue
         if (use_fused and not collect and "exp" in blk
                 and ir_i8_fits(int(y.shape[0]), int(y.shape[1]),

@@ -36,43 +36,71 @@ def main():
     from mobilenet_tpu.ops import preprocess as prep
 
     if args.int8:
-        assert args.model in ("v3", "v3small")
-        from mobilenet_tpu.checkpoints.v3 import fold_bn_v3, init_params_v3
-        from mobilenet_tpu.models.mobilenet_v3 import V3Config
-        from mobilenet_tpu.quant import v3 as qv3
         from mobilenet_tpu.quant.quantize import ACT_IN_SCALE
-        from mobilenet_tpu.quant.v3 import (_as_device_tree_v3,
-                                            forward_v3_i8, quantize_v3)
 
-        cfg = V3Config(variant="large" if args.model == "v3" else "small",
-                       alpha=args.alpha, resolution=args.res)
-        folded = fold_bn_v3(init_params_v3(cfg, seed=0), eps=cfg.bn_eps)
-        dev = _as_device_tree_v3(quantize_v3(folded, cfg))
+        if args.model == "v2":
+            from mobilenet_tpu.checkpoints.v2 import (fold_bn_v2,
+                                                      init_params_v2)
+            from mobilenet_tpu.models.mobilenet_v2 import V2Config
+            from mobilenet_tpu.quant import v2 as qmod
+            from mobilenet_tpu.quant.v2 import (_as_device_tree_v2,
+                                                forward_v2_i8, quantize_v2)
 
+            cfg = V2Config(alpha=args.alpha, resolution=args.res)
+            folded = fold_bn_v2(init_params_v2(cfg, seed=0), eps=cfg.bn_eps)
+            dev = _as_device_tree_v2(quantize_v2(folded, cfg))
+            fwd_i8 = forward_v2_i8
+        else:
+            from mobilenet_tpu.checkpoints.v3 import (fold_bn_v3,
+                                                      init_params_v3)
+            from mobilenet_tpu.models.mobilenet_v3 import V3Config
+            from mobilenet_tpu.quant import v3 as qmod
+            from mobilenet_tpu.quant.v3 import (_as_device_tree_v3,
+                                                forward_v3_i8, quantize_v3)
+
+            cfg = V3Config(variant="large" if args.model == "v3" else "small",
+                           alpha=args.alpha, resolution=args.res)
+            folded = fold_bn_v3(init_params_v3(cfg, seed=0), eps=cfg.bn_eps)
+            dev = _as_device_tree_v3(quantize_v3(folded, cfg))
+            fwd_i8 = forward_v3_i8
+
+        arms = [("two_stage", False, None), ("fused_b1", True, frozenset({1}))]
+        if args.model == "v2":
+            # b3's fused route pads cout 32->128 (4x ripple into b4..b12's
+            # residual chain) — race it separately from b1.
+            arms.append(("fused_b1b3", True, None))
         entries = {}
-        for label, flag in (("two_stage", False), ("fused_b1", True)):
-            def fn(images_u8, flag=flag):
+        for label, flag, blocks in arms:
+            def fn(images_u8, flag=flag, blocks=blocks):
                 from mobilenet_tpu.quant.ops import quantize_input_dev
 
                 x = prep.preprocess(images_u8, cfg.resolution, jnp.float32)
                 x_q = quantize_input_dev(x, ACT_IN_SCALE,
                                          out_dtype=jnp.bfloat16)
-                old = qv3.FUSED_EXPAND_S2_I8
-                qv3.FUSED_EXPAND_S2_I8 = flag
+                old = qmod.FUSED_EXPAND_S2_I8
+                old_b = getattr(qmod, "FUSED_EXPAND_S2_I8_BLOCKS", None)
+                qmod.FUSED_EXPAND_S2_I8 = flag
+                if hasattr(qmod, "FUSED_EXPAND_S2_I8_BLOCKS"):
+                    qmod.FUSED_EXPAND_S2_I8_BLOCKS = blocks
                 try:
-                    return forward_v3_i8(dev, x_q, cfg, use_fused=True)
+                    return fwd_i8(dev, x_q, cfg, use_fused=True)
                 finally:
-                    qv3.FUSED_EXPAND_S2_I8 = old
+                    qmod.FUSED_EXPAND_S2_I8 = old
+                    if hasattr(qmod, "FUSED_EXPAND_S2_I8_BLOCKS"):
+                        qmod.FUSED_EXPAND_S2_I8_BLOCKS = old_b
 
             entries[label] = jax.jit(fn)
 
         img = make_batch(args.batch, args.res)
         ys = {k: np.asarray(f(img)).astype(np.float64)
               for k, f in entries.items()}
-        d = np.abs(ys["fused_b1"] - ys["two_stage"])
-        print(f"int8 logits max_abs diff = {d.max():.4e} "
-              f"(EXACT contract: must be 0)", flush=True)
-        assert d.max() == 0.0
+        for k in entries:
+            if k == "two_stage":
+                continue
+            d = np.abs(ys[k] - ys["two_stage"])
+            print(f"{k}: int8 logits max_abs diff = {d.max():.4e} "
+                  f"(EXACT contract: must be 0)", flush=True)
+            assert d.max() == 0.0
         interleave_bench(entries, img, args.batch, args.steps, args.rounds)
         return
 
@@ -100,21 +128,29 @@ def main():
         params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), folded)
         fwd = forward_v3
 
+    arms = [("two_stage", False, None, None),
+            ("fused_min", True, None, None),
+            ("fused_wide", True, 128, None)]
+    if args.model == "v2":
+        arms.append(("fused_b1_only", True, None, frozenset({1})))
     entries = {}
-    for label, flag, pad in (("two_stage", False, None),
-                             ("fused_min", True, None),
-                             ("fused_wide", True, 128)):
-        def fn(images_u8, flag=flag, pad=pad):
+    for label, flag, pad, blocks in arms:
+        def fn(images_u8, flag=flag, pad=pad, blocks=blocks):
             x = prep.preprocess(images_u8, cfg.resolution, jnp.bfloat16)
             old = mod.FUSED_EXPAND_S2
             old_pad = mod.FUSED_EXPAND_S2_PAD
+            old_b = getattr(mod, "FUSED_EXPAND_S2_BLOCKS", None)
             mod.FUSED_EXPAND_S2 = flag  # trace-time knobs
             mod.FUSED_EXPAND_S2_PAD = pad
+            if hasattr(mod, "FUSED_EXPAND_S2_BLOCKS"):
+                mod.FUSED_EXPAND_S2_BLOCKS = blocks
             try:
                 return fwd(params, x, cfg, dw_backend="fused")
             finally:
                 mod.FUSED_EXPAND_S2 = old
                 mod.FUSED_EXPAND_S2_PAD = old_pad
+                if hasattr(mod, "FUSED_EXPAND_S2_BLOCKS"):
+                    mod.FUSED_EXPAND_S2_BLOCKS = old_b
 
         entries[label] = jax.jit(fn)
 
@@ -123,7 +159,7 @@ def main():
           for k, f in entries.items()}
     scale = np.abs(ys["two_stage"]).max()
     top_a = ys["two_stage"].argmax(1)
-    for k in ("fused_min", "fused_wide"):
+    for k in (k for k in entries if k != "two_stage"):
         d = np.abs(ys[k] - ys["two_stage"])
         agree = (top_a == ys[k].argmax(1)).mean()
         print(f"{k}: logits max_abs diff = {d.max():.4e}  (absmax "

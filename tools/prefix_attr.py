@@ -48,17 +48,29 @@ def build_entries(args, prefixes, int8=None):
             folded = fold_bn_v2(init_params_v2(cfg, seed=0), eps=cfg.bn_eps)
             dev = _as_device_tree_v2(quantize_v2(folded, cfg))
             fused = args.routing != "xla"
+            n_blk = len(cfg.block_defs)
             entries = {}
             for k in prefixes:
-                nb = None if k == "full" else int(k)
+                # Head-stage prefixes split the final "head" delta:
+                #   n_blk ("17") = all blocks, no head; "cl" = + conv_last;
+                #   "pool" = + avgpool; "full" = + fc logits.
+                stage = k if k in ("cl", "pool") else None
+                nb = (None if k == "full"
+                      else n_blk if stage else int(k))
 
-                def fni(images_u8, nb=nb):
+                def fni(images_u8, nb=nb, stage=stage):
                     x = prep.preprocess(images_u8, cfg.resolution,
                                         jnp.float32)
                     x_q = qops.quantize_input_dev(x, ACT_IN_SCALE,
                                                   out_dtype=jnp.bfloat16)
                     y = forward_v2_i8(dev, x_q, cfg, use_fused=fused,
                                       num_blocks=nb)
+                    if stage is not None:  # same ops the full head runs
+                        cl = dev["conv_last"]
+                        y = qops.pointwise_i8(y, cl["w"], cl["b"], cl["m"],
+                                              cl["six_q"], cfg.relu6)
+                        if stage == "pool":
+                            y = qops.avgpool_i8(y)
                     return jnp.sum(y.astype(jnp.float32)).reshape(1)
 
                 entries[k] = jax.jit(fni)
@@ -187,7 +199,7 @@ def main():
                     help="comma list of block counts (0 = conv1 only) + 'full'")
     args = ap.parse_args()
 
-    prefixes = [p if p == "full" else int(p)
+    prefixes = [p if not p.isdigit() else int(p)
                 for p in args.prefixes.split(",")]
     if args.compare:
         return compare(args, prefixes)
@@ -234,7 +246,16 @@ def _segment_label(keys, i, k):
     the list doesn't start at 0 the label says so."""
     if k == 0:
         return "conv1+pre"
+    if k == "cl":
+        return "conv_last"
+    if k == "pool":
+        return "avgpool"
     if k == "full":
+        prev = keys[i - 1] if i else None
+        if prev == "pool":
+            return "fc"
+        if prev == "cl":
+            return "pool+fc"
         return "head(pool/fc/softmax)"
     if i == 0:
         return f"pre+conv1+blocks[0:{k})"
