@@ -128,10 +128,12 @@ FUSED_EXPAND_S2 = True
 # dense downstream geometry — the V3 twin's knob, measured there).
 FUSED_EXPAND_S2_PAD = None
 # Restrict the fused expand-s2 route to these block indices (None = every
-# eligible block). A/B knob for the padding-ripple question: fusing b3
-# pads its cout 32->128, widening b4..b12's residual chain 4x
-# (tools/ab_b1_fused.py --model v2 races b1-only vs b1+b3).
-FUSED_EXPAND_S2_BLOCKS = None
+# eligible block). MEASURED (tools/ab_b1_fused.py --model v2, 1.0-224
+# batch 256 bf16, 2026-08-20, interleaved fenced rounds): b1-only 13,988
+# img/s beats b1+b3 13,048 and wide-128 13,750 — fusing b3 pads its cout
+# 32->128, widening b4..b12's residual chain 4x, and the ripple costs
+# more than the fusion saves. b1 stays the win (two_stage 11,535).
+FUSED_EXPAND_S2_BLOCKS = frozenset({1})
 # Fused conv_last->pool->fc head kernel (ops/pallas_head.py) on fused
 # routings; A/B: tools/ab_head.py.
 FUSED_HEAD = True

@@ -208,9 +208,12 @@ def forward_all_v2_i8(q: V2QuantizedParams, x_i8: np.ndarray,
 # rows-mode ir_i8 kernel at 112², measured 2x the bf16 twin.
 FUSED_EXPAND_S2_I8 = True
 # Restrict the int8 fused route to these block indices (None = every
-# eligible block) — the bf16 FUSED_EXPAND_S2_BLOCKS twin, for racing the
-# b3 padding ripple separately from b1.
-FUSED_EXPAND_S2_I8_BLOCKS = None
+# eligible block) — the bf16 FUSED_EXPAND_S2_BLOCKS twin. MEASURED
+# (tools/ab_b1_fused.py --model v2 --int8, 1.0-224 batch 256,
+# 2026-08-20, exactness-gated): b1-only 9,698 img/s beats two_stage
+# 9,098 and b1+b3 8,920 — b3's cout 32->128 padding ripple (b4..b12)
+# loses int8 too, and harder (the padded lanes all pay requant passes).
+FUSED_EXPAND_S2_I8_BLOCKS = frozenset({1})
 
 
 def _six_ok(layer: Dict[str, Any]) -> bool:

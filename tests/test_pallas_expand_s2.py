@@ -320,3 +320,44 @@ def test_eligibility():
     assert not expand_s2_eligible(24, 64, 32, 112)  # 128 % 24 != 0
     assert not expand_s2_eligible(128, 256, 128, 7)  # not narrow
     assert not expand_s2_eligible(16, 60, 32, 112)  # EE=240 not lane-aligned
+
+
+def test_v2_i8_fused_route_blocks_knob(monkeypatch):
+    """The V2 int8 fused expand-s2 route: with the shipped default
+    (FUSED_EXPAND_S2_I8_BLOCKS = {1}, measured winner on v5e) only block 1
+    fires; with blocks=None (the raced-off b1+b3 option) both fire. Both
+    stay BIT-IDENTICAL to the XLA int8 route at the logits."""
+    import jax.numpy as jnp
+
+    from mobilenet_tpu.checkpoints.v2 import fold_bn_v2, init_params_v2
+    from mobilenet_tpu.models.mobilenet_v2 import V2Config
+    from mobilenet_tpu.quant import pallas_expand_s2_i8 as pei
+    from mobilenet_tpu.quant import v2 as qv2
+    from mobilenet_tpu.quant.quantize import quantize_input
+    from mobilenet_tpu.quant.v2 import (_as_device_tree_v2, forward_v2_i8,
+                                        quantize_v2)
+
+    cfg = V2Config(alpha=1.0, resolution=96)
+    folded = fold_bn_v2(init_params_v2(cfg, seed=0), eps=cfg.bn_eps)
+    dev = _as_device_tree_v2(quantize_v2(folded, cfg, n_calib=4))
+    rng = np.random.default_rng(17)
+    x_i8 = jnp.asarray(quantize_input(
+        rng.uniform(-1, 1, (2, 96, 96, 3)).astype(np.float32)))
+    lx = np.asarray(forward_v2_i8(dev, x_i8, cfg))
+
+    calls = []
+    orig = pei.expand_block_packed_s2_i8
+    monkeypatch.setattr(
+        pei, "expand_block_packed_s2_i8",
+        lambda *a, **k: (calls.append(a[0].shape), orig(*a, **k))[1])
+
+    assert qv2.FUSED_EXPAND_S2_I8_BLOCKS == frozenset({1})  # shipped default
+    lf = np.asarray(forward_v2_i8(dev, x_i8, cfg, use_fused=True))
+    assert len(calls) == 1, f"default must fire b1 only, fired {calls}"
+    np.testing.assert_array_equal(lx, lf)
+
+    calls.clear()
+    monkeypatch.setattr(qv2, "FUSED_EXPAND_S2_I8_BLOCKS", None)
+    lf2 = np.asarray(forward_v2_i8(dev, x_i8, cfg, use_fused=True))
+    assert len(calls) == 2, f"blocks=None must fire b1+b3, fired {calls}"
+    np.testing.assert_array_equal(lx, lf2)
