@@ -128,12 +128,22 @@ FUSED_EXPAND_S2 = True
 # dense downstream geometry — the V3 twin's knob, measured there).
 FUSED_EXPAND_S2_PAD = None
 # Restrict the fused expand-s2 route to these block indices (None = every
-# eligible block). MEASURED (tools/ab_b1_fused.py --model v2, 1.0-224
-# batch 256 bf16, 2026-08-20, interleaved fenced rounds): b1-only 13,988
-# img/s beats b1+b3 13,048 and wide-128 13,750 — fusing b3 pads its cout
-# 32->128, widening b4..b12's residual chain 4x, and the ripple costs
-# more than the fusion saves. b1 stays the win (two_stage 11,535).
-FUSED_EXPAND_S2_BLOCKS = frozenset({1})
+# eligible block) — A/B knob. MEASURED (tools/ab_b1_fused.py --model v2,
+# 1.0-224 batch 256 bf16, 2026-08-20, interleaved fenced rounds): b1-only
+# 13,988 img/s beats b1+b3 13,048 and wide-128 13,750 — fusing b3 pads
+# its cout 32->128, widening b4..b12's residual chain 4x, and the ripple
+# costs more than the fusion saves (two_stage 11,535). At standard
+# configs the MIN_H gate below subsumes this (b3's dw input is 56 < 96),
+# so the default stays None.
+FUSED_EXPAND_S2_BLOCKS = None
+# Minimum dw-input height for the fused route — the MEASURED resolution
+# crossover (same tool, every standard res, 2026-08-20, b1-fused vs
+# two_stage img/s): res 96 (H48) 62,283 vs 67,097 LOSE; 128 (H64) 50,029
+# vs 50,971 LOSE; 160 (H80) 27,914 vs 28,488 LOSE; 192 (H96) 22,156 vs
+# 17,153 WIN; 224 (H112) 13,988 vs 11,535 WIN. Below H=96 the two-stage
+# route's cross-kernel pipelining beats the fused kernel's HBM saving;
+# the int8 twin measured the SAME crossover (quant/v2.py).
+FUSED_EXPAND_S2_MIN_H = 96
 # Fused conv_last->pool->fc head kernel (ops/pallas_head.py) on fused
 # routings; A/B: tools/ab_head.py.
 FUSED_HEAD = True
@@ -321,6 +331,7 @@ def run_blocks_v2(params, y, config: V2Config, routing, *,
             if (FUSED_EXPAND_S2 and r2
                     and (FUSED_EXPAND_S2_BLOCKS is None
                          or i in FUSED_EXPAND_S2_BLOCKS)
+                    and int(y.shape[1]) >= FUSED_EXPAND_S2_MIN_H
                     and expand_s2_eligible(cin_a, e_p, cout_p,
                                            int(y.shape[2]))):
                 # Single fused kernel (module knob above; V3 twin carries

@@ -208,12 +208,21 @@ def forward_all_v2_i8(q: V2QuantizedParams, x_i8: np.ndarray,
 # rows-mode ir_i8 kernel at 112², measured 2x the bf16 twin.
 FUSED_EXPAND_S2_I8 = True
 # Restrict the int8 fused route to these block indices (None = every
-# eligible block) — the bf16 FUSED_EXPAND_S2_BLOCKS twin. MEASURED
-# (tools/ab_b1_fused.py --model v2 --int8, 1.0-224 batch 256,
+# eligible block) — the bf16 FUSED_EXPAND_S2_BLOCKS twin, A/B knob.
+# MEASURED (tools/ab_b1_fused.py --model v2 --int8, 1.0-224 batch 256,
 # 2026-08-20, exactness-gated): b1-only 9,698 img/s beats two_stage
 # 9,098 and b1+b3 8,920 — b3's cout 32->128 padding ripple (b4..b12)
 # loses int8 too, and harder (the padded lanes all pay requant passes).
-FUSED_EXPAND_S2_I8_BLOCKS = frozenset({1})
+# At standard configs the MIN_H gate below subsumes this (b3's dw input
+# is 56 < 96), so the default stays None.
+FUSED_EXPAND_S2_I8_BLOCKS = None
+# Minimum dw-input height — the MEASURED resolution crossover (same tool
+# at every standard res, 2026-08-20, b1-fused vs two_stage img/s):
+# res 96 (H48) 45,785 vs 49,316 LOSE; 128 (H64) 36,202 vs 39,973 LOSE;
+# 160 (H80) 18,997 vs 21,349 LOSE; 192 (H96) 16,401 vs 14,448 WIN;
+# 224 (H112) 9,698 vs 9,098 WIN — the same H>=96 law the bf16 route
+# measured (models/mobilenet_v2.FUSED_EXPAND_S2_MIN_H).
+FUSED_EXPAND_S2_I8_MIN_H = 96
 
 
 def _six_ok(layer: Dict[str, Any]) -> bool:
@@ -341,6 +350,7 @@ def forward_v2_i8(dev: Dict[str, Any], x_i8, config: V2Config, *,
         if (FUSED_EXPAND_S2_I8 and use_fused and not collect
                 and (FUSED_EXPAND_S2_I8_BLOCKS is None
                      or i in FUSED_EXPAND_S2_I8_BLOCKS)
+                and int(y.shape[1]) >= FUSED_EXPAND_S2_I8_MIN_H
                 and "exp" in blk and stride == 2
                 and cin_a < 128 and 128 % cin_a == 0
                 and (int(y.shape[2]) * cin_a) % 128 == 0

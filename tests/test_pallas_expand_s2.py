@@ -323,10 +323,10 @@ def test_eligibility():
 
 
 def test_v2_i8_fused_route_blocks_knob(monkeypatch):
-    """The V2 int8 fused expand-s2 route: with the shipped default
-    (FUSED_EXPAND_S2_I8_BLOCKS = {1}, measured winner on v5e) only block 1
-    fires; with blocks=None (the raced-off b1+b3 option) both fire. Both
-    stay BIT-IDENTICAL to the XLA int8 route at the logits."""
+    """The V2 int8 fused expand-s2 route: at 96 res (dw-input H=48) the
+    shipped MIN_H=96 gate keeps it OFF (measured loss below H=96 on v5e);
+    with the gate lowered, blocks=None fires b1+b3 and blocks={1} fires b1
+    only. Every variant stays BIT-IDENTICAL to the XLA int8 route."""
     import jax.numpy as jnp
 
     from mobilenet_tpu.checkpoints.v2 import fold_bn_v2, init_params_v2
@@ -351,13 +351,18 @@ def test_v2_i8_fused_route_blocks_knob(monkeypatch):
         pei, "expand_block_packed_s2_i8",
         lambda *a, **k: (calls.append(a[0].shape), orig(*a, **k))[1])
 
-    assert qv2.FUSED_EXPAND_S2_I8_BLOCKS == frozenset({1})  # shipped default
+    assert qv2.FUSED_EXPAND_S2_I8_MIN_H == 96  # shipped measured crossover
     lf = np.asarray(forward_v2_i8(dev, x_i8, cfg, use_fused=True))
-    assert len(calls) == 1, f"default must fire b1 only, fired {calls}"
+    assert not calls, f"H=48 < MIN_H must not fire, fired {calls}"
     np.testing.assert_array_equal(lx, lf)
 
-    calls.clear()
-    monkeypatch.setattr(qv2, "FUSED_EXPAND_S2_I8_BLOCKS", None)
+    monkeypatch.setattr(qv2, "FUSED_EXPAND_S2_I8_MIN_H", 0)
     lf2 = np.asarray(forward_v2_i8(dev, x_i8, cfg, use_fused=True))
     assert len(calls) == 2, f"blocks=None must fire b1+b3, fired {calls}"
     np.testing.assert_array_equal(lx, lf2)
+
+    calls.clear()
+    monkeypatch.setattr(qv2, "FUSED_EXPAND_S2_I8_BLOCKS", frozenset({1}))
+    lf3 = np.asarray(forward_v2_i8(dev, x_i8, cfg, use_fused=True))
+    assert len(calls) == 1, f"blocks={{1}} must fire b1 only, fired {calls}"
+    np.testing.assert_array_equal(lx, lf3)
