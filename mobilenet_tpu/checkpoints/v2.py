@@ -78,6 +78,68 @@ def init_params_v2(config: V2Config, seed: int = 0) -> Params:
     return params
 
 
+def import_keras_h5_v2(path: str, config: V2Config) -> Params:
+    """Convert a keras MobileNetV2 .h5 checkpoint into our pytree (the V2
+    twin of io.import_keras_h5 — reference analog C9, SURVEY.md SS2).
+
+    Keras layer naming (keras.applications.mobilenet_v2): Conv1 / bn_Conv1;
+    block 0 is expanded_conv_{depthwise,project}[_BN] (no expand conv);
+    blocks 1..16 are block_{i}_{expand,depthwise,project}[_BN]; the tail is
+    Conv_1 / Conv_1_bn and the `predictions` Dense. Keras dw kernels are
+    (3,3,C,1); ours are (3,3,1,C). Gated: only usable when a real
+    checkpoint file is present (none ships in this environment — SS0)."""
+    import h5py  # noqa: PLC0415  (optional dependency, gated)
+
+    with h5py.File(path, "r") as f:
+        mw = f["model_weights"] if "model_weights" in f else f
+
+        def grp(name):
+            g = mw[name]
+            return g[name] if name in g else g
+
+        def bn_of(name):
+            g = grp(name)
+            return {
+                "gamma": np.asarray(g["gamma:0"]),
+                "beta": np.asarray(g["beta:0"]),
+                "mean": np.asarray(g["moving_mean:0"]),
+                "var": np.asarray(g["moving_variance:0"]),
+            }
+
+        params: Params = {
+            "conv1": {"w": np.asarray(grp("Conv1")["kernel:0"]),
+                      "bn": bn_of("bn_Conv1")},
+            "blocks": [],
+        }
+        for i, (t, _cin, _cout, _s) in enumerate(config.block_defs):
+            pre = "expanded_conv" if i == 0 else f"block_{i}"
+            blk: Params = {}
+            if t > 1:
+                blk["exp"] = {
+                    "w": np.asarray(grp(f"{pre}_expand")["kernel:0"])[0, 0],
+                    "bn": bn_of(f"{pre}_expand_BN"),
+                }
+            dw_k = np.asarray(grp(f"{pre}_depthwise")["depthwise_kernel:0"])
+            blk["dw"] = {"w": dw_k.transpose(0, 1, 3, 2),
+                         "bn": bn_of(f"{pre}_depthwise_BN")}
+            blk["prj"] = {
+                "w": np.asarray(grp(f"{pre}_project")["kernel:0"])[0, 0],
+                "bn": bn_of(f"{pre}_project_BN"),
+            }
+            params["blocks"].append(blk)
+        params["conv_last"] = {
+            "w": np.asarray(grp("Conv_1")["kernel:0"])[0, 0],
+            "bn": bn_of("Conv_1_bn"),
+        }
+        preds = grp("predictions")
+        params["fc"] = {
+            "w": np.asarray(preds["kernel:0"]).reshape(
+                config.last_channels, -1),
+            "b": np.asarray(preds["bias:0"]),
+        }
+    return params
+
+
 def fold_bn_v2(params: Params, eps: float = 1e-3) -> Params:
     """Fold BN into conv weight + per-channel bias (float64 math, io.py:83)."""
 

@@ -108,6 +108,84 @@ def init_params_v3(config: V3Config, seed: int = 0) -> Params:
     return params
 
 
+def import_keras_h5_v3(path: str, config: V3Config) -> Params:
+    """Convert a keras MobileNetV3 .h5 checkpoint into our pytree (the V3
+    twin of io.import_keras_h5 — reference analog C9, SURVEY.md SS2).
+
+    Keras layer naming (keras.applications.mobilenet_v3) uses slash-scoped
+    names, which h5py resolves as nested groups: stem Conv + Conv/BatchNorm;
+    block i under `expanded_conv[_{i}]` with sublayers expand[/BatchNorm]
+    (absent at block 0), depthwise[/BatchNorm], squeeze_excite/Conv and
+    squeeze_excite/Conv_1 (bias convs, no BN), project[/BatchNorm]; the
+    tail is Conv_1[/BatchNorm], the post-pool head conv Conv_2 (bias), and
+    the Logits 1x1 conv (bias). Keras dw kernels are (k,k,C,1); ours are
+    (k,k,1,C). Which sublayers exist is driven by config.block_defs, so the
+    minimalistic variants (no SE) read cleanly. Gated: only usable when a
+    real checkpoint file is present (none ships here — SURVEY.md SS0)."""
+    import h5py  # noqa: PLC0415  (optional dependency, gated)
+
+    with h5py.File(path, "r") as f:
+        mw = f["model_weights"] if "model_weights" in f else f
+
+        def grp(name):
+            g = mw[name]
+            return g[name] if name in g else g
+
+        def bn_of(name):
+            g = grp(name)
+            return {
+                "gamma": np.asarray(g["gamma:0"]),
+                "beta": np.asarray(g["beta:0"]),
+                "mean": np.asarray(g["moving_mean:0"]),
+                "var": np.asarray(g["moving_variance:0"]),
+            }
+
+        params: Params = {
+            "conv1": {"w": np.asarray(grp("Conv")["kernel:0"]),
+                      "bn": bn_of("Conv/BatchNorm")},
+            "blocks": [],
+        }
+        for i, bd in enumerate(config.block_defs):
+            pre = "expanded_conv" if i == 0 else f"expanded_conv_{i}"
+            blk: Params = {}
+            if bd.has_expand:
+                blk["exp"] = {
+                    "w": np.asarray(grp(f"{pre}/expand")["kernel:0"])[0, 0],
+                    "bn": bn_of(f"{pre}/expand/BatchNorm"),
+                }
+            dw_k = np.asarray(grp(f"{pre}/depthwise")["depthwise_kernel:0"])
+            blk["dw"] = {"w": dw_k.transpose(0, 1, 3, 2),
+                         "bn": bn_of(f"{pre}/depthwise/BatchNorm")}
+            if bd.se_mid:
+                se1 = grp(f"{pre}/squeeze_excite/Conv")
+                se2 = grp(f"{pre}/squeeze_excite/Conv_1")
+                blk["se"] = {
+                    "w1": np.asarray(se1["kernel:0"])[0, 0],
+                    "b1": np.asarray(se1["bias:0"]),
+                    "w2": np.asarray(se2["kernel:0"])[0, 0],
+                    "b2": np.asarray(se2["bias:0"]),
+                }
+            blk["prj"] = {
+                "w": np.asarray(grp(f"{pre}/project")["kernel:0"])[0, 0],
+                "bn": bn_of(f"{pre}/project/BatchNorm"),
+            }
+            params["blocks"].append(blk)
+        params["conv_last"] = {
+            "w": np.asarray(grp("Conv_1")["kernel:0"])[0, 0],
+            "bn": bn_of("Conv_1/BatchNorm"),
+        }
+        head = grp("Conv_2")
+        params["head"] = {"w": np.asarray(head["kernel:0"])[0, 0],
+                          "b": np.asarray(head["bias:0"])}
+        logits = grp("Logits")
+        params["fc"] = {
+            "w": np.asarray(logits["kernel:0"]).reshape(
+                config.last_point_channels, -1),
+            "b": np.asarray(logits["bias:0"]),
+        }
+    return params
+
+
 def fold_bn_v3(params: Params, eps: float = 1e-3) -> Params:
     """Fold BN into conv weight + per-channel bias (float64 math, io.py:83).
     SE and head entries have no BN — copied through as-is."""
