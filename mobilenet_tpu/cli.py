@@ -721,10 +721,9 @@ def cmd_export(args):
 
     model = getattr(args, "model", "v1")
     if model != "v1":
-        if getattr(args, "from_keras", None) or getattr(
-                args, "from_tf_slim", None):
-            sys.exit("--from-keras/--from-tf-slim import the V1 layouts; "
-                     "V2/V3 export starts from --ckpt or the seeded set")
+        if getattr(args, "from_tf_slim", None):
+            sys.exit("--from-tf-slim imports the V1 TF-slim layout only; "
+                     "V2/V3 import keras .h5 (--from-keras) or --ckpt")
         return _export_family(args, model)
     cfg = ModelConfig(alpha=args.alpha, resolution=args.res)
     if getattr(args, "from_keras", None):
@@ -771,11 +770,16 @@ def _export_family(args, model):
 
     cfg = _make_config(args, dtype="float32")
     if model == "v2":
-        from .checkpoints.v2 import fold_bn_v2, init_params_v2
+        from .checkpoints.v2 import (fold_bn_v2, import_keras_h5_v2,
+                                     init_params_v2)
         from .quant.v2 import quantize_v2
 
-        raw = (load_npz(args.ckpt) if getattr(args, "ckpt", None)
-               else init_params_v2(cfg, seed=args.seed))
+        if getattr(args, "from_keras", None):
+            raw = import_keras_h5_v2(args.from_keras, cfg)
+        elif getattr(args, "ckpt", None):
+            raw = load_npz(args.ckpt)
+        else:
+            raw = init_params_v2(cfg, seed=args.seed)
         folded = fold_bn_v2(raw, eps=cfg.bn_eps)
         q = quantize_v2(folded, cfg)
         lay = lambda l: {"w_i8": l.w_i8, "bias_i32": l.bias_i32,  # noqa: E731
@@ -788,11 +792,16 @@ def _export_family(args, model):
             "s_blk": np.asarray(q.s_blk, np.float32),
         }
     else:
-        from .checkpoints.v3 import fold_bn_v3, init_params_v3
+        from .checkpoints.v3 import (fold_bn_v3, import_keras_h5_v3,
+                                     init_params_v3)
         from .quant.v3 import quantize_v3
 
-        raw = (load_npz(args.ckpt) if getattr(args, "ckpt", None)
-               else init_params_v3(cfg, seed=args.seed))
+        if getattr(args, "from_keras", None):
+            raw = import_keras_h5_v3(args.from_keras, cfg)
+        elif getattr(args, "ckpt", None):
+            raw = load_npz(args.ckpt)
+        else:
+            raw = init_params_v3(cfg, seed=args.seed)
         folded = fold_bn_v3(raw, eps=cfg.bn_eps)
         q = quantize_v3(folded, cfg)
         lay = lambda l: {"w_i8": l.w_i8, "bias_i32": l.bias_i32,  # noqa: E731

@@ -138,6 +138,49 @@ def test_keras_h5_v3_roundtrip(tmp_path):
                                   f2["blocks"][2]["prj"]["b"])
 
 
+def test_cli_export_from_keras_v2(tmp_path):
+    """The CLI wiring: `export --model v2 --from-keras` converts a keras .h5
+    straight into the raw/folded/int8 .npz set (reference analog C9 — the
+    offline weight-export flow, SURVEY.md SS2)."""
+    from mobilenet_tpu.checkpoints import load_npz
+    from mobilenet_tpu.cli import main
+
+    cfg = V2Config(alpha=1.0, resolution=96)
+    params = init_params_v2(cfg, seed=3)
+    h5 = str(tmp_path / "mnv2.h5")
+    _write_keras_h5_v2(h5, params, cfg)
+
+    out = str(tmp_path / "ckpts")
+    main(["--backend", "cpu", "export", "--model", "v2", "--alpha", "1.0",
+          "--res", "96", "--from-keras", h5, "--out", out])
+
+    raw = load_npz(f"{out}/{cfg.variant_name()}_raw.npz")
+    np.testing.assert_array_equal(raw["conv1"]["w"], params["conv1"]["w"])
+    folded = load_npz(f"{out}/{cfg.variant_name()}_folded.npz")
+    ref = fold_bn_v2(params, eps=cfg.bn_eps)
+    np.testing.assert_array_equal(folded["blocks"][1]["prj"]["b"],
+                                  ref["blocks"][1]["prj"]["b"])
+
+
+def test_cli_export_from_keras_v3small(tmp_path):
+    from mobilenet_tpu.checkpoints import load_npz
+    from mobilenet_tpu.cli import main
+
+    cfg = V3Config(variant="small", alpha=1.0, resolution=96)
+    params = init_params_v3(cfg, seed=5)
+    h5 = str(tmp_path / "mnv3s.h5")
+    _write_keras_h5_v3(h5, params, cfg)
+
+    out = str(tmp_path / "ckpts")
+    main(["--backend", "cpu", "export", "--model", "v3small", "--alpha",
+          "1.0", "--res", "96", "--from-keras", h5, "--out", out])
+
+    folded = load_npz(f"{out}/{cfg.variant_name()}_folded.npz")
+    ref = fold_bn_v3(params, eps=cfg.bn_eps)
+    np.testing.assert_array_equal(folded["blocks"][2]["prj"]["b"],
+                                  ref["blocks"][2]["prj"]["b"])
+
+
 def test_keras_h5_v3_minimalistic_roundtrip(tmp_path):
     """Minimalistic Small: no SE anywhere — the importer reads only what
     config.block_defs declares."""
