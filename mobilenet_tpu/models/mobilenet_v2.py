@@ -132,10 +132,12 @@ FUSED_EXPAND_S2_PAD = None
 # 1.0-224 batch 256 bf16, 2026-08-20, interleaved fenced rounds): b1-only
 # 13,988 img/s beats b1+b3 13,048 and wide-128 13,750 — fusing b3 pads
 # its cout 32->128, widening b4..b12's residual chain 4x, and the ripple
-# costs more than the fusion saves (two_stage 11,535). At standard
-# configs the MIN_H gate below subsumes this (b3's dw input is 56 < 96),
-# so the default stays None.
-FUSED_EXPAND_S2_BLOCKS = None
+# costs more than the fusion saves (two_stage 11,535). The ripple is a
+# CHANNEL effect, independent of resolution, so b3 is excluded explicitly
+# ({1} default) rather than left to the MIN_H gate below — which only
+# happens to exclude b3 at standard resolutions (H=56 < 96) and would
+# silently re-enable the measured-loss arm at res >= 384.
+FUSED_EXPAND_S2_BLOCKS = {1}
 # Minimum dw-input height for the fused route — the MEASURED resolution
 # crossover (same tool, every standard res, 2026-08-20, b1-fused vs
 # two_stage img/s): res 96 (H48) 62,283 vs 67,097 LOSE; 128 (H64) 50,029

@@ -210,14 +210,19 @@ def _chain_kernel(*refs, bn, specs, wop, out_dtype):
         out_f = _dot(y2, pww[...], prec) + pwb[0].astype(jnp.float32)
         if bi == nb - 1 and wop != w_out:
             # wpad final output (the dense kernel's trick): pad the width
-            # IN F32 before the cast (Mosaic rejects narrow-dtype
-            # multi-dim reshapes); residual joins in f32 here — identical
-            # when out_dtype is f32, bf16-class otherwise
+            # to wop so the HBM-crossing ref tiles by 8 sublanes. The
+            # residual joins AFTER the cast in the model dtype — the same
+            # boundary semantics as every other block (the contract is
+            # bit-identity with per-block whole-image mode). Mosaic
+            # rejects narrow-dtype multi-dim reshapes, so the pad runs on
+            # an f32 image of the cast value (model->f32->model is exact:
+            # f32 is a superset of bf16).
             cout = out_f.shape[-1]
+            out = out_f.astype(out_dtype)
             if sp["residual"]:
-                out_f = out_f + cur.astype(jnp.float32)
+                out = out + cur
             out_f = jnp.pad(
-                out_f.reshape(bn, h_out, w_out, cout),
+                out.astype(jnp.float32).reshape(bn, h_out, w_out, cout),
                 ((0, 0), (0, 0), (0, wop - w_out), (0, 0)),
             ).reshape(bn * h_out * wop, cout)
             cur = out_f.astype(out_dtype)
@@ -309,7 +314,9 @@ def v3_chain_pallas(
 
     assert chain_fits(n, specs, itm), "gate calls with chain_fits"
     if block_n:
-        bn = max(int(block_n), _bn_floor(n, specs))
+        # Clamp to n FIRST: the divisor search only terminates for bn <= n
+        # (n % bn == n, truthy forever, once bn > n).
+        bn = min(max(int(block_n), _bn_floor(n, specs)), n)
         while n % bn:
             bn += 1
     else:

@@ -288,17 +288,22 @@ def _v3_kernel(
     y2 = y.astype(pww_ref.dtype).reshape(bn * h_out * w_out, ep)
     out_f = _dot(y2, pww_ref[...], prec) + pwb_ref[0].astype(jnp.float32)
     if wop is not None and wop != w_out:
-        # wpad: pad the output width IN F32 before the cast — Mosaic
-        # rejects narrow-dtype multi-dim reshapes ((98,160)bf16 ->
-        # (2,7,7,160): "unsupported shape cast"), f32 reshapes are fine
-        # (the int8 twin compiles the same geometry). Residual joins in
-        # f32 here (exact superset of the bf16 add).
+        # wpad: pad the output width to wop so the HBM-crossing ref tiles
+        # by 8 sublanes. The residual joins AFTER the cast in the model
+        # dtype — the SAME order as the whole/rows modes, so the planner's
+        # mode pick never changes numerics (and the chain kernel's
+        # bit-identity contract composes across modes). Mosaic rejects
+        # narrow-dtype multi-dim reshapes ((98,160)bf16 -> (2,7,7,160):
+        # "unsupported shape cast"), so the pad runs on an f32 image of
+        # the cast value (model->f32->model is exact).
+        out = out_f.astype(out_dtype)
         if residual:
-            out_f = out_f + xv.astype(jnp.float32)
-        cout = out_f.shape[-1]
-        out_f = jnp.pad(out_f.reshape(bn, h_out, w_out, cout),
-                        ((0, 0), (0, 0), (0, wop - w_out), (0, 0))
-                        ).reshape(bn * h_out * wop, cout)
+            out = out + xv.astype(out_dtype)
+        cout = out.shape[-1]
+        out_f = jnp.pad(
+            out.astype(jnp.float32).reshape(bn, h_out, w_out, cout),
+            ((0, 0), (0, 0), (0, wop - w_out), (0, 0))
+        ).reshape(bn * h_out * wop, cout)
         o_ref[...] = out_f.astype(out_dtype)
         return
     out = out_f.astype(out_dtype)

@@ -69,10 +69,9 @@ def se_packed_geometry(cin: int, e: int, cout: int, w: int, k: int,
     return cp, ep, cout_p, r
 
 
-def _vmem_est(bn, h, w4, ee, k, itm):
+def _vmem_est(bn, h, w4, ee, k, r, itm):
     half = k // 2
-    cg = -(-half // (128 * w4) or 1)  # placeholder, refined below
-    cg = 1
+    cg = -(-half // r)  # the kernel's zero column-group border per side
     w4p = w4 + 2 * cg
     rows = h + 2 * half
     u_x = bn * h * w4 * 128 * itm * 2          # pipelined in blocks
@@ -91,7 +90,7 @@ def se_packed_fits(n, h, w, cin, e, cout, k, stride, itemsize=2) -> bool:
         return False
     cp, ep, _cout_p, r = geo
     w4 = w * cp // 128
-    return _vmem_est(1, h, w4, r * ep, k, itemsize) <= int(13 * 2**20)
+    return _vmem_est(1, h, w4, r * ep, k, r, itemsize) <= int(13 * 2**20)
 
 
 def _se_packed_kernel(
@@ -164,11 +163,6 @@ def _se_packed_kernel(
     o_ref[...] = out.reshape(bn, h, w4, oc).astype(out_dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cin", "k", "act", "residual", "se_width", "block_n",
-                     "interpret"),
-)
 def se_block_packed(
     x_packed: jax.Array,   # (N, H, W*Cp/128, 128), lane = j*Cp + c
     exp_w: jax.Array,      # (Cp, E) rows zero-padded to Cp
@@ -190,9 +184,30 @@ def se_block_packed(
     """Fused act(expand) -> dw kxk s1 -> [SE] -> linear projection
     [+ residual] on an R-lane-packed input. Returns (N, H, W4, R*Cout_p)
     — the packed layout of the zero-padded Cout (reshapes freely to
-    NHWC of Cout_p). residual requires Cout_p == Cp."""
+    NHWC of Cout_p). residual requires Cout_p == Cp.
+
+    interpret=None resolves HERE (outside the jit, the expand-s2 kernel's
+    pattern) so backend flips are never masked by a stale trace cache."""
     if interpret is None:
         interpret = _should_interpret()
+    return _se_block_packed_jit(
+        x_packed, exp_w, exp_b, dw_w, dw_b, se_w1, se_b1, se_w2, se_b2,
+        pw_w, pw_b, cin, k, act, residual, se_width,
+        block_n=block_n, interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cin", "k", "act", "residual", "se_width", "block_n",
+                     "interpret"),
+)
+def _se_block_packed_jit(
+    x_packed, exp_w, exp_b, dw_w, dw_b, se_w1, se_b1, se_w2, se_b2,
+    pw_w, pw_b, cin, k, act, residual, se_width,
+    *,
+    block_n: Optional[int],
+    interpret: bool,
+) -> jax.Array:
     n, h, w4, lanes = x_packed.shape
     assert lanes == 128 and 128 % cin == 0
     r = 128 // cin
@@ -213,7 +228,7 @@ def se_block_packed(
     if block_n is None:
         cap = int(13 * 2**20)
         while (bn * 2 <= n and n % (bn * 2) == 0 and bn * h * w4 < 512
-               and _vmem_est(bn * 2, h, w4, ee, k, itm) <= cap):
+               and _vmem_est(bn * 2, h, w4, ee, k, r, itm) <= cap):
             bn *= 2
     while n % bn:
         bn -= 1

@@ -213,9 +213,11 @@ FUSED_EXPAND_S2_I8 = True
 # 2026-08-20, exactness-gated): b1-only 9,698 img/s beats two_stage
 # 9,098 and b1+b3 8,920 — b3's cout 32->128 padding ripple (b4..b12)
 # loses int8 too, and harder (the padded lanes all pay requant passes).
-# At standard configs the MIN_H gate below subsumes this (b3's dw input
-# is 56 < 96), so the default stays None.
-FUSED_EXPAND_S2_I8_BLOCKS = None
+# The ripple is a channel effect, independent of resolution, so b3 is
+# excluded explicitly ({1} default) rather than left to the MIN_H gate —
+# which only happens to exclude it at standard resolutions (H=56 < 96)
+# and would re-enable the measured-loss arm at res >= 384.
+FUSED_EXPAND_S2_I8_BLOCKS = {1}
 # Minimum dw-input height — the MEASURED resolution crossover (same tool
 # at every standard res, 2026-08-20, b1-fused vs two_stage img/s):
 # res 96 (H48) 45,785 vs 49,316 LOSE; 128 (H64) 36,202 vs 39,973 LOSE;

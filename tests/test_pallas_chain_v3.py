@@ -116,6 +116,46 @@ def test_chain_bf16_boundary_semantics():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_chain_bf16_wpad_residual_bit_identity():
+    """The 7x7 (h*w = 49, odd) geometry forces the wpad output path. The
+    residual must join post-cast in the model dtype there too, so bf16
+    chain == per-block WHOLE mode (block_n=8) == per-block default
+    planner (which picks wpad) — the mode pick never changes numerics."""
+    rng = np.random.default_rng(13)
+    shapes = [(16, 128, 16, 3, 1, "relu", 0, True),
+              (16, 128, 16, 3, 1, "relu", 0, True)]
+    blocks = [_mk_block(rng, *s[:5], act=s[5], se=s[6], residual=s[7],
+                        dt=jnp.bfloat16)
+              for s in shapes]
+    x = jnp.asarray(rng.uniform(-1, 1, (8, 7, 7, 16)), jnp.bfloat16)
+    got = np.asarray(v3_chain_pallas(x, blocks).astype(jnp.float32))
+
+    def seq(bn):
+        y = x
+        for b in blocks:
+            y = v3_block_pallas(
+                y, b["exp_w"], b["exp_b"], b["dw_w"], b["dw_b"],
+                b["prj_w"], b["prj_b"], k=b["k"], stride=b["stride"],
+                act=b["act"], residual=b["residual"], block_n=bn)
+        return np.asarray(y.astype(jnp.float32))
+
+    np.testing.assert_array_equal(got, seq(8))     # whole mode
+    np.testing.assert_array_equal(got, seq(None))  # planner (wpad here)
+
+
+def test_chain_oversize_block_n_terminates():
+    """block_n > batch must clamp instead of hanging the divisor search."""
+    rng = np.random.default_rng(5)
+    shapes = [(8, 24, 16, 3, 1, "relu", 0, False),
+              (16, 32, 16, 3, 1, "relu", 0, True)]
+    blocks = [_mk_block(rng, *s[:5], act=s[5], se=s[6], residual=s[7])
+              for s in shapes]
+    x = jnp.asarray(rng.uniform(-1, 1, (4, 8, 8, 8)), jnp.float32)
+    ref = np.asarray(v3_chain_pallas(x, blocks))
+    got = np.asarray(v3_chain_pallas(x, blocks, block_n=512))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_chain_route_taken_and_model_equivalent(monkeypatch):
     """CHAIN_V3=True fires inside run_blocks_v3 at a small V3-Large config
     and the model output matches the per-block fused route within the

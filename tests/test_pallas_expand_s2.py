@@ -325,8 +325,10 @@ def test_eligibility():
 def test_v2_i8_fused_route_blocks_knob(monkeypatch):
     """The V2 int8 fused expand-s2 route: at 96 res (dw-input H=48) the
     shipped MIN_H=96 gate keeps it OFF (measured loss below H=96 on v5e);
-    with the gate lowered, blocks=None fires b1+b3 and blocks={1} fires b1
-    only. Every variant stays BIT-IDENTICAL to the XLA int8 route."""
+    with the gate lowered, blocks=None fires b1+b3 and the shipped
+    blocks={1} default fires b1 only (b3's cout padding ripple measured a
+    loss both dtypes). Every variant stays BIT-IDENTICAL to the XLA int8
+    route."""
     import jax.numpy as jnp
 
     from mobilenet_tpu.checkpoints.v2 import fold_bn_v2, init_params_v2
@@ -357,6 +359,7 @@ def test_v2_i8_fused_route_blocks_knob(monkeypatch):
     np.testing.assert_array_equal(lx, lf)
 
     monkeypatch.setattr(qv2, "FUSED_EXPAND_S2_I8_MIN_H", 0)
+    monkeypatch.setattr(qv2, "FUSED_EXPAND_S2_I8_BLOCKS", None)
     lf2 = np.asarray(forward_v2_i8(dev, x_i8, cfg, use_fused=True))
     assert len(calls) == 2, f"blocks=None must fire b1+b3, fired {calls}"
     np.testing.assert_array_equal(lx, lf2)

@@ -79,15 +79,25 @@ def main():
                                          out_dtype=jnp.bfloat16)
                 old = qmod.FUSED_EXPAND_S2_I8
                 old_b = getattr(qmod, "FUSED_EXPAND_S2_I8_BLOCKS", None)
+                old_h = getattr(qmod, "FUSED_EXPAND_S2_I8_MIN_H", None)
                 qmod.FUSED_EXPAND_S2_I8 = flag
                 if hasattr(qmod, "FUSED_EXPAND_S2_I8_BLOCKS"):
                     qmod.FUSED_EXPAND_S2_I8_BLOCKS = blocks
+                if flag and old_h is not None:
+                    # The arm's block set must decide eligibility, not the
+                    # shipped resolution crossover — without this, every
+                    # arm below MIN_H traces the SAME program and the race
+                    # measures noise (this tool produced the crossover
+                    # numbers the MIN_H default encodes).
+                    qmod.FUSED_EXPAND_S2_I8_MIN_H = 0
                 try:
                     return fwd_i8(dev, x_q, cfg, use_fused=True)
                 finally:
                     qmod.FUSED_EXPAND_S2_I8 = old
                     if hasattr(qmod, "FUSED_EXPAND_S2_I8_BLOCKS"):
                         qmod.FUSED_EXPAND_S2_I8_BLOCKS = old_b
+                    if old_h is not None:
+                        qmod.FUSED_EXPAND_S2_I8_MIN_H = old_h
 
             entries[label] = jax.jit(fn)
 
@@ -140,10 +150,17 @@ def main():
             old = mod.FUSED_EXPAND_S2
             old_pad = mod.FUSED_EXPAND_S2_PAD
             old_b = getattr(mod, "FUSED_EXPAND_S2_BLOCKS", None)
+            old_h = getattr(mod, "FUSED_EXPAND_S2_MIN_H", None)
             mod.FUSED_EXPAND_S2 = flag  # trace-time knobs
             mod.FUSED_EXPAND_S2_PAD = pad
             if hasattr(mod, "FUSED_EXPAND_S2_BLOCKS"):
                 mod.FUSED_EXPAND_S2_BLOCKS = blocks
+            if flag and old_h is not None:
+                # Let the arm's block set decide, not the shipped MIN_H
+                # crossover — below it every arm would trace the SAME
+                # program (this tool measured that crossover; it must be
+                # able to re-measure it at any res).
+                mod.FUSED_EXPAND_S2_MIN_H = 0
             try:
                 return fwd(params, x, cfg, dw_backend="fused")
             finally:
@@ -151,6 +168,8 @@ def main():
                 mod.FUSED_EXPAND_S2_PAD = old_pad
                 if hasattr(mod, "FUSED_EXPAND_S2_BLOCKS"):
                     mod.FUSED_EXPAND_S2_BLOCKS = old_b
+                if old_h is not None:
+                    mod.FUSED_EXPAND_S2_MIN_H = old_h
 
         entries[label] = jax.jit(fn)
 

@@ -76,8 +76,11 @@ def build_entries(args, prefixes, int8=None):
                 entries[k] = jax.jit(fni)
             return cfg, entries
 
+        from mobilenet_tpu.ops import conv as ops
+
         cfg = V2Config(alpha=args.alpha, resolution=args.res,
                        compute_dtype="bfloat16")
+        n_blk = len(cfg.block_defs)
         folded = fold_bn_v2(init_params_v2(cfg, seed=0), eps=cfg.bn_eps)
         if args.routing != "xla":  # build as production ships it
             folded = pad_block0_v2(folded)
@@ -85,12 +88,21 @@ def build_entries(args, prefixes, int8=None):
             lambda a: jnp.asarray(a, jnp.bfloat16), folded)
         entries = {}
         for k in prefixes:
-            nb = None if k == "full" else int(k)
+            # Stage prefixes, bf16 twin of the int8 branch above:
+            #   "cl" = all blocks + conv_last; "pool" = + avgpool.
+            stage = k if k in ("cl", "pool") else None
+            nb = None if k == "full" else n_blk if stage else int(k)
 
-            def fn(images_u8, nb=nb):
+            def fn(images_u8, nb=nb, stage=stage):
                 x = prep.preprocess(images_u8, cfg.resolution, jnp.bfloat16)
                 y = forward_v2(params, x, cfg, dw_backend=args.routing,
                                num_blocks=nb)
+                if stage is not None:  # same ops the full head runs
+                    y = ops.pointwise_conv(y, params["conv_last"]["w"],
+                                           bias=params["conv_last"]["b"],
+                                           relu6=True)
+                    if stage == "pool":
+                        y = ops.global_avg_pool(y)
                 return jnp.sum(y.astype(jnp.float32)).reshape(1)
 
             entries[k] = jax.jit(fn)
@@ -113,6 +125,12 @@ def build_entries(args, prefixes, int8=None):
             dev = _as_device_tree_v3(quantize_v3(folded, cfg))
             fused = args.routing != "xla"  # the shipping throughput route
             for k in prefixes:
+                if k in ("cl", "pool"):
+                    raise SystemExit(
+                        "stage prefixes cl/pool are not implemented for "
+                        "--model v3 --int8 (the calibrated named-activation "
+                        "head ops live inside forward_v3_i8); use block "
+                        f"indices 0..{len(cfg.block_defs)} or 'full'")
                 nb = None if k == "full" else int(k)
 
                 def fni(images_u8, nb=nb):
@@ -126,15 +144,27 @@ def build_entries(args, prefixes, int8=None):
 
                 entries[k] = jax.jit(fni)
             return cfg, entries
+        from mobilenet_tpu.ops import conv as v3ops
+
         params = jax.tree.map(
             lambda a: jnp.asarray(a, jnp.bfloat16), folded)
+        n_blk = len(cfg.block_defs)
         for k in prefixes:
-            nb = None if k == "full" else int(k)
+            # Stage prefixes (bf16): "cl" = all blocks + conv_last;
+            # "pool" = + avgpool (the head 1x1 + fc remain in "full").
+            stage = k if k in ("cl", "pool") else None
+            nb = None if k == "full" else n_blk if stage else int(k)
 
-            def fn(images_u8, nb=nb):
+            def fn(images_u8, nb=nb, stage=stage):
                 x = prep.preprocess(images_u8, cfg.resolution, jnp.bfloat16)
                 y = forward_v3(params, x, cfg, dw_backend=args.routing,
                                num_blocks=nb)
+                if stage is not None:  # same ops the unfused head runs
+                    y = v3ops.pointwise_conv(y, params["conv_last"]["w"],
+                                             bias=params["conv_last"]["b"],
+                                             act=cfg.head_act)
+                    if stage == "pool":
+                        y = v3ops.global_avg_pool(y)
                 return jnp.sum(y.astype(jnp.float32)).reshape(1)
 
             entries[k] = jax.jit(fn)
@@ -151,13 +181,18 @@ def build_entries(args, prefixes, int8=None):
 
         dev = _as_device_tree(quantize_for_device(folded, cfg))
         for k in prefixes:
-            nb = None if k == "full" else int(k)
+            _check_v1_stage(k, cfg)
+            stage = k if k == "pool" else None
+            nb = (None if k == "full"
+                  else len(cfg.block_channels) if stage else int(k))
 
-            def fn(images_u8, nb=nb):
+            def fn(images_u8, nb=nb, stage=stage):
                 x = prep.preprocess(images_u8, cfg.resolution, jnp.float32)
                 x_q = qops.quantize_input_dev(x, ACT_IN_SCALE,
                                               out_dtype=jnp.bfloat16)
                 y = forward_i8(dev, x_q, cfg, use_fused=True, num_blocks=nb)
+                if stage == "pool":  # blocks + avgpool, fc left to "full"
+                    y = qops.avgpool_i8(y)
                 return jnp.sum(y.astype(jnp.float32)).reshape(1)
 
             entries[k] = jax.jit(fn)
@@ -165,20 +200,37 @@ def build_entries(args, prefixes, int8=None):
         from mobilenet_tpu.checkpoints.padding import needs_padding, pad_channels
         from mobilenet_tpu.models import mobilenet_v1
 
+        from mobilenet_tpu.ops import conv as v1ops
+
         if needs_padding(folded):
             folded = pad_channels(folded)
         params = to_device(folded, dtype=jnp.bfloat16)
         for k in prefixes:
-            nb = None if k == "full" else int(k)
+            _check_v1_stage(k, cfg)
+            stage = k if k == "pool" else None
+            nb = (None if k == "full"
+                  else len(cfg.block_channels) if stage else int(k))
 
-            def fn(images_u8, nb=nb):
+            def fn(images_u8, nb=nb, stage=stage):
                 x = prep.preprocess(images_u8, cfg.resolution, jnp.bfloat16)
                 y = mobilenet_v1.forward(params, x, cfg, dw_backend="fused",
                                          num_blocks=nb)
+                if stage == "pool":  # blocks + avgpool, fc left to "full"
+                    y = v1ops.global_avg_pool(y)
                 return jnp.sum(y.astype(jnp.float32)).reshape(1)
 
             entries[k] = jax.jit(fn)
     return cfg, entries
+
+
+def _check_v1_stage(k, cfg):
+    """V1 has no conv_last: 'cl' is a V2/V3 stage prefix. Fail with a clear
+    message instead of int('cl')."""
+    if k == "cl":
+        raise SystemExit(
+            "stage prefix 'cl' (conv_last) does not exist on MobileNet-V1; "
+            f"use block indices 0..{len(cfg.block_channels)}, 'pool', or "
+            "'full'")
 
 
 def main():
