@@ -720,6 +720,12 @@ def cmd_export(args):
     from .quant import quantize
 
     model = getattr(args, "model", "v1")
+    sources = [s for s in ("from_keras", "from_tf_slim", "ckpt")
+               if getattr(args, s, None)]
+    if len(sources) > 1:
+        sys.exit(f"--{' / --'.join(s.replace('_', '-') for s in sources)} "
+                 "are mutually exclusive (each names a weight source); "
+                 "pass exactly one")
     if model != "v1":
         if getattr(args, "from_tf_slim", None):
             sys.exit("--from-tf-slim imports the V1 TF-slim layout only; "

@@ -8,11 +8,58 @@ Timing is fetch-fenced (np.asarray of the output) because
 block_until_ready returns early through the tunnel (CLAUDE.md).
 """
 
+import json
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def tunnel_health(print_stamp: bool = True):
+    """Measure tunnel health and return a stamp dict for artifact rows.
+
+    The 2026-08-20 03:13 attribution committed a phantom 7.5 ms int8 head +
+    3x degraded host bandwidth that only a human re-run caught
+    (benchmarks/roofline_v5e.md "methods" notes). Every on-chip artifact row
+    must carry this stamp so tools/regress.py can reject rows recorded on a
+    degraded tunnel. Healthy band recorded in
+    benchmarks/health_band_v5e.json.
+
+    Probes (all fetch-fenced — block_until_ready returns early through the
+    tunnel, CLAUDE.md):
+      rtt_ms          median dispatch+fetch round-trip of a tiny op
+      h2d_gbps        host->device bandwidth, 64 MB device_put + fenced read
+      device_ok       a 512x512 bf16 matmul returns finite values
+    """
+    dev = jax.devices()[0]
+    stamp = {"device": str(dev.platform), "utc": time.strftime(
+        "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+    # RTT: tiny dispatch + one-element fetch, median of 7
+    x = jax.device_put(jnp.ones((8, 128), jnp.bfloat16))
+    f = jax.jit(lambda a: jnp.sum(a).reshape(1))
+    _ = np.asarray(f(x))  # compile+warm
+    rtts = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        _ = np.asarray(f(x))
+        rtts.append((time.perf_counter() - t0) * 1e3)
+    stamp["rtt_ms"] = round(float(np.median(rtts)), 2)
+    # H2D bandwidth: 64 MB transfer, fenced by a one-element fetch
+    arr = np.ones((64, 1024, 1024), np.uint8)
+    t0 = time.perf_counter()
+    xb = jax.device_put(arr)
+    _ = np.asarray(xb[0, 0, 0])
+    dt = time.perf_counter() - t0
+    stamp["h2d_gbps"] = round(arr.nbytes / dt / 1e9, 2)
+    del xb
+    # Device sanity: matmul returns finite values
+    m = jax.device_put(jnp.full((512, 512), 0.5, jnp.bfloat16))
+    y = np.asarray(jnp.sum((m @ m).astype(jnp.float32)))
+    stamp["device_ok"] = bool(np.isfinite(y))
+    if print_stamp:
+        print("HEALTH " + json.dumps(stamp), flush=True)
+    return stamp
 
 
 def make_batch(batch: int, res: int, seed: int = 0):

@@ -12,6 +12,9 @@
 # One process at a time holds the chip (CLAUDE.md); run this alone.
 set -u
 cd "$(dirname "$0")/.."
+# Fail fast if the tunnel hangs (>220 s init, session-5 note) instead of
+# burning each step's 4000 s timeout.
+tools/tunnel_wait.sh 300 60 || { echo "tunnel down — aborting campaign"; exit 1; }
 LOG=benchmarks/v3small_attr_raw.log
 step() { echo "=== $(date -u +%H:%M:%S) $* ===" | tee -a "$LOG"; }
 run() { step "$*"; timeout 4000 "$@" 2>&1 | tee -a "$LOG" | tail -6; }

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+HEALTH = None  # tunnel-health stamp, set once in main()
+
 
 def build_entries(args, prefixes, int8=None):
     from mobilenet_tpu import ModelConfig
@@ -32,6 +34,20 @@ def build_entries(args, prefixes, int8=None):
 
     if int8 is None:
         int8 = args.int8
+    # With stage prefixes (cl/pool) present, the 'cl'/'pool' entries append
+    # the UNFUSED head ops while 'full' would take the fused-head Pallas
+    # kernel — the differenced final segment would then compare fused vs
+    # unfused and can come out negative (ADVICE round 3). Force the unfused
+    # head for EVERY entry so deltas are like-for-like; the fused-vs-unfused
+    # head delta itself is measured separately by tools/ab_head.py.
+    if any(k in ("cl", "pool") for k in prefixes):
+        from mobilenet_tpu.models import (mobilenet_v1, mobilenet_v2,
+                                          mobilenet_v3)
+
+        for m in (mobilenet_v1, mobilenet_v2, mobilenet_v3):
+            m.FUSED_HEAD = False
+        print("note: stage prefixes present -> UNFUSED head for all entries "
+              "(incl. full); fused-head delta is ab_head.py's job", flush=True)
     if getattr(args, "model", "v1") == "v2":
         from mobilenet_tpu.checkpoints.padding import pad_block0_v2
         from mobilenet_tpu.checkpoints.v2 import fold_bn_v2, init_params_v2
@@ -253,6 +269,9 @@ def main():
 
     prefixes = [p if not p.isdigit() else int(p)
                 for p in args.prefixes.split(",")]
+    global HEALTH
+    from _bench_common import tunnel_health
+    HEALTH = tunnel_health()
     if args.compare:
         return compare(args, prefixes)
     cfg, entries = build_entries(args, prefixes)
@@ -280,7 +299,7 @@ def main():
     print("\nsegment deltas (ms/batch):")
     prev = 0.0
     for i, k in enumerate(keys):
-        label = _segment_label(keys, i, k)
+        label = _segment_label(keys, i, k, args.model)
         print(f"  {label:>22}: {results[k] - prev:8.3f}")
         prev = results[k]
     full = results.get("full")
@@ -289,13 +308,15 @@ def main():
         print(f"\nfull: {full:.3f} ms/batch -> {ips:,.0f} img/s "
               f"({'int8' if args.int8 else 'bf16'}, batch {args.batch})")
     print(json.dumps({"dtype": "int8" if args.int8 else "bf16",
-                      "batch": args.batch, "ms": results}))
+                      "batch": args.batch, "ms": results,
+                      "health": HEALTH}))
 
 
-def _segment_label(keys, i, k):
+def _segment_label(keys, i, k, model="v1"):
     """Delta label for prefix k differenced against the PREVIOUS key. The
     first delta always includes the stem (prefixes are cumulative), so when
     the list doesn't start at 0 the label says so."""
+    v3 = model in ("v3", "v3small")
     if k == 0:
         return "conv1+pre"
     if k == "cl":
@@ -305,9 +326,10 @@ def _segment_label(keys, i, k):
     if k == "full":
         prev = keys[i - 1] if i else None
         if prev == "pool":
-            return "fc"
+            # V3 runs a post-pool head matmul before the fc (keras :345-356)
+            return "head+fc" if v3 else "fc"
         if prev == "cl":
-            return "pool+fc"
+            return "pool+head+fc" if v3 else "pool+fc"
         return "head(pool/fc/softmax)"
     if i == 0:
         return f"pre+conv1+blocks[0:{k})"
@@ -347,7 +369,7 @@ def compare(args, prefixes):
     print(f"\n{'segment':>22} | {'bf16':>8} | {'int8':>8} | {'gap':>7}")
     prev_bf = prev_i8 = 0.0
     for i, k in enumerate(prefixes):
-        label = _segment_label(prefixes, i, k)
+        label = _segment_label(prefixes, i, k, args.model)
         d_bf = med[(k, "bf16")] - prev_bf
         d_i8 = med[(k, "int8")] - prev_i8
         print(f"{label:>22} | {d_bf:8.3f} | {d_i8:8.3f} | {d_i8-d_bf:+7.3f}")
@@ -358,7 +380,8 @@ def compare(args, prefixes):
               f"int8 {fi:.3f} ms ({args.batch/fi*1e3:,.0f} img/s)  "
               f"gap {fi-fb:+.3f} ms")
     print(json.dumps({"batch": args.batch,
-                      "ms": {f"{k}/{d}": v for (k, d), v in med.items()}}))
+                      "ms": {f"{k}/{d}": v for (k, d), v in med.items()},
+                      "health": HEALTH}))
 
 
 if __name__ == "__main__":
