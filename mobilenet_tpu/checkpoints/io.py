@@ -173,16 +173,92 @@ def load_npz(path: str) -> Params:
         return _unflatten({k: data[k] for k in data.files})
 
 
+def _keras3_store(path: str):
+    """Read a keras-3 `.weights.h5` into {class_base: [per-layer var lists]}.
+
+    Keras 3 `save_weights` keys layers by CLASS-default names in creation
+    order (`layers/conv2d_14/vars/0`), NOT by the canonical application-layer
+    names — verified empirically against keras 3.13 by stamping each weight
+    with a unique constant and reading the file back. Within one file the
+    numeric suffix is strictly increasing in creation order, so sorting each
+    class's groups by suffix recovers the model's layer schedule; the
+    per-family mappers below walk that schedule. BatchNormalization vars are
+    [gamma, beta, moving_mean, moving_variance]; conv vars are
+    [kernel(, bias)]. Returns None when the file is not keras-3 layout
+    (no top-level "layers" group — i.e. a legacy named .h5).
+    """
+    import re  # noqa: PLC0415
+
+    import h5py  # noqa: PLC0415  (optional dependency, gated)
+
+    with h5py.File(path, "r") as f:
+        if "layers" not in f:
+            return None
+        entries = []
+        for name in f["layers"]:
+            m = re.fullmatch(r"(.*?)(?:_(\d+))?", name)
+            base, idx = m.group(1), int(m.group(2) or 0)
+            grp = f["layers"][name]
+            if "vars" not in grp or len(grp["vars"]) == 0:
+                continue  # weightless layers (activations, pads, reshapes)
+            arrs = [np.asarray(grp["vars"][str(i)])
+                    for i in range(len(grp["vars"]))]
+            entries.append((base, idx, arrs))
+    store: Dict[str, list] = {}
+    for base, _idx, arrs in sorted(entries, key=lambda e: (e[0], e[1])):
+        store.setdefault(base, []).append(arrs)
+    return store
+
+
+def _k3_bn(v):
+    return {"gamma": v[0], "beta": v[1], "mean": v[2], "var": v[3]}
+
+
+def _import_keras3_v1(store, config: ModelConfig) -> Params:
+    """Map a keras-3 store onto the V1 pytree. Creation order (keras
+    mobilenet.py): Conv2D = [conv1, pw_1..pw_13, conv_preds]; DepthwiseConv2D
+    = [dw_1..dw_13]; BatchNormalization = [conv1_bn] + [dw_i_bn, pw_i_bn]*13.
+    """
+    convs, dws, bns = (store["conv2d"], store["depthwise_conv2d"],
+                       store["batch_normalization"])
+    n = len(config.block_channels)
+    if len(convs) != n + 2 or len(dws) != n or len(bns) != 2 * n + 1:
+        raise ValueError(
+            f"keras-3 store shape mismatch: {len(convs)} convs/{len(dws)} dw/"
+            f"{len(bns)} bn vs expected {n + 2}/{n}/{2 * n + 1} — wrong model "
+            "family or truncated file")
+    params: Params = {"conv1": {"w": convs[0][0], "bn": _k3_bn(bns[0])},
+                      "blocks": []}
+    for i in range(n):
+        params["blocks"].append({
+            "dw": {"w": dws[i][0].transpose(0, 1, 3, 2),
+                   "bn": _k3_bn(bns[1 + 2 * i])},
+            "pw": {"w": convs[1 + i][0][0, 0], "bn": _k3_bn(bns[2 + 2 * i])},
+        })
+    preds = convs[n + 1]
+    params["fc"] = {"w": preds[0].reshape(config.feature_channels, -1),
+                    "b": preds[1]}
+    return params
+
+
 def import_keras_h5(path: str, config: ModelConfig) -> Params:
     """Convert a keras MobileNet .h5 checkpoint into our pytree.
 
-    Keras layer naming (mobilenet.py:316-415): conv1, conv1_bn,
-    conv_dw_{i}, conv_dw_{i}_bn, conv_pw_{i}, conv_pw_{i}_bn, conv_preds.
+    Two on-disk layouts are understood:
+    - legacy named .h5 (the format canonical pretrained artifacts ship in;
+      keras <3 `save_weights`): conv1, conv1_bn, conv_dw_{i}, conv_dw_{i}_bn,
+      conv_pw_{i}, conv_pw_{i}_bn, conv_preds (mobilenet.py:316-415);
+    - keras-3 `.weights.h5` (what this environment's keras 3.13 writes):
+      class-default names in creation order, see `_keras3_store`.
     Keras dw kernels are (3,3,C,1) HWOI-per-channel; we transpose to (3,3,1,C).
-    Gated: only usable when a real checkpoint file is present (none ships in
-    this environment — SURVEY.md SS0).
+    Validated against a real `keras.applications.MobileNet` forward in
+    tests/test_keras_real.py.
     """
     import h5py  # noqa: PLC0415  (optional dependency, gated)
+
+    store = _keras3_store(path)
+    if store is not None:
+        return _import_keras3_v1(store, config)
 
     def bn_of(g):
         return {

@@ -78,17 +78,62 @@ def init_params_v2(config: V2Config, seed: int = 0) -> Params:
     return params
 
 
+def _import_keras3_v2(store, config: V2Config) -> Params:
+    """Map a keras-3 `.weights.h5` store (io._keras3_store) onto the V2
+    pytree. Creation order (keras mobilenet_v2.py): Conv2D = [Conv1] +
+    per-block([expand if t>1] + [project]) + [Conv_1]; DepthwiseConv2D = one
+    per block; BatchNormalization = [bn_Conv1] + per-block([exp_bn?, dw_bn,
+    prj_bn]) + [Conv_1_bn]; Dense = [predictions]."""
+    from .io import _k3_bn
+
+    convs, dws, bns = (store["conv2d"], store["depthwise_conv2d"],
+                       store["batch_normalization"])
+    dense = store["dense"][0]
+    params: Params = {"conv1": {"w": convs[0][0], "bn": _k3_bn(bns[0])},
+                      "blocks": []}
+    ci = bi = 1
+    for i, (t, _cin, _cout, _s) in enumerate(config.block_defs):
+        blk: Params = {}
+        if t > 1:
+            blk["exp"] = {"w": convs[ci][0][0, 0], "bn": _k3_bn(bns[bi])}
+            ci += 1
+            bi += 1
+        blk["dw"] = {"w": dws[i][0].transpose(0, 1, 3, 2),
+                     "bn": _k3_bn(bns[bi])}
+        bi += 1
+        blk["prj"] = {"w": convs[ci][0][0, 0], "bn": _k3_bn(bns[bi])}
+        ci += 1
+        bi += 1
+        params["blocks"].append(blk)
+    if ci != len(convs) - 1 or bi != len(bns) - 1:
+        raise ValueError(
+            f"keras-3 store walk mismatch: consumed {ci}/{len(convs)} convs, "
+            f"{bi}/{len(bns)} bns with one of each expected to remain — "
+            "wrong model family or alpha")
+    params["conv_last"] = {"w": convs[ci][0][0, 0], "bn": _k3_bn(bns[bi])}
+    params["fc"] = {"w": dense[0].reshape(config.last_channels, -1),
+                    "b": dense[1]}
+    return params
+
+
 def import_keras_h5_v2(path: str, config: V2Config) -> Params:
     """Convert a keras MobileNetV2 .h5 checkpoint into our pytree (the V2
     twin of io.import_keras_h5 — reference analog C9, SURVEY.md SS2).
 
-    Keras layer naming (keras.applications.mobilenet_v2): Conv1 / bn_Conv1;
-    block 0 is expanded_conv_{depthwise,project}[_BN] (no expand conv);
-    blocks 1..16 are block_{i}_{expand,depthwise,project}[_BN]; the tail is
-    Conv_1 / Conv_1_bn and the `predictions` Dense. Keras dw kernels are
-    (3,3,C,1); ours are (3,3,1,C). Gated: only usable when a real
-    checkpoint file is present (none ships in this environment — SS0)."""
+    Two layouts, as in io.import_keras_h5: legacy named .h5 (Conv1 /
+    bn_Conv1; block 0 expanded_conv_{depthwise,project}[_BN], no expand
+    conv; blocks 1..16 block_{i}_{expand,depthwise,project}[_BN]; tail
+    Conv_1 / Conv_1_bn + `predictions` Dense) and keras-3 `.weights.h5`
+    (class-ordinal layout, `_import_keras3_v2`). Keras dw kernels are
+    (3,3,C,1); ours are (3,3,1,C). Validated against a real
+    `keras.applications.MobileNetV2` forward in tests/test_keras_real.py."""
     import h5py  # noqa: PLC0415  (optional dependency, gated)
+
+    from .io import _keras3_store
+
+    store = _keras3_store(path)
+    if store is not None:
+        return _import_keras3_v2(store, config)
 
     with h5py.File(path, "r") as f:
         mw = f["model_weights"] if "model_weights" in f else f

@@ -108,21 +108,75 @@ def init_params_v3(config: V3Config, seed: int = 0) -> Params:
     return params
 
 
+def _import_keras3_v3(store, config: V3Config) -> Params:
+    """Map a keras-3 `.weights.h5` store (io._keras3_store) onto the V3
+    pytree. Creation order (keras mobilenet_v3.py): Conv2D = [stem] +
+    per-block([expand?] + [se_conv1, se_conv2 if SE] + [project]) +
+    [Conv_1 (conv_last), Conv_2 (post-pool head), Logits]; DepthwiseConv2D
+    = one per block; BatchNormalization = [stem_bn] + per-block([exp_bn?,
+    dw_bn, prj_bn]) + [Conv_1_bn]. SE and head convs carry [kernel, bias]."""
+    from .io import _k3_bn
+
+    convs, dws, bns = (store["conv2d"], store["depthwise_conv2d"],
+                       store["batch_normalization"])
+    params: Params = {"conv1": {"w": convs[0][0], "bn": _k3_bn(bns[0])},
+                      "blocks": []}
+    ci = bi = 1
+    for i, bd in enumerate(config.block_defs):
+        blk: Params = {}
+        if bd.has_expand:
+            blk["exp"] = {"w": convs[ci][0][0, 0], "bn": _k3_bn(bns[bi])}
+            ci += 1
+            bi += 1
+        blk["dw"] = {"w": dws[i][0].transpose(0, 1, 3, 2),
+                     "bn": _k3_bn(bns[bi])}
+        bi += 1
+        if bd.se_mid:
+            se1, se2 = convs[ci], convs[ci + 1]
+            ci += 2
+            blk["se"] = {"w1": se1[0][0, 0], "b1": se1[1],
+                         "w2": se2[0][0, 0], "b2": se2[1]}
+        blk["prj"] = {"w": convs[ci][0][0, 0], "bn": _k3_bn(bns[bi])}
+        ci += 1
+        bi += 1
+        params["blocks"].append(blk)
+    if ci != len(convs) - 3 or bi != len(bns) - 1:
+        raise ValueError(
+            f"keras-3 store walk mismatch: consumed {ci}/{len(convs)} convs, "
+            f"{bi}/{len(bns)} bns with conv_last+head+logits / conv_last_bn "
+            "expected to remain — wrong variant or minimalistic flag")
+    params["conv_last"] = {"w": convs[ci][0][0, 0], "bn": _k3_bn(bns[bi])}
+    head, logits = convs[ci + 1], convs[ci + 2]
+    params["head"] = {"w": head[0][0, 0], "b": head[1]}
+    params["fc"] = {"w": logits[0].reshape(config.last_point_channels, -1),
+                    "b": logits[1]}
+    return params
+
+
 def import_keras_h5_v3(path: str, config: V3Config) -> Params:
     """Convert a keras MobileNetV3 .h5 checkpoint into our pytree (the V3
     twin of io.import_keras_h5 — reference analog C9, SURVEY.md SS2).
 
-    Keras layer naming (keras.applications.mobilenet_v3) uses slash-scoped
+    Two layouts, as in io.import_keras_h5. Legacy named .h5
+    (keras.applications.mobilenet_v3) uses slash-scoped
     names, which h5py resolves as nested groups: stem Conv + Conv/BatchNorm;
     block i under `expanded_conv[_{i}]` with sublayers expand[/BatchNorm]
     (absent at block 0), depthwise[/BatchNorm], squeeze_excite/Conv and
     squeeze_excite/Conv_1 (bias convs, no BN), project[/BatchNorm]; the
     tail is Conv_1[/BatchNorm], the post-pool head conv Conv_2 (bias), and
-    the Logits 1x1 conv (bias). Keras dw kernels are (k,k,C,1); ours are
+    the Logits 1x1 conv (bias). Keras-3 `.weights.h5` is the class-ordinal
+    layout (`_import_keras3_v3`). Keras dw kernels are (k,k,C,1); ours are
     (k,k,1,C). Which sublayers exist is driven by config.block_defs, so the
-    minimalistic variants (no SE) read cleanly. Gated: only usable when a
-    real checkpoint file is present (none ships here — SURVEY.md SS0)."""
+    minimalistic variants (no SE) read cleanly. Validated against a real
+    `keras.applications.MobileNetV3Small` forward in
+    tests/test_keras_real.py."""
     import h5py  # noqa: PLC0415  (optional dependency, gated)
+
+    from .io import _keras3_store
+
+    store = _keras3_store(path)
+    if store is not None:
+        return _import_keras3_v3(store, config)
 
     with h5py.File(path, "r") as f:
         mw = f["model_weights"] if "model_weights" in f else f
