@@ -63,3 +63,39 @@ def test_tile_policies_return_valid_tiles():
             bn, th = fn(n, h, w, ci, co, s, 2)
             assert n % bn == 0, (pol, n, bn)
             assert h % th == 0, (pol, h, th)
+
+
+def test_health_band_check_flags_degraded_stamps():
+    """check_health_band rejects the 03:13-style degraded stamps (slow h2d,
+    hung RTT, failed device sanity) and passes healthy / non-tpu / no-band
+    cases — the guard that keeps poisoned rows out of the artifacts."""
+    from _bench_common import check_health_band
+
+    band = {"rtt_ms_max": 60.0, "h2d_gbps_min": 0.025}
+    healthy = {"device": "tpu", "rtt_ms": 30.1, "h2d_gbps": 0.05,
+               "device_ok": True}
+    assert check_health_band(healthy, band) == (True, ["healthy"])
+    # the recorded incident: ~3x degraded host bandwidth
+    degraded = dict(healthy, h2d_gbps=0.016)
+    ok, reasons = check_health_band(degraded, band)
+    assert not ok and any("h2d" in r for r in reasons)
+    hung = dict(healthy, rtt_ms=220.0)
+    ok, reasons = check_health_band(hung, band)
+    assert not ok and any("rtt" in r for r in reasons)
+    broken = dict(healthy, device_ok=False)
+    ok, reasons = check_health_band(broken, band)
+    assert not ok and any("sanity" in r for r in reasons)
+    # non-tpu runs and missing bands pass with a note
+    cpu = dict(healthy, device="cpu")
+    assert check_health_band(cpu, band)[0]
+    assert check_health_band(healthy, None)[0]
+
+
+def test_health_band_file_parses():
+    """The committed band file loads and has the fields the check reads."""
+    from _bench_common import load_health_band
+
+    band = load_health_band()
+    assert band is not None
+    assert band["rtt_ms_max"] >= 30.0  # the fixed tunnel RTT is ~30 ms
+    assert 0.0 < band["h2d_gbps_min"] < 0.05

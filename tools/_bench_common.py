@@ -62,6 +62,42 @@ def tunnel_health(print_stamp: bool = True):
     return stamp
 
 
+def load_health_band(path=None):
+    """Recorded healthy band for tunnel stamps (band file committed next to
+    the artifacts it guards). Returns None when no band is recorded yet."""
+    import os
+
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "benchmarks", "health_band_v5e.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def check_health_band(stamp, band):
+    """Compare a tunnel_health stamp against the recorded healthy band.
+
+    Returns (ok, reasons). Only TPU stamps are banded — a CPU-backend run
+    has no tunnel to degrade. A band of None (not yet recorded) passes with
+    a note so first-session tooling isn't blocked.
+    """
+    if stamp.get("device") != "tpu":
+        return True, ["non-tpu backend: band not applicable"]
+    if band is None:
+        return True, ["no recorded health band yet"]
+    reasons = []
+    if not stamp.get("device_ok", False):
+        reasons.append("device sanity matmul failed")
+    if stamp.get("rtt_ms", 0.0) > band["rtt_ms_max"]:
+        reasons.append(f"rtt {stamp['rtt_ms']} ms > {band['rtt_ms_max']}")
+    if stamp.get("h2d_gbps", 0.0) < band["h2d_gbps_min"]:
+        reasons.append(
+            f"h2d {stamp['h2d_gbps']} GB/s < {band['h2d_gbps_min']}")
+    return not reasons, reasons or ["healthy"]
+
+
 def make_batch(batch: int, res: int, seed: int = 0):
     """Deterministic uint8 image batch, device-resident."""
     rng = np.random.default_rng(seed)

@@ -86,7 +86,25 @@ def main() -> int:
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--model", default="v1",
                     choices=["v1", "v2", "v3", "v3small"])
+    ap.add_argument("--force-degraded", action="store_true",
+                    help="measure anyway when the tunnel-health stamp is "
+                         "outside the recorded band (results are suspect)")
     args = ap.parse_args()
+
+    # Refuse to record regression verdicts on a degraded tunnel: the
+    # 2026-08-20 03:13 session committed a phantom 7.5 ms attribution row
+    # that only a human re-run caught (roofline_v5e.md methods note).
+    from _bench_common import (check_health_band, load_health_band,
+                               tunnel_health)
+
+    stamp = tunnel_health()
+    ok, reasons = check_health_band(stamp, load_health_band())
+    if not ok:
+        print(f"TUNNEL DEGRADED: {'; '.join(reasons)}")
+        if not args.force_degraded:
+            print("refusing to measure (pass --force-degraded to override); "
+                  "recorded artifacts stay authoritative")
+            return 2
 
     from mobilenet_tpu.config import ModelConfig
 
