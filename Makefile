@@ -1,7 +1,8 @@
 # Build/validate flow (reference analog: C11, the SDAccel Makefile tiers —
-# SURVEY.md SS2/SS4): sw_emu -> tests (CPU interpret), hw -> tpu_smoke + bench.
+# SURVEY.md SS2/SS4): sw_emu -> tests (CPU interpret), hw_emu -> lower-check
+# (offline Mosaic lowering), hw -> tpu_smoke + bench.
 
-.PHONY: test oracle verify eval verify-families smoke bench sweep regress regress-full hw-v3 clean
+.PHONY: test oracle verify eval verify-families lower-check smoke bench sweep regress regress-full hw-v3 clean
 
 oracle:            ## build the native C++ golden oracle
 	python -c "from mobilenet_tpu import cpu_ref; print(cpu_ref.build(force=True))"
@@ -23,6 +24,9 @@ verify-families:   ## V2/V3 golden + int8-exact + routing-equivalence gates (CPU
 	python -m mobilenet_tpu.cli --backend cpu verify --model v3small --alpha 1.0 --res 96
 	python -m mobilenet_tpu.cli --backend cpu verify --model v3small --alpha 1.0 --res 96 --int8
 	python -m mobilenet_tpu.cli --backend cpu verify --model v3small --alpha 1.0 --res 96 --routing fused
+
+lower-check:       ## hw_emu tier: lower every shipping Pallas route through Mosaic, no chip needed
+	python tools/lower_check.py
 
 smoke:             ## hw tier: all Pallas kernel families on the real TPU
 	python tools/tpu_smoke.py

@@ -36,8 +36,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Flipped (only) by tools/lower_check.py's compile-only tier: forces real
+# Pallas->Mosaic lowering during jax.export cross-platform lowering on the
+# CPU backend, instead of the interpret fallback the test tier uses. Every
+# kernel module shares this one switch (they import _should_interpret).
+FORCE_COMPILE = False
+
+
 def _should_interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    return not FORCE_COMPILE and jax.default_backend() != "tpu"
 
 
 def _pick_block_h(h_out: int) -> int:
