@@ -45,6 +45,24 @@ def ir_i8_fits(n, h, w, cin, e, cout, stride) -> bool:
     return _mode(n, h, w, cin, e, cout, stride, 2)[0] is not None
 
 
+def _exp_dot_i8(xv, ew_ref, eb_ref):
+    """Expand accumulation, exact in either carrier dtype (the
+    quant/pallas_ir_v3_i8._exp_dot pattern, hw-validated there).
+
+    int8 input: s8 x s8 -> i32 MXU dot (the original path). bf16-carried
+    input (integers in [-128, 127] held exactly): bf16 MXU dot with f32
+    accumulation — products <= 127^2 exact, partial sums < Cin*127^2 <
+    2^24 for every V2 width, and |dot + bias| < 2^24 guarded at carry-plan
+    time (quant/v2._bias_ok_i8). Returns f32 exact ints or i32 —
+    _requant_f32 accepts both."""
+    if xv.dtype == jnp.int8:
+        return jax.lax.dot_general(
+            xv, ew_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32) + eb_ref[0]
+    acc = jnp.dot(xv, ew_ref[...], preferred_element_type=jnp.float32)
+    return acc + eb_ref[0].astype(jnp.float32)
+
+
 def _ir_i8_kernel(
     x_ref, ew_ref, eb_ref, em_ref, dww_ref, dwb_ref, dm_ref,
     pww_ref, pwb_ref, pm_ref, o_ref, s_ref,
@@ -58,11 +76,9 @@ def _ir_i8_kernel(
     def _():
         s_ref[...] = jnp.zeros_like(s_ref)
 
-    # --- expand: s8 x s8 -> s32 on the MXU, requant, carry as bf16 ints ----
-    xv = x_ref[...]  # (BN*H*W, Cin) int8
-    acc_e = jax.lax.dot_general(
-        xv, ew_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32) + eb_ref[0]
+    # --- expand: exact dot in the carrier dtype, requant, bf16 carriage ----
+    xv = x_ref[...]  # (BN*H*W, Cin) int8 or bf16-carried ints
+    acc_e = _exp_dot_i8(xv, ew_ref, eb_ref)
     ye = _requant_f32(acc_e, em_ref[0], six_e, True)  # f32 ints in [0,127]
     y4 = ye.astype(jnp.bfloat16).reshape(bn, h, w, ep)  # exact carriage
 
@@ -106,12 +122,14 @@ def _ir_i8_kernel(
     out = jnp.clip(jnp.round(v), -128, 127)  # f32 ints in [-128, 127]
     if residual:
         # Saturating int8 residual add, in exact f32 (|sum| <= 255 << 2^24).
-        # Sequence matches the oracle: requant-clip, add, clip. The input
-        # widens i8 -> i32 -> f32 (Mosaic can't cast i8 to f32 directly —
-        # the pallas_block_i8 widen rule).
-        out = jnp.clip(out + xv.astype(jnp.int32).astype(jnp.float32),
-                       -128, 127)
-    o_ref[...] = out.astype(jnp.int8)
+        # Sequence matches the oracle: requant-clip, add, clip. An int8
+        # input widens i8 -> i32 -> f32 (Mosaic can't cast i8 to f32
+        # directly — the pallas_block_i8 widen rule); a bf16 carrier casts
+        # straight to f32 (exact).
+        xf = (xv.astype(jnp.float32) if xv.dtype == jnp.bfloat16
+              else xv.astype(jnp.int32).astype(jnp.float32))
+        out = jnp.clip(out + xf, -128, 127)
+    o_ref[...] = out.astype(o_ref.dtype)
 
 
 def _ir_i8_kernel_rows(
@@ -133,10 +151,8 @@ def _ir_i8_kernel_rows(
 
     th_in = th + 2 if stride == 1 else 2 * th + 2
     cin = x_ref.shape[-1]
-    xv = x_ref[...].reshape(th_in * w, cin)  # int8, small-C cast
-    acc_e = jax.lax.dot_general(
-        xv, ew_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32) + eb_ref[0]
+    xv = x_ref[...].reshape(th_in * w, cin)  # int8/bf16, small-C cast
+    acc_e = _exp_dot_i8(xv, ew_ref, eb_ref)
     ye = _requant_f32(acc_e, em_ref[0], six_e, True)
     y4 = ye.astype(jnp.bfloat16).reshape(th_in, w, ep)
 
@@ -195,36 +211,42 @@ def _ir_i8_kernel_rows(
     v = acc_p.astype(jnp.float32) * pm_ref[0].astype(jnp.float32)
     out = jnp.clip(jnp.round(v), -128, 127)
     if not residual:
-        o_ref[...] = out.astype(jnp.int8)
+        o_ref[...] = out.astype(o_ref.dtype)
         return
     thw = th * w
-    xf = xv.astype(jnp.int32).astype(jnp.float32)
+    xf = (xv.astype(jnp.float32) if xv.dtype == jnp.bfloat16
+          else xv.astype(jnp.int32).astype(jnp.float32))
+    odt = o_ref.dtype
 
     @pl.when(i == 0)
     def _():
-        o_ref[...] = jnp.clip(out + xf[0:thw], -128, 127).astype(jnp.int8)
+        o_ref[...] = jnp.clip(out + xf[0:thw], -128, 127).astype(odt)
 
     if g > 2:
         @pl.when(jnp.logical_and(i > 0, i < g - 1))
         def _():
             o_ref[...] = jnp.clip(out + xf[w : w + thw],
-                                  -128, 127).astype(jnp.int8)
+                                  -128, 127).astype(odt)
 
     @pl.when(i == g - 1)
     def _():
         o_ref[...] = jnp.clip(out + xf[2 * w : 2 * w + thw],
-                              -128, 127).astype(jnp.int8)
+                              -128, 127).astype(odt)
 
 
 def inverted_residual_pallas_i8(
     x_i8, ew_i8, eb_i32, e_m, six_e, dww_i8, dwb_i32, d_m, six_d,
     pww_i8, pwb_i32, p_m, stride, residual, *,
-    block_n: Optional[int] = None, interpret=None,
+    block_n: Optional[int] = None, interpret=None, out_dtype=jnp.int8,
 ):
     """One fused INT8 V2 bottleneck (whole-image or row-tiled mode — the
     float kernel's tiling decision at itemsize 2 applies verbatim).
 
-    x_i8: (N, H, W, Cin) int8. Weights int8 (exp (Cin,E), dw (3,3,1,E) or
+    x_i8: (N, H, W, Cin) int8, or bfloat16 carrying the same integers (the
+    V3 carriage discipline, quant/pallas_ir_v3_i8 — the expand dot runs in
+    the carrier dtype, exactness bounds guarded at carry-plan time).
+    out_dtype int8 (default) or bfloat16 — identical integers either way.
+    Weights int8 (exp (Cin,E), dw (3,3,1,E) or
     (3,3,E), prj (E,Cout)); biases int32 in accumulator units; m vectors
     f32 per out-channel; six_q f32 scalars (quant/quantize.QuantLayer).
     Exactly equal to quant/v2's XLA ops sequence (exp pw_i8 -> dw3x3_i8 ->
@@ -234,25 +256,27 @@ def inverted_residual_pallas_i8(
         x_i8, ew_i8, eb_i32, jnp.asarray(e_m), dww_i8.reshape(3, 3, -1),
         dwb_i32, jnp.asarray(d_m), pww_i8, pwb_i32, jnp.asarray(p_m),
         int(stride), bool(residual), float(six_e), float(six_d),
-        block_n=block_n, interpret=interpret)
+        block_n=block_n, interpret=interpret,
+        out_dtype=jnp.dtype(out_dtype).name)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("stride", "residual", "six_e", "six_d", "block_n",
-                     "interpret"),
+                     "interpret", "out_dtype"),
 )
 def _ir_i8_impl(
     x, ew, eb, em, dww, dwb, dm, pww, pwb, pm,
     stride: int, residual: bool, six_e: float, six_d: float, *,
-    block_n=None, interpret=None,
+    block_n=None, interpret=None, out_dtype="int8",
 ):
     if interpret is None:
         interpret = _should_interpret()
     n, h, w, cin = x.shape
     e = ew.shape[1]
     cout = pww.shape[1]
-    assert x.dtype == jnp.int8 and ew.shape == (cin, e)
+    assert x.dtype in (jnp.int8, jnp.bfloat16), x.dtype
+    assert ew.shape == (cin, e)
     assert dww.shape == (3, 3, e) and pww.shape == (e, cout)
     if stride == 2:
         assert h % 2 == 0 and w % 2 == 0, (h, w)
@@ -338,7 +362,8 @@ def _ir_i8_impl(
         grid=grid,
         in_specs=in_specs,
         out_specs=o_spec,
-        out_shape=jax.ShapeDtypeStruct((n * h_out * w_out, cout), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((n * h_out * w_out, cout),
+                                       jnp.dtype(out_dtype)),
         scratch_shapes=[scratch],
         interpret=interpret,
     )(x_arg, ew, eb.reshape(1, ep), em.reshape(1, ep), dww,

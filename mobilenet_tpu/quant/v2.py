@@ -227,6 +227,32 @@ FUSED_EXPAND_S2_I8_BLOCKS = {1}
 FUSED_EXPAND_S2_I8_MIN_H = 96
 
 
+# bf16 integer carriage across the int8 V2 blocks — the V3 playbook
+# (quant/v3.CARRY_MIN_H, measured there 2026-08-18: int8 element windows in
+# the fused kernels cost up to 6x at big spatials; carriage took int8
+# V3-Large 1,858 -> 7,376 img/s). A block ACCEPTS a bf16-carried input when
+# its route stays exact with it (the ir kernel's expand dot needs the
+# bias bound; the XLA expand adds bias in i32 after the dot) and its input
+# spatial is >= this threshold; producers then emit bf16 (same integers).
+CARRY_MIN_H_V2 = 28
+
+
+def _carry_accepts_v2(dev, config: V2Config):
+    """Per-block bf16-carriage acceptance (len 17). Purely a routing plan:
+    every consumer route is exact for either carrier (with the in-route
+    int8 fallback cast when a bound fails), so a wrong accept costs perf,
+    never exactness. Block 0 (t=1, the packed route) stays int8."""
+    acc = []
+    h = config.resolution // 2
+    for (t, cin, cout, stride), blk in zip(config.block_defs,
+                                           dev["blocks"]):
+        acc.append(h >= CARRY_MIN_H_V2 and "exp" in blk
+                   and _bias_ok_i8(blk["exp"],
+                                   int(blk["exp"]["w"].shape[0])))
+        h //= stride
+    return acc
+
+
 def _six_ok(layer: Dict[str, Any]) -> bool:
     """The named-relu == fixed-relu6 bit-equality precondition: rint(six_q)
     must be 127 with six_q strictly inside (126.5, 127.5) — true exactly for
@@ -293,8 +319,18 @@ def forward_v2_i8(dev: Dict[str, Any], x_i8, config: V2Config, *,
     y = qops.conv1_i8(x_i8, c1["w"], c1["b"], c1["m"], c1["six_q"], relu6)
     if collect:
         acts["conv1"] = y
+    accepts = None
     if use_fused and not collect:
         from .pallas_ir_i8 import inverted_residual_pallas_i8, ir_i8_fits
+
+        accepts = _carry_accepts_v2(dev, config)
+
+    def _out_dt(i):
+        """Producer emits bf16 exactly when the NEXT block accepts it (the
+        tail conv_last always takes int8)."""
+        if accepts is not None and i + 1 < len(accepts) and accepts[i + 1]:
+            return jnp.bfloat16
+        return jnp.int8
 
     for i, ((t, cin, cout, stride), blk) in enumerate(
             zip(config.block_defs, dev["blocks"])):
@@ -391,7 +427,8 @@ def forward_v2_i8(dev: Dict[str, Any], x_i8, config: V2Config, *,
                 yb = y if y.dtype == jnp.bfloat16 else y.astype(jnp.bfloat16)
                 out = expand_block_packed_s2_i8(
                     pack(yb, cin_a), ew, eb, em, dww, dwb, dwm, pw, pb, pm,
-                    cin_a, "relu", 1.0, 1.0, 1.0, out_dtype="int8")
+                    cin_a, "relu", 1.0, 1.0, 1.0,
+                    out_dtype=jnp.dtype(_out_dt(i)).name)
                 y = out.reshape(out.shape[0], out.shape[1], -1, cout_p)
                 continue
         if (use_fused and not collect and "exp" in blk
@@ -405,11 +442,16 @@ def forward_v2_i8(dev: Dict[str, Any], x_i8, config: V2Config, *,
                 # consume block 0's zero-channel projection padding:
                 # zero expansion rows contribute nothing — exact.
                 e_w = jnp.pad(e_w, ((0, cin_a - int(e_w.shape[0])), (0, 0)))
+            if y.dtype == jnp.bfloat16 and not _bias_ok_i8(e, cin_a):
+                # defensive: the bf16 expand dot's exactness bound fails
+                # for this block's constants — take the s8 dot instead
+                # (accepts[] already avoids emitting bf16 here)
+                y = y.astype(jnp.int8)
             y = inverted_residual_pallas_i8(
                 y, e_w, e["b"], e["m"], e["six_q"],
                 d["w"], d["b"], d["m"], d["six_q"],
                 p["w"], p["b"], p["m"], stride,
-                stride == 1 and cin == cout)
+                stride == 1 and cin == cout, out_dtype=_out_dt(i))
             continue
         z = y
         if "exp" in blk:
@@ -417,21 +459,30 @@ def forward_v2_i8(dev: Dict[str, Any], x_i8, config: V2Config, *,
             e_w = e["w"]
             if cin_a > int(e_w.shape[0]):
                 e_w = jnp.pad(e_w, ((0, cin_a - int(e_w.shape[0])), (0, 0)))
-            z = qops.pointwise_i8(z, e_w, e["b"], e["m"], e["six_q"], relu6)
+            z = _pointwise_i8_carrier(z, e_w, e["b"], e["m"], e["six_q"],
+                                      relu6)
             if collect:
                 acts[f"block{i:02d}_exp"] = z
+        elif z.dtype == jnp.bfloat16:
+            z = z.astype(jnp.int8)  # t=1 fallback: dw reads either, but
+            # keep the oracle path byte-stable for the residual below
         d = blk["dw"]
         z = qops.depthwise_i8_xla(z, d["w"], d["b"], d["m"], d["six_q"],
                                   stride, relu6)
         if collect:
             acts[f"block{i:02d}_dw"] = z
         p = blk["prj"]
-        out = _pw_i8_linear_dev(z, p["w"], p["b"], p["m"])
+        out = _pw_i8_linear_dev(z, p["w"], p["b"], p["m"],
+                                out_dtype=None if (stride == 1
+                                                   and cin == cout)
+                                else _out_dt(i) if accepts is not None
+                                else None)
         if collect:
             acts[f"block{i:02d}_prj"] = out
         if stride == 1 and cin == cout:
             out = jnp.clip(out.astype(jnp.int32) + y.astype(jnp.int32),
-                           -128, 127).astype(jnp.int8)
+                           -128, 127).astype(
+                _out_dt(i) if accepts is not None else jnp.int8)
             if collect:
                 acts[f"block{i:02d}_out"] = out
         y = out
@@ -452,8 +503,9 @@ def forward_v2_i8(dev: Dict[str, Any], x_i8, config: V2Config, *,
     return logits
 
 
-def _pw_i8_linear_dev(x_i8, w_i8, bias_i32, m):
-    """Linear pointwise requant on the MXU (device twin of pw_i8_linear)."""
+def _pw_i8_linear_dev(x_i8, w_i8, bias_i32, m, out_dtype=None):
+    """Linear pointwise requant on the MXU (device twin of pw_i8_linear).
+    out_dtype int8 (default) or bfloat16 — identical integers either way."""
     import jax.numpy as jnp
     from jax import lax
 
@@ -465,8 +517,31 @@ def _pw_i8_linear_dev(x_i8, w_i8, bias_i32, m):
         preferred_element_type=jnp.int32,
     ) + bias_i32[None, :]
     v = acc.astype(jnp.float32) * m.astype(jnp.float32)
-    out = jnp.clip(jnp.round(v), -128, 127).astype(jnp.int8)
+    out = jnp.clip(jnp.round(v), -128, 127).astype(out_dtype or jnp.int8)
     return out.reshape(n, h, w, cout)
+
+
+def _pointwise_i8_carrier(z, w_i8, bias_i32, m, six_q, relu6):
+    """qops.pointwise_i8 for either activation carrier: a bf16-carried
+    input runs a bf16 MXU dot with f32 accumulation and the bias added in
+    int32 AFTER (exact while cin * 127^2 < 2^24 — every V2 width; no bias
+    bound needed), then the identical requant — bit-equal to the s8 path."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from . import ops as qops
+
+    if z.dtype == jnp.int8:
+        return qops.pointwise_i8(z, w_i8, bias_i32, m, six_q, relu6)
+    n, h, w, cin = z.shape
+    acc = lax.dot_general(
+        z.reshape(n * h * w, cin).astype(jnp.bfloat16),
+        w_i8.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    acc = acc + bias_i32[None, :]
+    return qops.requantize(acc, m, six_q, relu6).reshape(
+        n, h, w, w_i8.shape[1])
 
 
 def verify_int8_v2(config: V2Config, folded: Dict[str, Any],

@@ -379,22 +379,48 @@ def _pw_acc_dev(x_i8, w_i8, bias_i32):
 
 
 def _dwk_acc_dev(x_i8, w_i8, stride, k):
-    """k-tap f32 integer dw accumulation (exact: k^2 * 127^2 + bias << 2^24;
-    the depthwise_i8_xla argument, k-generalized)."""
+    """k-tap f32 integer dw accumulation (exact: each product <= 127^2 is
+    exact in f32 and the k^2-tap partial sums stay below 2^24 in any order;
+    the depthwise_i8_xla argument, k-generalized). The input may carry int8
+    OR bf16 (same integers — both cast exactly to f32).
+
+    Stride 2 uses an EVEN/ODD parity split: the naive form's 9 stride-2
+    slices are sublane-strided relayouts — the measured 4x-worse pattern
+    (design.md SS3) that made V3-Small's unfused b0 cost 8.08 ms at 112²
+    (2026-08-20 attribution). Splitting the padded input into its four
+    (row, col) parity planes once turns every tap into a DENSE slice of one
+    plane: out(i,j) = sum xp[2i+dy, 2j+dx] w[dy,dx] and the plane
+    (dy%2, dx%2) holds xp[2i+dy] at row i + dy//2."""
     import jax.numpy as jnp
 
     n, h, w, c = x_i8.shape
     h_out, w_out = -(-h // stride), -(-w // stride)
     lo_h, hi_h = numpy_ref.same_pad(h, stride, k)
     lo_w, hi_w = numpy_ref.same_pad(w, stride, k)
+    wf = w_i8.astype(jnp.float32)
+    if stride == 2:
+        # pad rows/cols to EVEN totals so the parity reshape is legal;
+        # extra zeros sit past every tap's reach
+        hp, wp = h + lo_h + hi_h, w + lo_w + hi_w
+        xp = jnp.pad(x_i8.astype(jnp.float32),
+                     ((0, 0), (lo_h, hi_h + hp % 2),
+                      (lo_w, hi_w + wp % 2), (0, 0)))
+        hp, wp = hp + hp % 2, wp + wp % 2
+        xr = xp.reshape(n, hp // 2, 2, wp // 2, 2, c)
+        acc = jnp.zeros((n, h_out, w_out, c), jnp.float32)
+        for dy in range(k):
+            for dx in range(k):
+                plane = xr[:, :, dy % 2, :, dx % 2, :]
+                oy, ox = dy // 2, dx // 2
+                acc = acc + (plane[:, oy : oy + h_out, ox : ox + w_out, :]
+                             * wf[dy, dx, 0])
+        return acc.astype(jnp.int32)
     xp = jnp.pad(x_i8.astype(jnp.float32),
                  ((0, 0), (lo_h, hi_h), (lo_w, hi_w), (0, 0)))
-    wf = w_i8.astype(jnp.float32)
     acc = jnp.zeros((n, h_out, w_out, c), jnp.float32)
     for dy in range(k):
         for dx in range(k):
-            patch = xp[:, dy : dy + h_out * stride : stride,
-                       dx : dx + w_out * stride : stride, :]
+            patch = xp[:, dy : dy + h_out, dx : dx + w_out, :]
             acc = acc + patch * wf[dy, dx, 0]
     return acc.astype(jnp.int32)
 
@@ -455,23 +481,35 @@ def _fused_plan_v3(dev, config: V3Config, n: int):
             cin = e = int(blk["dw"]["w"].shape[-1])
         fit = v3_i8_fits(n, h, h, cin, e, int(blk["prj"]["w"].shape[1]),
                          bd.kernel, bd.stride, bd.se_mid)
-        acc = fit and h >= CARRY_MIN_H
-        if acc and "exp" in blk:
-            try:
-                bmax = int(np.abs(np.asarray(blk["exp"]["b"])).max())
-                acc = bmax <= 2 ** 24 - 2 * cin * 127 * 127
-            except Exception:  # traced tree (no concrete values): no carry
-                acc = False
+        if fit:
+            acc = h >= CARRY_MIN_H
+            if acc and "exp" in blk:
+                try:
+                    bmax = int(np.abs(np.asarray(blk["exp"]["b"])).max())
+                    acc = bmax <= 2 ** 24 - 2 * cin * 127 * 127
+                except Exception:  # traced tree (no concrete values)
+                    acc = False
+        else:
+            # The unfused XLA fallback also accepts a bf16 carrier: its
+            # expand runs as a bf16 MXU dot with the bias added in int32
+            # AFTER (exact while cin * 127^2 < 2^24 — every V3 width
+            # qualifies), and the dw f32 tap loop casts to f32 either way.
+            # Reading bf16 skips the int8 relayout read at the big spatial
+            # — V3-Small's b0/b1 paid +15 ms for int8 carriage across this
+            # seam (2026-08-20 attribution).
+            acc = cin * 127 * 127 < 2 ** 24
         fused.append(fit)
         accepts.append(acc)
         h = h // bd.stride
-    # a producer emits bf16 exactly when its consumer block accepts it
-    # (conv1 emits bf16 for free — its requant just casts differently)
+    # a producer emits bf16 exactly when its consumer block accepts it —
+    # FUSED OR NOT: the fused kernel takes out_dtype, the XLA fallback's
+    # final requant/residual-add casts either way, and conv1's requant just
+    # casts differently. Identical integers in either carrier.
     conv1_dtype = jnp.bfloat16 if accepts and accepts[0] else jnp.int8
     plan = []
     for i, fit in enumerate(fused):
         nxt = accepts[i + 1] if i + 1 < len(fused) else False
-        out_dt = jnp.bfloat16 if (fit and nxt) else jnp.int8
+        out_dt = jnp.bfloat16 if nxt else jnp.int8
         in_dt = conv1_dtype if i == 0 else plan[i - 1][2]
         plan.append((fit, in_dt, out_dt))
     return conv1_dtype, plan
@@ -504,16 +542,42 @@ def _dot_bias_ok(layer, k_terms: int) -> bool:
     return k_terms * 127 * 127 + bmax < 2 ** 24
 
 
-def _xla_block_v3_i8(z, bd, blk):
+def _pw_acc_carrier_dev(z, w_i8, bias_i32):
+    """Pointwise int accumulation for either carrier: int8 -> the native
+    s8xs8->s32 MXU dot; bf16-carried ints -> a bf16 MXU dot with f32
+    accumulation (|x|,|w| <= 127 exact in bf16, products <= 16129 exact in
+    f32, partial sums < cin * 127^2 < 2^24 for every V3 width), bias added
+    in int32 AFTER the dot so no bias bound is needed — bit-identical
+    integers either way (the conv1_i8 argument, quant/ops.py)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    if z.dtype == jnp.int8:
+        return _pw_acc_dev(z, w_i8, bias_i32)
+    shp = z.shape
+    acc = lax.dot_general(
+        z.reshape(-1, shp[-1]).astype(jnp.bfloat16),
+        w_i8.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    acc = acc + bias_i32[None, :]
+    return acc.reshape(shp[:-1] + (w_i8.shape[1],))
+
+
+def _xla_block_v3_i8(z, bd, blk, out_dtype=None):
     """One bottleneck on the exact XLA ops (the unfused sequence, no
-    collect taps) — the fallback when a padded-width block no longer fits
-    the fused kernel's VMEM plan."""
+    collect taps) — the fallback when a block doesn't fit the fused
+    kernel's VMEM plan. Accepts either activation carrier (int8, or bf16
+    holding the same integers) and emits `out_dtype` (default int8) so
+    bf16 carriage rides ACROSS unfused blocks: V3-Small's b0 fallback at
+    112² previously forced int8 into fused b1, costing the 6x element-
+    window relayout there (2026-08-20 attribution)."""
     import jax.numpy as jnp
 
     x_in = z
     if bd.has_expand:
         e = blk["exp"]
-        z = _requant_named_dev(_pw_acc_dev(z, e["w"], e["b"]),
+        z = _requant_named_dev(_pw_acc_carrier_dev(z, e["w"], e["b"]),
                                e["a"], e["inv_s"], bd.act)
     d = blk["dw"]
     z = _requant_named_dev(
@@ -523,10 +587,11 @@ def _xla_block_v3_i8(z, bd, blk):
         z = _se_i8_dev(z, blk["se1"], blk["se2"])
     p = blk["prj"]
     out = _requant_named_dev(_pw_acc_dev(z, p["w"], p["b"]),
-                             p["a"], p["inv_s"], "linear")
+                             p["a"], p["inv_s"], "linear",
+                             out_dtype=None if bd.has_res else out_dtype)
     if bd.has_res:
         out = jnp.clip(out.astype(jnp.int32) + x_in.astype(jnp.int32),
-                       -128, 127).astype(jnp.int8)
+                       -128, 127).astype(out_dtype or jnp.int8)
     return out
 
 
@@ -720,14 +785,18 @@ def forward_v3_i8(dev: Dict[str, Any], x_q, config: V3Config, *,
                         bd.kernel, bd.stride,
                         0 if not bd.se_mid else
                         int(blk["se1"]["w"].shape[1])):
-                    z = y.astype(jnp.int8) if y.dtype == jnp.bfloat16 else y
-                    y = _xla_block_v3_i8(z, bd, blk)
+                    y = _xla_block_v3_i8(y, bd, blk, out_dtype=plan[i][2])
                     continue
             y = v3_block_pallas_i8(
                 y, blk.get("exp"), blk["dw"], blk["prj"], k=bd.kernel,
                 stride=bd.stride, act=bd.act,
                 se1=blk.get("se1"), se2=blk.get("se2"),
                 residual=bd.has_res, out_dtype=plan[i][2])
+            continue
+        if plan is not None:
+            # non-fitting block under the fused plan: the exact XLA
+            # fallback, with the plan's carriage dtypes riding through
+            y = _xla_block_v3_i8(y, bd, blk, out_dtype=plan[i][2])
             continue
         z = y
         if bd.has_expand:

@@ -155,3 +155,32 @@ def test_rows_mode_exact(rng, n, h, cin, e, cout, stride, residual):
     # at least the first two shapes must actually exercise rows mode
     if h >= 56:
         assert _mode(n, h, h, cin, e, cout, stride, 2)[0] == "rows"
+
+
+def test_model_fused_carriage_bit_identical_at_160():
+    """bf16 integer carriage across the int8 V2 blocks (CARRY_MIN_H_V2):
+    at 160 the plan has b1 emit bf16 into b2's ir kernel and b2 into b3
+    (both >= 28² input), closing back to int8 before b4 — the routed
+    forward must stay bit-equal to the pure-XLA oracle path. Also pins the
+    plan shape this test exists for."""
+    import jax.numpy as jnp
+
+    from mobilenet_tpu.checkpoints.v2 import fold_bn_v2, init_params_v2
+    from mobilenet_tpu.models.mobilenet_v2 import V2Config
+    from mobilenet_tpu.quant.quantize import quantize_input
+    from mobilenet_tpu.quant.v2 import (_as_device_tree_v2,
+                                        _carry_accepts_v2, forward_v2_i8,
+                                        quantize_v2)
+
+    cfg = V2Config(alpha=0.35, resolution=160)
+    folded = fold_bn_v2(init_params_v2(cfg, seed=2), eps=cfg.bn_eps)
+    dev = _as_device_tree_v2(quantize_v2(folded, cfg, n_calib=8))
+    acc = _carry_accepts_v2(dev, cfg)
+    assert acc[1] and acc[2] and acc[3] and not acc[0] and not acc[4]
+
+    rng = np.random.default_rng(6)
+    x_i8 = jnp.asarray(quantize_input(
+        rng.uniform(-1, 1, (2, 160, 160, 3)).astype(np.float32)))
+    lx = np.asarray(forward_v2_i8(dev, x_i8, cfg))
+    lf = np.asarray(forward_v2_i8(dev, x_i8, cfg, use_fused=True))
+    np.testing.assert_array_equal(lx, lf)

@@ -439,3 +439,53 @@ def test_wpad_mode_i8_exact():
                                  stride=s, act="hswish", se1=lay(q1),
                                  se2=lay(q2), residual=False)
         np.testing.assert_array_equal(np.asarray(got), want)
+
+
+@pytest.mark.parametrize("k,stride,h", [(3, 2, 12), (5, 2, 12), (3, 1, 9),
+                                        (5, 1, 9), (3, 2, 14), (5, 2, 10)])
+def test_dwk_eo_split_matches_numpy(k, stride, h):
+    """The even/odd parity-split device dw accumulation (the stride-2
+    relayout fix, 2026-08-20) is bit-equal to the numpy oracle's naive
+    strided taps, for both carriers and both kernel sizes."""
+    import jax.numpy as jnp
+
+    from mobilenet_tpu.quant.v3 import _dwk_acc_dev, _dwk_acc_np
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(-127, 128, (2, h, h, 8)).astype(np.int8)
+    w = rng.integers(-127, 128, (k, k, 1, 8)).astype(np.int8)
+    want = _dwk_acc_np(x, w, stride, k)
+    for carrier in (jnp.int8, jnp.bfloat16):
+        got = np.asarray(_dwk_acc_dev(jnp.asarray(x).astype(carrier),
+                                      jnp.asarray(w), stride, k))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_xla_fallback_carriage_seam_exact():
+    """V3-Small at 192: b0 does NOT fit the fused int8 kernel (the flagship
+    224 situation, scaled down), so the fused plan routes it through the
+    upgraded XLA fallback with bf16 carriage in AND out (conv1 -> b0 ->
+    fused b1). The routed forward must stay bit-equal to the pure-XLA
+    int8 oracle path."""
+    import jax.numpy as jnp
+
+    from mobilenet_tpu.quant.ops import quantize_input_dev
+    from mobilenet_tpu.quant.quantize import ACT_IN_SCALE
+    from mobilenet_tpu.quant.v3 import (_as_device_tree_v3, _fused_plan_v3,
+                                        forward_v3_i8, quantize_v3)
+
+    cfg = V3Config(variant="small", alpha=1.0, resolution=192)
+    folded = fold_bn_v3(init_params_v3(cfg, seed=3), eps=cfg.bn_eps)
+    dev = _as_device_tree_v3(quantize_v3(folded, cfg, n_calib=4))
+    cd, plan = _fused_plan_v3(dev, cfg, 2)
+    # the seam this test exists for: b0 unfused yet bf16-carried in/out
+    assert not plan[0][0] and cd == jnp.bfloat16 and plan[0][2] == jnp.bfloat16
+    assert plan[1][0]  # b1 fused, receiving the bf16 carrier
+
+    rng = np.random.default_rng(9)
+    x = rng.uniform(-1, 1, (2, 192, 192, 3)).astype(np.float32)
+    x_q = quantize_input_dev(jnp.asarray(x), ACT_IN_SCALE,
+                             out_dtype=jnp.bfloat16)
+    want = np.asarray(forward_v3_i8(dev, x_q, cfg, use_fused=False))
+    got = np.asarray(forward_v3_i8(dev, x_q, cfg, use_fused=True))
+    np.testing.assert_array_equal(got, want)

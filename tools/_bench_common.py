@@ -45,14 +45,19 @@ def tunnel_health(print_stamp: bool = True):
         _ = np.asarray(f(x))
         rtts.append((time.perf_counter() - t0) * 1e3)
     stamp["rtt_ms"] = round(float(np.median(rtts)), 2)
-    # H2D bandwidth: 64 MB transfer, fenced by a one-element fetch
+    # H2D bandwidth: 64 MB transfers, fenced by a one-element fetch.
+    # BEST of 3: single shots spread 0.02-0.05 GB/s on a healthy tunnel
+    # (2026-08-20 stamps) — capacity is what degrades in the incident mode,
+    # and the best transfer reflects capacity.
     arr = np.ones((64, 1024, 1024), np.uint8)
-    t0 = time.perf_counter()
-    xb = jax.device_put(arr)
-    _ = np.asarray(xb[0, 0, 0])
-    dt = time.perf_counter() - t0
-    stamp["h2d_gbps"] = round(arr.nbytes / dt / 1e9, 2)
-    del xb
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        xb = jax.device_put(arr)
+        _ = np.asarray(xb[0, 0, 0])
+        best = min(best, time.perf_counter() - t0)
+        del xb
+    stamp["h2d_gbps"] = round(arr.nbytes / best / 1e9, 3)
     # Device sanity: matmul returns finite values
     m = jax.device_put(jnp.full((512, 512), 0.5, jnp.bfloat16))
     y = np.asarray(jnp.sum((m @ m).astype(jnp.float32)))
