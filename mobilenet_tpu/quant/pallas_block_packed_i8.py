@@ -18,6 +18,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -692,3 +693,165 @@ def packed_block_i8_named_s2(
                                    jnp.bfloat16)],
         interpret=interpret,
     )(x_packed, dww, dwb, da, pww, pwb, pa)
+
+
+def _named_s2_se_kernel(x_ref, dww_ref, dwb_ref, da_ref, ssel_ref,
+                        s1w_ref, s1b_ref, s1a_ref, s2w_ref, s2b_ref,
+                        s2a_ref, pww_ref, pwb_ref, pa_ref, o_ref, s_ref,
+                        *, w4, r, cin, act, bn, h_out, out_cols, d_inv,
+                        s1_inv, p_inv, hw_inv, out_dtype):
+    """Whole-image stride-2 lane-packed named block WITH the quantized SE
+    gate in-kernel (V3-Small block 0: t=1, k3 s2, SE, relu — its XLA int8
+    fallback measured 8.08 -> 4.28 ms/batch-256 across the 2026-08-20
+    session and this kernel is the roofline answer: one bf16 read of the
+    packed 112² image, everything else in VMEM).
+
+    dw taps: the _named_s2_kernel algebra (A[p]-everywhere lane rolls +
+    even-block selection in the projection). SE: per-channel sums over the
+    SELECTED pixels only via an f32 dot with the 0/1 selection-sum matrix
+    (partial sums <= 127*H*W < 2^24 — exact in any order), then byte-for-
+    byte the ir_v3_i8 SE sequence: rint mean -> s8 pooled -> s8 SE dots ->
+    relu requant -> hard-sigmoid gate in f32 -> rint(z*gate) on every lane
+    (odd blocks are redundant and discarded by the projection selection).
+    """
+    import jax as _jax
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    th = h_out  # whole image: SE needs the full extent before the gate
+    s_ref[:, 0 : 2 * th, 0:w4, :] = x_ref[...]
+
+    sv = s_ref[...].astype(jnp.float32)  # exact ints (bf16 carrier)
+    lane = _jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 128), 3)
+    group = lane // cin
+    roll1 = pltpu.roll(sv, 128 - cin, axis=3)              # pixel p+1
+    shift1 = jnp.where(group == r - 1, _shift_cols(roll1, -1), roll1)
+    roll2 = pltpu.roll(sv, (128 - 2 * cin) % 128, axis=3)  # pixel p+2
+    shift2 = jnp.where(group >= r - 2, _shift_cols(roll2, -1), roll2)
+    taps = (sv, shift1, shift2)
+
+    n_pairs = sv.shape[1] // 2
+    acc = jnp.zeros((bn, th, w4 + 1, 128), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            t = taps[dx].reshape(bn, n_pairs, 2, w4 + 1, 128)[
+                :, dy // 2 : dy // 2 + th, dy % 2]
+            acc = acc + t * dww_ref[dy, dx, :].astype(jnp.float32)
+
+    yd = _named_requant_f32(
+        acc[:, :, 0:w4, :] + dwb_ref[0].astype(jnp.float32),
+        da_ref[0], d_inv, act)  # f32 ints, A-space (bn, th, w4, 128)
+
+    # --- quantized SE gate: selected-pixel channel sums -> ir_v3_i8 SE ---
+    lane_sums = jnp.sum(yd, axis=(1, 2))  # (bn, 128) exact ints
+    ch_sums = jnp.dot(lane_sums, ssel_ref[...],
+                      preferred_element_type=jnp.float32)  # (bn, cin)
+    pooled = jnp.clip(jnp.round(ch_sums * jnp.float32(hw_inv)),
+                      -128, 127).astype(jnp.int8)
+    g1 = _named_requant_f32(
+        (_jax.lax.dot_general(
+            pooled, s1w_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32) + s1b_ref[0]).astype(
+                jnp.float32),
+        s1a_ref[0], s1_inv, "relu").astype(jnp.int8)
+    acc2 = _jax.lax.dot_general(
+        g1, s2w_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32) + s2b_ref[0]
+    v = acc2.astype(jnp.float32) * s2a_ref[0].astype(jnp.float32)
+    gate = jnp.clip(v + jnp.float32(3.0), 0.0, 6.0) * jnp.float32(1.0 / 6.0)
+    gate_l = jnp.tile(gate, (1, r))  # lane j*cin+c <- gate[c]
+    yd = jnp.clip(jnp.round(yd * gate_l[:, None, None, :]), -128, 127)
+
+    # --- LINEAR projection (selection kron) — _named_s2_kernel epilogue ---
+    y2 = yd.astype(jnp.bfloat16).reshape(bn * th * w4, 128)
+    out = jnp.dot(y2, pww_ref[...], preferred_element_type=jnp.float32)
+    out = out + pwb_ref[0].astype(jnp.float32)
+    q = _named_requant_f32(out, pa_ref[0], p_inv, "linear")
+    o_ref[...] = q.reshape(bn, th, out_cols, 128).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cin", "cout", "act", "d_inv", "s1_inv", "p_inv",
+                     "out_dtype", "block_n", "interpret"),
+)
+def packed_block_i8_named_s2_se(
+    x_packed,              # (N, H, W*Cin/128, 128) bf16-carried ints
+    dw_w_i8, dw_bias_i32, dw_a,
+    se1_w_i8, se1_b_i32, se1_a, se2_w_i8, se2_b_i32, se2_a,
+    pw_w_i8, pw_bias_i32, pw_a,
+    cin: int, cout: int, act: str, d_inv: float, s1_inv: float,
+    p_inv: float, out_dtype: str = "bfloat16", *,
+    block_n: Optional[int] = None, interpret: Optional[bool] = None,
+):
+    """Stride-2 lane-packed named-act int8 block with in-kernel SE (no
+    expand — the t=1 V3-Small block-0 shape). Whole-image tiles only (the
+    SE pool needs the full extent); bit-identical to the XLA ops sequence
+    (dw requant -> _se_i8 -> linear prj requant). Returns the
+    (R/2)-packed layout of the ZERO-PADDED cout (caller pads projection
+    cols so (R/2)*cout_p % 128 == 0; requant maps them to exact zeros)."""
+    if interpret is None:
+        interpret = _should_interpret()
+    out_dtype = jnp.dtype(out_dtype)
+    n, h, w4, lanes = x_packed.shape
+    assert lanes == 128 and x_packed.dtype == jnp.bfloat16
+    r = 128 // cin
+    assert 128 % cin == 0 and r % 2 == 0, (cin, r)
+    assert (r // 2) * cout % 128 == 0, (r, cout)
+    assert h % 2 == 0
+    h_out = h // 2
+    out_cols = w4 * ((r // 2) * cout) // 128
+    se_mid = int(se1_w_i8.shape[1])
+
+    bn = block_n or 1
+    while n % bn:
+        bn -= 1
+
+    dww = jnp.tile(dw_w_i8.reshape(3, 3, cin), (1, 1, r))
+    dwb = jnp.tile(dw_bias_i32.reshape(1, cin), (1, r))
+    da = jnp.tile(dw_a.reshape(1, cin).astype(jnp.float32), (1, r))
+    # selection-sum matrix: lane j*cin+c sums into channel c for EVEN j
+    # (the valid stride-2 output pixels; odd blocks are tap redundancy)
+    sel_sum = np.zeros((128, cin), np.float32)
+    for j in range(0, r, 2):
+        sel_sum[j * cin + np.arange(cin), np.arange(cin)] = 1.0
+    sel = jnp.zeros((r, r // 2), jnp.int8).at[
+        2 * jnp.arange(r // 2), jnp.arange(r // 2)].set(1)
+    pww = jnp.kron(sel, pw_w_i8).astype(jnp.bfloat16)
+    pwb = jnp.tile(pw_bias_i32.reshape(1, cout), (1, r // 2))
+    pa = jnp.tile(pw_a.reshape(1, cout).astype(jnp.float32), (1, r // 2))
+
+    kernel = functools.partial(
+        _named_s2_se_kernel, w4=w4, r=r, cin=cin, act=act, bn=bn,
+        h_out=h_out, out_cols=out_cols, d_inv=float(d_inv),
+        s1_inv=float(s1_inv), p_inv=float(p_inv),
+        hw_inv=1.0 / float(h_out * (w4 * r // 2)), out_dtype=out_dtype)
+    wspec = lambda shape: pl.BlockSpec(shape, lambda b_: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((bn, h, w4, 128), lambda b_: (b_, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec((3, 3, 128)), wspec((1, 128)), wspec((1, 128)),
+            wspec((128, cin)),
+            wspec((cin, se_mid)), wspec((1, se_mid)), wspec((1, se_mid)),
+            wspec((se_mid, cin)), wspec((1, cin)), wspec((1, cin)),
+            wspec((128, (r // 2) * cout)), wspec((1, (r // 2) * cout)),
+            wspec((1, (r // 2) * cout)),
+        ],
+        out_specs=pl.BlockSpec((bn, h_out, out_cols, 128),
+                               lambda b_: (b_, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h_out, out_cols, 128), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bn, h + 2, w4 + 1, 128), jnp.bfloat16)],
+        interpret=interpret,
+    )(x_packed, dww, dwb, da, jnp.asarray(sel_sum),
+      jnp.asarray(se1_w_i8), jnp.asarray(se1_b_i32).reshape(1, se_mid),
+      jnp.asarray(se1_a).reshape(1, se_mid).astype(jnp.float32),
+      jnp.asarray(se2_w_i8), jnp.asarray(se2_b_i32).reshape(1, cin),
+      jnp.asarray(se2_a).reshape(1, cin).astype(jnp.float32),
+      pww, pwb, pa)

@@ -432,6 +432,36 @@ def forward_v2_i8(dev: Dict[str, Any], x_i8, config: V2Config, *,
                 y = out.reshape(out.shape[0], out.shape[1], -1, cout_p)
                 continue
         if (use_fused and not collect and "exp" in blk
+                and not ir_i8_fits(int(y.shape[0]), int(y.shape[1]),
+                                   int(y.shape[2]), int(y.shape[-1]),
+                                   int(blk["exp"]["w"].shape[1]),
+                                   int(blk["prj"]["w"].shape[1]), stride)):
+            # Block busts the V2 ir kernel's plan (b13 at 1.0-224: 14² s2
+            # with h_out*w_out = 49 odd — the sublane-rule class) — bridge
+            # onto the NAMED V3 kernel, which has the wpad mode that took
+            # int8 V3-Large's block 12 from 10.2 to 0.8 ms. V2's fixed-
+            # scale scheme maps as a = m, inv_s = 1.0 (the fused-s2
+            # route's documented bit-equality argument, gated by _six_ok);
+            # the projection is named "linear" with v*1.0 an exact f32
+            # identity. Paired attribution 2026-08-20: the b13..head
+            # segment carries +2.24 ms of V2's +8.0 int8-vs-bf16 gap.
+            from .pallas_ir_v3_i8 import (  # noqa: PLC0415
+                v3_block_pallas_i8, v3_i8_fits)
+
+            e, d, p = blk["exp"], blk["dw"], blk["prj"]
+            e_a = int(e["w"].shape[1])
+            res = stride == 1 and cin == cout
+            if (v3_i8_fits(int(y.shape[0]), int(y.shape[1]),
+                           int(y.shape[2]), cin_a, e_a, cout_a, 3, stride)
+                    and _six_ok(e) and _six_ok(d)
+                    and _bias_ok_i8(e, cin_a)):
+                named = lambda l: {"w": l["w"], "b": l["b"],  # noqa: E731
+                                   "a": l["m"], "inv_s": 1.0}
+                y = v3_block_pallas_i8(
+                    y, named(e), named(d), named(p), k=3, stride=stride,
+                    act="relu", residual=res, out_dtype=_out_dt(i))
+                continue
+        if (use_fused and not collect and "exp" in blk
                 and ir_i8_fits(int(y.shape[0]), int(y.shape[1]),
                                int(y.shape[2]), int(y.shape[-1]),
                                int(blk["exp"]["w"].shape[1]),

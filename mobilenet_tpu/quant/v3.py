@@ -794,6 +794,42 @@ def forward_v3_i8(dev: Dict[str, Any], x_q, config: V3Config, *,
                 residual=bd.has_res, out_dtype=plan[i][2])
             continue
         if plan is not None:
+            # Non-fitting t=1 SE s2 block (Small b0: 112² with SE busts the
+            # whole-image VMEM plan): the lane-packed SE kernel — one bf16
+            # read of the packed image, dw taps + SE gate + projection all
+            # in VMEM (quant/pallas_block_packed_i8.packed_block_i8_named_
+            # s2_se). The XLA fallback below measured 4.28 ms/batch-256
+            # here even after the eo-split fix (2026-08-20).
+            if (not bd.has_expand and bd.kernel == 3 and bd.stride == 2
+                    and bd.se_mid and bd.act == "relu" and not bd.has_res
+                    and y.dtype == jnp.bfloat16
+                    and cin_a < 128 and 128 % cin_a == 0
+                    and (128 // cin_a) % 2 == 0
+                    and (int(y.shape[2]) * cin_a) % 128 == 0
+                    and int(y.shape[1]) % 2 == 0
+                    and _dot_bias_ok(blk["dw"], 9)
+                    and _dot_bias_ok(blk["prj"], cin_a)):
+                from ..ops.pallas_block_packed import pack  # noqa: PLC0415
+                from .pallas_block_packed_i8 import (  # noqa: PLC0415
+                    packed_block_i8_named_s2_se)
+
+                r2 = (128 // cin_a) // 2
+                cm = 128 // r2
+                cout_a = int(blk["prj"]["w"].shape[1])
+                cout_p = -(-cout_a // cm) * cm
+                d, p = blk["dw"], blk["prj"]
+                s1, s2 = blk["se1"], blk["se2"]
+                pw = jnp.pad(p["w"], ((0, 0), (0, cout_p - cout_a)))
+                pb = jnp.pad(p["b"], (0, cout_p - cout_a))
+                pa = jnp.pad(p["a"], (0, cout_p - cout_a))
+                out = packed_block_i8_named_s2_se(
+                    pack(y, cin_a), d["w"], d["b"], d["a"],
+                    s1["w"], s1["b"], s1["a"], s2["w"], s2["b"], s2["a"],
+                    pw, pb, pa, cin_a, cout_p, bd.act, float(d["inv_s"]),
+                    float(s1["inv_s"]), float(p["inv_s"]),
+                    out_dtype=jnp.dtype(plan[i][2]).name)
+                y = out.reshape(out.shape[0], out.shape[1], -1, cout_p)
+                continue
             # non-fitting block under the fused plan: the exact XLA
             # fallback, with the plan's carriage dtypes riding through
             y = _xla_block_v3_i8(y, bd, blk, out_dtype=plan[i][2])

@@ -184,3 +184,53 @@ def test_model_fused_carriage_bit_identical_at_160():
     lx = np.asarray(forward_v2_i8(dev, x_i8, cfg))
     lf = np.asarray(forward_v2_i8(dev, x_i8, cfg, use_fused=True))
     np.testing.assert_array_equal(lx, lf)
+
+
+def test_v3_kernel_bridge_matches_v2_ops_b13():
+    """The a=m, inv_s=1.0 bridge: a V2 block that busts the ir kernel's
+    plan (the b13 class — 14² s2, h_out*w_out odd) routed through the
+    NAMED V3 kernel must be bit-equal to the V2 XLA ops sequence, for both
+    out carriers."""
+    from mobilenet_tpu.quant import ops as qops
+    from mobilenet_tpu.quant.pallas_ir_v3_i8 import (v3_block_pallas_i8,
+                                                     v3_i8_fits)
+    from mobilenet_tpu.quant.quantize import _quant_layer
+    from mobilenet_tpu.quant.v2 import _pw_i8_linear_dev
+
+    n, h, cin, e, cout, stride = 2, 14, 96, 576, 160, 2
+    assert not ir_i8_fits(256, h, h, cin, e, cout, stride)
+    assert v3_i8_fits(256, h, h, cin, e, cout, 3, stride)
+    rng = np.random.default_rng(13)
+    sc = np.float32(6.0 / 127.0)
+    qe = _quant_layer(rng.normal(0, e ** -0.5, (cin, e)).astype(np.float32),
+                      rng.normal(0, 0.1, (e,)).astype(np.float32),
+                      out_axis=1, s_in=sc, s_out=sc)
+    qd = _quant_layer(rng.normal(0, 0.3, (3, 3, 1, e)).astype(np.float32),
+                      rng.normal(0, 0.1, (e,)).astype(np.float32),
+                      out_axis=3, s_in=sc, s_out=sc, f32_bias_bound=True)
+    qp = _quant_layer(rng.normal(0, e ** -0.5, (e, cout)).astype(np.float32),
+                      rng.normal(0, 0.1, (cout,)).astype(np.float32),
+                      out_axis=1, s_in=sc, s_out=np.float32(0.05))
+    x_i8 = rng.integers(-100, 101, (n, h, h, cin)).astype(np.int8)
+
+    z = qops.pointwise_i8(jnp.asarray(x_i8), jnp.asarray(qe.w_i8),
+                          jnp.asarray(qe.bias_i32), jnp.asarray(qe.m),
+                          float(qe.six_q), True)
+    z = qops.depthwise_i8_xla(z, jnp.asarray(qd.w_i8),
+                              jnp.asarray(qd.bias_i32), jnp.asarray(qd.m),
+                              float(qd.six_q), stride, True)
+    want = np.asarray(_pw_i8_linear_dev(z, jnp.asarray(qp.w_i8),
+                                        jnp.asarray(qp.bias_i32),
+                                        jnp.asarray(qp.m)))
+
+    named = lambda q: {"w": jnp.asarray(q.w_i8),  # noqa: E731
+                       "b": jnp.asarray(q.bias_i32),
+                       "a": jnp.asarray(q.m), "inv_s": 1.0}
+    for carrier in (jnp.int8, jnp.bfloat16):
+        for out_dt in (jnp.int8, jnp.bfloat16):
+            got = v3_block_pallas_i8(
+                jnp.asarray(x_i8).astype(carrier), named(qe), named(qd),
+                named(qp), k=3, stride=stride, act="relu", residual=False,
+                out_dtype=out_dt)
+            np.testing.assert_array_equal(
+                np.asarray(got, np.float32), want.astype(np.float32))

@@ -489,3 +489,59 @@ def test_xla_fallback_carriage_seam_exact():
     want = np.asarray(forward_v3_i8(dev, x_q, cfg, use_fused=False))
     got = np.asarray(forward_v3_i8(dev, x_q, cfg, use_fused=True))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("h,cin,se,cout", [(24, 16, 8, 16), (16, 32, 16, 32),
+                                           (112, 16, 8, 16)])
+def test_packed_s2_se_kernel_exact(h, cin, se, cout):
+    """The lane-packed stride-2 SE kernel (V3-Small block-0 shape) is
+    bit-equal to the XLA named sequence dw-requant -> SE -> linear-prj for
+    both out carriers, including the flagship 112² geometry."""
+    import jax.numpy as jnp
+
+    from mobilenet_tpu.ops.pallas_block_packed import pack
+    from mobilenet_tpu.quant.pallas_block_packed_i8 import (
+        packed_block_i8_named_s2_se)
+    from mobilenet_tpu.quant.v3 import (_quant_named, _requant_named_np,
+                                        _dwk_acc_np, _pw_acc_np, _se_i8_np)
+
+    rng = np.random.default_rng(h + cin)
+    sc = np.float32(0.04)
+    qd = _quant_named(rng.normal(0, 0.3, (3, 3, 1, cin)).astype(np.float32),
+                      rng.normal(0, 0.1, (cin,)).astype(np.float32), 3,
+                      sc, sc, k_taps=9)
+    q1 = _quant_named(rng.normal(0, cin ** -0.5, (cin, se)).astype(
+        np.float32), rng.normal(0, 0.1, (se,)).astype(np.float32), 1, sc, sc)
+    q2 = _quant_named(rng.normal(0, se ** -0.5, (se, cin)).astype(
+        np.float32), rng.normal(0, 0.1, (cin,)).astype(np.float32), 1,
+        sc, sc)
+    qp = _quant_named(rng.normal(0, cin ** -0.5, (cin, cout)).astype(
+        np.float32), rng.normal(0, 0.1, (cout,)).astype(np.float32), 1,
+        sc, sc)
+    x_i8 = rng.integers(-100, 101, (2, h, h, cin)).astype(np.int8)
+
+    z = _requant_named_np(_dwk_acc_np(x_i8, qd.w_i8, 2, 3) + qd.bias_i32,
+                          qd.a, qd.inv_s, "relu")
+    z = _se_i8_np(z, q1, q2)
+    want = _requant_named_np(_pw_acc_np(z, qp.w_i8) + qp.bias_i32,
+                             qp.a, qp.inv_s, "linear")
+
+    r = 128 // cin
+    cm = 128 // (r // 2)
+    cout_p = -(-cout // cm) * cm
+    pw_w = np.pad(qp.w_i8, ((0, 0), (0, cout_p - cout)))
+    pw_b = np.pad(qp.bias_i32, (0, cout_p - cout))
+    pw_a = np.pad(qp.a, (0, cout_p - cout))
+    xb = pack(jnp.asarray(x_i8).astype(jnp.bfloat16), cin)
+    for out_dt in ("int8", "bfloat16"):
+        out = packed_block_i8_named_s2_se(
+            xb, jnp.asarray(qd.w_i8), jnp.asarray(qd.bias_i32),
+            jnp.asarray(qd.a),
+            jnp.asarray(q1.w_i8), jnp.asarray(q1.bias_i32), jnp.asarray(q1.a),
+            jnp.asarray(q2.w_i8), jnp.asarray(q2.bias_i32), jnp.asarray(q2.a),
+            jnp.asarray(pw_w), jnp.asarray(pw_b), jnp.asarray(pw_a),
+            cin, cout_p, "relu", float(qd.inv_s), float(q1.inv_s),
+            float(qp.inv_s), out_dtype=out_dt)
+        got = np.asarray(out, np.float32).reshape(2, h // 2, -1, cout_p)
+        np.testing.assert_array_equal(got[..., :cout], want.astype(np.float32))
+        assert (got[..., cout:] == 0).all()
