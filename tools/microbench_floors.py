@@ -33,6 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _window(fn, x):
+    """fn must return a TINY array (slice in-graph): the fence fetches the
+    whole return value through the tunnel, and a full-tensor fetch at the
+    tunnel's ~0.05-0.08 GB/s once measured as 5.7 s/call 'HBM bandwidth'
+    (2026-08-20 first run of this tool)."""
     from mobilenet_tpu.utils.timing import fenced_window
 
     _ = np.asarray(fn(x)).ravel()[:1]  # compile + warm, fetch-fenced
@@ -58,7 +62,7 @@ def hbm_copy_rate(n, h, w, c, dtype=jnp.bfloat16):
         out_specs=pl.BlockSpec((1, h, w, c), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, c), dtype),
-    )(a))
+    )(a)[0, 0, 0, :1])  # tiny fetch; the custom call still writes it all
     s = _window(fn, x)
     gbps = 2 * n * h * w * c * esz / s / 1e9  # read + write
     return gbps, s
@@ -80,7 +84,7 @@ def _stencil_kernel(x_ref, w_ref, o_ref, *, reps, h, w):
     o_ref[...] = acc.astype(x_ref.dtype)
 
 
-def vpu_stencil_rate(h=56, w=56, c=128, reps=32):
+def vpu_stencil_rate(h=56, w=56, c=128, reps=256):
     """9 full-tile FMAs x REPS on a VMEM tile -> (T-FMA/s, s_per_call)."""
     x = jax.device_put(jnp.ones((1, h, w, c), jnp.bfloat16))
     wts = jax.device_put(jnp.ones((3, 3, c), jnp.bfloat16))
@@ -95,7 +99,7 @@ def vpu_stencil_rate(h=56, w=56, c=128, reps=32):
         out_specs=pl.BlockSpec((1, h, w, c), lambda i: (0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, h, w, c), jnp.bfloat16),
-    )(a, b))
+    )(a, b)[0, 0, 0, :1])
     s = _window(lambda a: fn(a, wts), x)
     fmas = reps * 9 * h * w * c
     return fmas / s / 1e12, s

@@ -40,6 +40,35 @@ MXU_FLOPS = 197e12
 HBM_BPS = 8.1e11
 VPU_FMAS = 8 * 128 * 4 * 0.94e9
 
+# Measured achievable rates (--achievable): replaces the paper numbers with
+# what THIS stack sustains through the same Pallas grid machinery
+# (tools/microbench_floors.py -> benchmarks/achievable_v5e.json). HBM is
+# strongly shape-dependent — 162 GB/s at 112²x64 (half-empty lanes +
+# per-step overhead) vs 549 at 56²x128 — so achievable mode keys the rate
+# by channel width.
+HBM_RATES = None  # {channels: bytes/s}, set by apply_achievable()
+
+
+def _hbm_bps(c):
+    if HBM_RATES is None:
+        return HBM_BPS
+    key = min(HBM_RATES, key=lambda k: abs(k - c))
+    return HBM_RATES[key]
+
+
+def apply_achievable():
+    """Load benchmarks/achievable_v5e.json into the rate globals."""
+    global MXU_FLOPS, VPU_FMAS, HBM_RATES
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks", "achievable_v5e.json")
+    with open(path) as f:
+        data = json.load(f)
+    MXU_FLOPS = data["mxu_tflops"] * 1e12
+    VPU_FMAS = data["vpu_stencil_tfmas"] * 1e12
+    HBM_RATES = {int(label.split("x")[1]): gbps * 1e9
+                 for label, gbps in data["hbm_copy_gbps"].items()}
+    return data
+
 # Segment boundaries as prefix block counts (prefix_attr.py convention):
 # 0 = pre+conv1, then deltas between consecutive prefixes.
 PREFIXES = [0, 1, 2, 6, 13, "full"]
@@ -51,7 +80,8 @@ def block_floor(n, hi, cin, cout, stride, esz):
     mxu = n * ho * ho * cin * cout * 2 / MXU_FLOPS
     # dw: 9 FMA taps per output element + ~2 epilogue ops (bias+relu) on VPU
     vpu = n * ho * ho * cin * (9 + 2) / VPU_FMAS
-    hbm = (n * hi * hi * cin + n * ho * ho * cout) * esz / HBM_BPS
+    hbm = (n * hi * hi * cin * esz / _hbm_bps(cin)
+           + n * ho * ho * cout * esz / _hbm_bps(cout))
     return mxu, vpu, hbm
 
 
@@ -63,7 +93,8 @@ def segment_floors(cfg, batch, esz):
     c1 = cfg.stem_channels
     ho = res // 2
     mxu = n * ho * ho * 27 * c1 * 2 / MXU_FLOPS
-    hbm = (n * res * res * 3 * 1 + n * ho * ho * c1 * esz) / HBM_BPS
+    hbm = (n * res * res * 3 * 1 / _hbm_bps(64)
+           + n * ho * ho * c1 * esz / _hbm_bps(c1))
     segs = {"conv1+pre": (mxu, 0.0, hbm)}
 
     per_block = []
@@ -81,7 +112,7 @@ def segment_floors(cfg, batch, esz):
     segs["head"] = (
         n * cfg.feature_channels * cfg.num_classes * 2 / MXU_FLOPS,
         0.0,
-        (n * hw * hw * cin * esz) / HBM_BPS,
+        (n * hw * hw * cin * esz) / _hbm_bps(cin),
     )
 
     out = {}
@@ -103,7 +134,8 @@ def ir_block_floor(n, hi, cin, e, cout, k, stride, se_mid, esz):
     mxu = (n * (hi * hi * cin * e + ho * ho * e * cout)
            + (n * 2 * e * se_mid if se_mid else 0)) * 2 / MXU_FLOPS
     vpu = n * ho * ho * e * (k * k + 3) / VPU_FMAS
-    hbm = (n * hi * hi * cin + n * ho * ho * cout) * esz / HBM_BPS
+    hbm = (n * hi * hi * cin * esz / _hbm_bps(cin)
+           + n * ho * ho * cout * esz / _hbm_bps(cout))
     return mxu, vpu, hbm
 
 
@@ -115,7 +147,8 @@ def family_block_floors(cfg, batch, esz):
     c1 = cfg.stem_channels
     ho = res // 2
     mxu = n * ho * ho * 27 * c1 * 2 / MXU_FLOPS
-    hbm = (n * res * res * 3 * 1 + n * ho * ho * c1 * esz) / HBM_BPS
+    hbm = (n * res * res * 3 * 1 / _hbm_bps(64)
+           + n * ho * ho * c1 * esz / _hbm_bps(c1))
     segs = {"conv1+pre": (mxu, 0.0, hbm)}
     hw = ho
     is_v3 = hasattr(cfg, "variant")
@@ -144,7 +177,7 @@ def family_block_floors(cfg, batch, esz):
     else:
         head_mac += cl * cfg.num_classes
     segs["head"] = (n * head_mac * 2 / MXU_FLOPS, 0.0,
-                    (n * hw * hw * cin * esz) / HBM_BPS)
+                    (n * hw * hw * cin * esz) / _hbm_bps(cin))
     out = {}
     for label, (mxu_, vpu_, hbm_) in segs.items():
         floor = max(mxu_, vpu_, hbm_)
@@ -168,7 +201,17 @@ def main():
     ap.add_argument("--minimalistic", action="store_true")
     ap.add_argument("--measure", action="store_true",
                     help="run the prefix-differenced measurement on the chip")
+    ap.add_argument("--achievable", action="store_true",
+                    help="use the MEASURED achievable rates "
+                         "(benchmarks/achievable_v5e.json) instead of the "
+                         "paper numbers")
     args = ap.parse_args()
+    if args.achievable:
+        data = apply_achievable()
+        print(f"achievable rates (measured {data['health']['utc']}): "
+              f"mxu {data['mxu_tflops']} TFLOP/s, "
+              f"vpu {data['vpu_stencil_tfmas']} T-FMA/s, "
+              f"hbm {data['hbm_copy_gbps']} GB/s")
 
     from mobilenet_tpu import ModelConfig
 
