@@ -244,22 +244,31 @@ def _packed_se_on(i: int) -> bool:
 # (15,355 vs 15,705). Cross-kernel grid pipelining beats in-kernel
 # serialization on this stack — the "launch overhead" the chain removes
 # is overlapped compute, not dead time (roofline_v5e.md 2026-08-19).
-# Values: True = greedy maximal runs; False = off (SHIPPING default);
+# Values: True = greedy maximal runs; False = off;
 # a collection of (start, stop) index ranges = chain exactly those runs
-# (still VMEM-gated).
-CHAIN_V3 = False
+# (still VMEM-gated). PER-VARIANT: Large ships OFF (the 2026-08-19 race
+# above); SMALL ships GREEDY — raced 2026-08-20 (tools/ab_chain_v3.py
+# --model v3small, 1.0-224 batch 256 bf16, bit-identical logits):
+# greedy 8.835 vs per_block 9.181 ms/batch (28,976 vs 27,883 img/s);
+# explicit 3:11 ties greedy (8.845), sub-ranges lose. Small's 14²/7²
+# tail blocks are small enough that the launch boundaries the chain
+# removes cost more than its in-kernel serialization — the opposite of
+# Large's measured tradeoff.
+CHAIN_V3 = False          # Large + default
+CHAIN_V3_SMALL = True     # Small: greedy maximal runs
 # block_n override for the chain kernel (None = auto; raced per-config).
 CHAIN_V3_BN = None
 
 
-def _chain_ranges(i: int):
+def _chain_ranges(i: int, variant: str = "large"):
     """None (greedy from i), a stop index (explicit range starting at i),
-    or -1 (no chain starts at i) under the CHAIN_V3 knob."""
-    if CHAIN_V3 is True:
+    or -1 (no chain starts at i) under the per-variant CHAIN knob."""
+    knob = CHAIN_V3_SMALL if variant == "small" else CHAIN_V3
+    if knob is True:
         return None
-    if CHAIN_V3 is False:
+    if knob is False:
         return -1
-    for s, e in CHAIN_V3:
+    for s, e in knob:
         if s == i:
             return e
     return -1
@@ -469,8 +478,9 @@ def run_blocks_v3(params, y, config: V3Config, routing, *,
     for i in range(start, stop):
         if i < skip_until:
             continue
-        if CHAIN_V3 and not collect:
-            rng_stop = _chain_ranges(i)
+        if ((CHAIN_V3_SMALL if config.variant == "small" else CHAIN_V3)
+                and not collect):
+            rng_stop = _chain_ranges(i, config.variant)
             chain = None if rng_stop == -1 else _try_chain_v3(
                 params, y, config, routing, i,
                 stop if rng_stop is None else min(rng_stop, stop))

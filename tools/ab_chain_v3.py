@@ -59,12 +59,14 @@ def main():
     for label, flag, bn in variants:
         def fn(images_u8, flag=flag, bn=bn):
             x = prep.preprocess(images_u8, cfg.resolution, jnp.bfloat16)
-            old, oldbn = mod.CHAIN_V3, mod.CHAIN_V3_BN
-            mod.CHAIN_V3, mod.CHAIN_V3_BN = flag, bn  # trace-time knobs
+            old = (mod.CHAIN_V3, mod.CHAIN_V3_SMALL, mod.CHAIN_V3_BN)
+            # trace-time knobs (CHAIN is per-variant since 2026-08-20)
+            mod.CHAIN_V3 = mod.CHAIN_V3_SMALL = flag
+            mod.CHAIN_V3_BN = bn
             try:
                 return forward_v3(params, x, cfg, dw_backend="fused")
             finally:
-                mod.CHAIN_V3, mod.CHAIN_V3_BN = old, oldbn
+                mod.CHAIN_V3, mod.CHAIN_V3_SMALL, mod.CHAIN_V3_BN = old
 
         entries[label] = jax.jit(fn)
 
