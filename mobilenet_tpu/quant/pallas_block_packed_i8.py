@@ -745,9 +745,20 @@ def _named_s2_se_kernel(x_ref, dww_ref, dwb_ref, da_ref, ssel_ref,
         da_ref[0], d_inv, act)  # f32 ints, A-space (bn, th, w4, 128)
 
     # --- quantized SE gate: selected-pixel channel sums -> ir_v3_i8 SE ---
+    # The lane->channel fold crosses lanes, so it must be an MXU dot with
+    # the 0/1 selection-sum matrix — but at Precision.HIGHEST: a default
+    # f32 dot lowers to a SINGLE-PASS bf16 matmul in Mosaic, and lane sums
+    # up to 127*H*W ~ 1e5 need 17 mantissa bits — the hw smoke caught +-1
+    # pooled shifts (2026-08-20; interpret mode was exact). HIGHEST runs
+    # the bf16x3 decomposition: hi/lo parts sum back exactly, products
+    # with 0/1 are exact, f32 partials stay < 2^24 — exact in any order.
+    # (Lane-dim reshapes and ::2 strides both fail Mosaic lowering; the
+    # dot is the only supported cross-lane fold here.)
     lane_sums = jnp.sum(yd, axis=(1, 2))  # (bn, 128) exact ints
-    ch_sums = jnp.dot(lane_sums, ssel_ref[...],
-                      preferred_element_type=jnp.float32)  # (bn, cin)
+    ch_sums = jax.lax.dot_general(
+        lane_sums, ssel_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
     pooled = jnp.clip(jnp.round(ch_sums * jnp.float32(hw_inv)),
                       -128, 127).astype(jnp.int8)
     g1 = _named_requant_f32(

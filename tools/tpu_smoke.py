@@ -542,6 +542,61 @@ def main(quick: bool = False, only: str = ""):
         if not ok_f:
             failures.append("i8_input_bf16 forward")
 
+    # --- lane-packed SE stride-2 int8 kernel (EXACT; V3-Small b0 route) -----
+    if want("i8_se_s2"):
+        rng = rng_for("i8_se_s2")
+        from mobilenet_tpu.ops.pallas_block_packed import pack as _pack
+        from mobilenet_tpu.quant.pallas_block_packed_i8 import (
+            packed_block_i8_named_s2_se)
+        from mobilenet_tpu.quant.v3 import (_dwk_acc_np, _pw_acc_np,
+                                            _quant_named, _requant_named_np,
+                                            _se_i8_np)
+
+        for h, cin, se_m, cout in ([(24, 16, 8, 16)] if quick
+                                   else [(24, 16, 8, 16), (112, 16, 8, 16)]):
+            sc = np.float32(0.04)
+            qd = _quant_named(rng.normal(0, 0.3, (3, 3, 1, cin)).astype(
+                np.float32), rng.normal(0, 0.1, (cin,)).astype(np.float32),
+                3, sc, sc, k_taps=9)
+            q1 = _quant_named(rng.normal(0, cin ** -0.5, (cin, se_m)).astype(
+                np.float32), rng.normal(0, 0.1, (se_m,)).astype(np.float32),
+                1, sc, sc)
+            q2 = _quant_named(rng.normal(0, se_m ** -0.5, (se_m, cin)).astype(
+                np.float32), rng.normal(0, 0.1, (cin,)).astype(np.float32),
+                1, sc, sc)
+            qp2 = _quant_named(rng.normal(0, cin ** -0.5, (cin, cout)).astype(
+                np.float32), rng.normal(0, 0.1, (cout,)).astype(np.float32),
+                1, sc, sc)
+            xi = rng.integers(-100, 101, (2, h, h, cin)).astype(np.int8)
+            z = _requant_named_np(_dwk_acc_np(xi, qd.w_i8, 2, 3)
+                                  + qd.bias_i32, qd.a, qd.inv_s, "relu")
+            z = _se_i8_np(z, q1, q2)
+            ref = _requant_named_np(_pw_acc_np(z, qp2.w_i8) + qp2.bias_i32,
+                                    qp2.a, qp2.inv_s, "linear")
+            r = 128 // cin
+            cm = 128 // (r // 2)
+            cout_p = -(-cout // cm) * cm
+            got = np.asarray(packed_block_i8_named_s2_se(
+                _pack(jnp.asarray(xi).astype(jnp.bfloat16), cin),
+                jnp.asarray(qd.w_i8), jnp.asarray(qd.bias_i32),
+                jnp.asarray(qd.a),
+                jnp.asarray(q1.w_i8), jnp.asarray(q1.bias_i32),
+                jnp.asarray(q1.a),
+                jnp.asarray(q2.w_i8), jnp.asarray(q2.bias_i32),
+                jnp.asarray(q2.a),
+                jnp.asarray(np.pad(qp2.w_i8, ((0, 0), (0, cout_p - cout)))),
+                jnp.asarray(np.pad(qp2.bias_i32, (0, cout_p - cout))),
+                jnp.asarray(np.pad(qp2.a, (0, cout_p - cout))),
+                cin, cout_p, "relu", float(qd.inv_s), float(q1.inv_s),
+                float(qp2.inv_s), out_dtype="int8"), np.float32)
+            got = got.reshape(2, h // 2, -1, cout_p)[..., :cout]
+            n_checks[0] += 1
+            exact = np.array_equal(got, ref.astype(np.float32))
+            print(f"[{'OK ' if exact else 'FAIL'}] i8_se_s2 h={h}: "
+                  f"{'exact' if exact else 'MISMATCH'}", flush=True)
+            if not exact:
+                failures.append(f"i8_se_s2 h{h}")
+
     if not n_checks[0]:
         print(f"SMOKE FAIL: --only {only!r} matched no checks", flush=True)
         return 1
