@@ -139,6 +139,57 @@ def ir_block_floor(n, hi, cin, e, cout, k, stride, se_mid, esz):
     return mxu, vpu, hbm
 
 
+def family_block_composition(cfg, batch):
+    """Per-block SERIAL-PHASE composition under the achievable anchors —
+    the model that closed b1 (roofline_v5e.md 2026-08-20): a fused kernel's
+    phases (expand matmul, activation pass on the EXPANDED f32 at the
+    lane-padded width, k² dw taps, SE, projection, epilogue) execute
+    serially within a grid step, so their SUM (not max) is the credible
+    bound a redesign must beat. Floors answer "is this segment worth
+    attacking"; compositions answer "is the shipped kernel done". Uses the
+    V3 kernel's layout constants: ep = roundup(e, 128), stride-2 dw at
+    2x w_out width (the A[p]-everywhere full-width trick)."""
+    n = batch
+    is_v3 = hasattr(cfg, "variant")
+    out = {}
+    hw = cfg.resolution // 2
+    cin = cfg.stem_channels
+    for i, bd in enumerate(cfg.block_defs):
+        if is_v3:
+            e, cout, k, stride, se = (bd.cexp, bd.cout, bd.kernel,
+                                      bd.stride, bd.se_mid)
+            has_exp = bd.has_expand
+        else:
+            t, _cin, cout, stride = bd
+            e, k, se = int(round(t * cin)), 3, 0
+            has_exp = t != 1
+        ep = -(-e // 128) * 128
+        ho = hw // stride
+        mxu_exp = (n * hw * hw * cin * ep * 2 / MXU_FLOPS) if has_exp else 0.0
+        vpu_act = n * hw * hw * ep * 3 / VPU_FMAS  # act on expanded f32
+        acc_w = ho if stride == 1 else 2 * ho
+        vpu_dw = n * ho * acc_w * ep * k * k / VPU_FMAS
+        vpu_ep = n * ho * ho * ep * 3 / VPU_FMAS  # dw bias+act+cast
+        vpu_se = (n * ho * ho * ep * 2 / VPU_FMAS) if se else 0.0  # gate mul
+        mxu_prj = n * ho * ho * ep * cout * 2 / MXU_FLOPS
+        total = mxu_exp + vpu_act + vpu_dw + vpu_ep + vpu_se + mxu_prj
+        # dense bound: a lane-PACKED route pads nothing (every lane busy at
+        # the true e) and an even-only s2 kernel skips the discarded pixel
+        # half — the best any known formulation reaches on this stack
+        dense = ((n * hw * hw * cin * e * 2 / MXU_FLOPS if has_exp else 0.0)
+                 + n * hw * hw * e * 3 / VPU_FMAS
+                 + n * ho * ho * e * k * k / VPU_FMAS
+                 + n * ho * ho * e * 5 / VPU_FMAS
+                 + n * ho * ho * e * cout * 2 / MXU_FLOPS)
+        out[f"B{i:02d}"] = dict(total_ms=total * 1e3, dense_ms=dense * 1e3,
+                                mxu_exp=mxu_exp * 1e3, vpu_act=vpu_act * 1e3,
+                                vpu_dw=vpu_dw * 1e3, vpu_ep=vpu_ep * 1e3,
+                                vpu_se=vpu_se * 1e3, mxu_prj=mxu_prj * 1e3)
+        hw = ho
+        cin = cout
+    return out
+
+
 def family_block_floors(cfg, batch, esz):
     """Per-block analytic floors for a V2Config/V3Config (one row per
     bottleneck + stem + head), same shape as segment_floors' output."""
@@ -201,6 +252,9 @@ def main():
     ap.add_argument("--minimalistic", action="store_true")
     ap.add_argument("--measure", action="store_true",
                     help="run the prefix-differenced measurement on the chip")
+    ap.add_argument("--composition", action="store_true",
+                    help="also print the per-block serial-phase composition "
+                         "(the kernel-done bound; pair with --achievable)")
     ap.add_argument("--achievable", action="store_true",
                     help="use the MEASURED achievable rates "
                          "(benchmarks/achievable_v5e.json) instead of the "
@@ -271,6 +325,27 @@ def main():
                       "binding": {k: v["binding"] for k, v in floors.items()},
                       "measured_ms": {k: round(v, 3)
                                       for k, v in measured.items()}}))
+
+    if getattr(args, "composition", False):
+        if args.model == "v1":
+            sys.exit("--composition models the fused V2/V3 bottleneck "
+                     "kernels; use --model v2|v3|v3small")
+        comp = family_block_composition(cfg, args.batch)
+        print(f"\nserial-phase composition (achievable anchors"
+              f"{' ON' if HBM_RATES is not None else ' OFF — pass --achievable'}"
+              "; ms/batch):")
+        print(f"{'block':>6} | {'exp':>6} | {'act':>6} | {'dw':>6} | "
+              f"{'epil':>6} | {'se':>6} | {'prj':>6} | {'padded':>7} | "
+              f"{'dense':>7}")
+        for label, c in comp.items():
+            print(f"{label:>6} | {c['mxu_exp']:6.3f} | {c['vpu_act']:6.3f} | "
+                  f"{c['vpu_dw']:6.3f} | {c['vpu_ep']:6.3f} | "
+                  f"{c['vpu_se']:6.3f} | {c['mxu_prj']:6.3f} | "
+                  f"{c['total_ms']:7.3f} | {c['dense_ms']:7.3f}")
+        print(f"{'TOTAL':>6} | {'':>6} | {'':>6} | {'':>6} | {'':>6} | "
+              f"{'':>6} | {'':>6} | "
+              f"{sum(c['total_ms'] for c in comp.values()):7.3f} | "
+              f"{sum(c['dense_ms'] for c in comp.values()):7.3f}")
 
 
 SEGMENT_LABELS = ["conv1+pre", "B0", "B1", "B2-B5", "B6-B12", "head"]
