@@ -133,19 +133,23 @@ def quantize_input(x_f32: np.ndarray) -> np.ndarray:
     )
 
 
-def resolve_int8_fused(use_fused, batch: int) -> bool:
+def resolve_int8_fused(use_fused, batch: int, family: str = None) -> bool:
     """Resolve an int8-family routing spec (bool | "auto") to a static bool
     for one batch shape. Both int8 routes are bit-identical — this is a pure
-    schedule choice. "auto" = the measured v5e crossover (2026-08-18 chip
-    races, benchmarks/v3_campaign_raw.log): xla wins batch 1 (V2 0.320 vs
-    0.389 ms, V3-Large 0.384 vs 0.427 ms — differenced chains), fused wins
-    throughput batches (batch 256: V2 6,950 vs 1,929; V3-Large 3,735 vs
-    1,858; V3-Small 10,516 vs 7,053 img/s) — fused from batch >= 2, the
-    same crossover class as the V1 int8 routing. Off-TPU resolves False
-    (fused would run in interpret mode — the sw_emu tier, not a
-    performance candidate)."""
+    schedule choice. "auto" = the measured v5e crossovers: fused wins every
+    throughput batch (2026-08-18 races, batch 256: V2 6,950 vs 1,929;
+    V3-Large 3,735 vs 1,858; V3-Small 10,516 vs 7,053 img/s — and far wider
+    after the round-4 kernels). Batch 1 is FAMILY-dependent since the
+    round-4 kernel work (2026-08-20 differenced-chain re-race): fused now
+    wins V3-Small 0.051 vs 0.121 ms and V2 0.207 vs 0.335 (the carriage +
+    packed-SE + bridge wins carry to latency), while V3-Large keeps xla
+    0.178 vs 0.191 (closer than the old 0.384/0.427 but still ahead).
+    Off-TPU resolves False (fused would run in interpret mode — the sw_emu
+    tier, not a performance candidate)."""
     if use_fused == "auto":
         import jax  # noqa: PLC0415 — keep module import jax-free
 
-        return batch >= 2 and jax.default_backend() == "tpu"
+        if jax.default_backend() != "tpu":
+            return False
+        return batch >= 2 or family in ("v2", "v3small")
     return bool(use_fused)

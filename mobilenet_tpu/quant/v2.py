@@ -625,7 +625,8 @@ def make_int8_infer_v2(q: V2QuantizedParams, config: V2Config,
     def infer(images_u8):
         x = prep.preprocess(images_u8, config.resolution, jnp.float32)
         x_q = qops.quantize_input_dev(x, ACT_IN_SCALE, out_dtype=jnp.bfloat16)
-        fused = resolve_int8_fused(use_fused, int(images_u8.shape[0]))
+        fused = resolve_int8_fused(use_fused, int(images_u8.shape[0]),
+                                   family="v2")
         return forward_v2_i8(dev, x_q, config, use_fused=fused)
 
     return jax.jit(infer), dev
@@ -684,7 +685,8 @@ class Int8PipelineV2:
             x = prep.preprocess(images_u8, cfg.resolution, jnp.float32)
             x_q = qops.quantize_input_dev(x, ACT_IN_SCALE,
                                           out_dtype=jnp.bfloat16)
-            fused = resolve_int8_fused(spec, int(images_u8.shape[0]))
+            fused = resolve_int8_fused(spec, int(images_u8.shape[0]),
+                                       family="v2")
             logits = forward_v2_i8(dev, x_q, cfg, use_fused=fused)
             return jax.nn.softmax(logits, axis=-1)
 

@@ -943,7 +943,9 @@ def make_int8_infer_v3(q: V3QuantizedParams, config: V3Config,
         x = prep.preprocess(images_u8, config.resolution, jnp.float32)
         x_q = qops.quantize_input_dev(x, ACT_IN_SCALE,
                                       out_dtype=jnp.bfloat16)
-        fused = resolve_int8_fused(use_fused, int(images_u8.shape[0]))
+        fam = "v3small" if config.variant == "small" else "v3large"
+        fused = resolve_int8_fused(use_fused, int(images_u8.shape[0]),
+                                   family=fam)
         return forward_v3_i8(dev, x_q, config, use_fused=fused)
 
     return jax.jit(infer), dev
@@ -1000,7 +1002,9 @@ class Int8PipelineV3:
             x = prep.preprocess(images_u8, cfg.resolution, jnp.float32)
             x_q = qops.quantize_input_dev(x, ACT_IN_SCALE,
                                           out_dtype=jnp.bfloat16)
-            fused = resolve_int8_fused(spec, int(images_u8.shape[0]))
+            fam = ("v3small" if cfg.variant == "small" else "v3large")
+            fused = resolve_int8_fused(spec, int(images_u8.shape[0]),
+                                       family=fam)
             logits = forward_v3_i8(dev, x_q, cfg, use_fused=fused)
             return jax.nn.softmax(logits, axis=-1)
 

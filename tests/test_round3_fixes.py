@@ -315,14 +315,19 @@ def test_autotune_latency_int8_xla_tree_is_unpadded(monkeypatch):
 
 
 def test_resolve_int8_fused_crossover():
-    """"auto" = the measured v5e crossover: xla at batch 1, fused from
-    batch 2 — but only on TPU (CPU would run Pallas in interpret mode)."""
+    """"auto" = the measured v5e crossovers: fused from batch 2 everywhere;
+    at batch 1 family-dependent since the round-4 kernels (2026-08-20
+    re-race: fused wins v2/v3small, xla keeps v3large) — TPU only (CPU
+    would run Pallas in interpret mode)."""
     from mobilenet_tpu.quant.quantize import resolve_int8_fused
 
     import jax
 
     on_tpu = jax.default_backend() == "tpu"
-    assert resolve_int8_fused("auto", 1) is False
+    assert resolve_int8_fused("auto", 1) is False  # no family: xla at b1
+    assert resolve_int8_fused("auto", 1, family="v3large") is False
+    assert resolve_int8_fused("auto", 1, family="v3small") is on_tpu
+    assert resolve_int8_fused("auto", 1, family="v2") is on_tpu
     assert resolve_int8_fused("auto", 2) is on_tpu
     assert resolve_int8_fused("auto", 256) is on_tpu
     # explicit bools pass through regardless of backend/batch
