@@ -31,21 +31,31 @@ def main():
                     help="single max-batch bucket (the round-2 behavior) "
                          "for the A/B")
     ap.add_argument("--record", action="store_true")
+    ap.add_argument("--model", default="v1",
+                    choices=["v1", "v2", "v3", "v3small"])
     args = ap.parse_args()
 
     from mobilenet_tpu import ModelConfig
     from mobilenet_tpu.runtime.serving import MicroBatchServer, selftest
 
-    cfg = ModelConfig(alpha=args.alpha, resolution=args.res,
-                      compute_dtype="bfloat16")
-    if args.int8:
-        from mobilenet_tpu.quant.model import Int8Pipeline
+    if args.model == "v2":
+        from mobilenet_tpu.models.mobilenet_v2 import V2Config
 
-        pipe = Int8Pipeline(cfg, seed=0)
+        cfg = V2Config(alpha=args.alpha, resolution=args.res,
+                       compute_dtype="bfloat16")
+    elif args.model in ("v3", "v3small"):
+        from mobilenet_tpu.models.mobilenet_v3 import V3Config
+
+        cfg = V3Config(variant="large" if args.model == "v3" else "small",
+                       alpha=args.alpha, resolution=args.res,
+                       compute_dtype="bfloat16")
     else:
-        from mobilenet_tpu.runtime.pipeline import InferencePipeline
+        cfg = ModelConfig(alpha=args.alpha, resolution=args.res,
+                          compute_dtype="bfloat16")
+    from mobilenet_tpu.runtime.serving import build_pipeline
 
-        pipe = InferencePipeline(cfg, seed=0)
+    # same family dispatch the server itself uses (config-type driven)
+    pipe = build_pipeline(cfg, 0, None, None, args.int8)
 
     buckets = [args.streams] if args.legacy_pad else None
     rows = []
