@@ -89,6 +89,14 @@ def _import_keras3_v2(store, config: V2Config) -> Params:
     convs, dws, bns = (store["conv2d"], store["depthwise_conv2d"],
                        store["batch_normalization"])
     dense = store["dense"][0]
+    n_exp = sum(1 for t, *_ in config.block_defs if t > 1)
+    n_blk = len(config.block_defs)
+    want = (1 + n_exp + n_blk + 1, n_blk, 1 + n_exp + 2 * n_blk + 1)
+    if (len(convs), len(dws), len(bns)) != want:
+        raise ValueError(
+            f"keras-3 store shape mismatch: {len(convs)} convs/{len(dws)} "
+            f"dw/{len(bns)} bn vs expected {want[0]}/{want[1]}/{want[2]} — "
+            "wrong model family or alpha")
     params: Params = {"conv1": {"w": convs[0][0], "bn": _k3_bn(bns[0])},
                       "blocks": []}
     ci = bi = 1

@@ -119,6 +119,16 @@ def _import_keras3_v3(store, config: V3Config) -> Params:
 
     convs, dws, bns = (store["conv2d"], store["depthwise_conv2d"],
                        store["batch_normalization"])
+    n_exp = sum(1 for bd in config.block_defs if bd.has_expand)
+    n_se = sum(1 for bd in config.block_defs if bd.se_mid)
+    n_blk = len(config.block_defs)
+    want = (1 + n_exp + 2 * n_se + n_blk + 3, n_blk,
+            1 + n_exp + 2 * n_blk + 1)
+    if (len(convs), len(dws), len(bns)) != want:
+        raise ValueError(
+            f"keras-3 store shape mismatch: {len(convs)} convs/{len(dws)} "
+            f"dw/{len(bns)} bn vs expected {want[0]}/{want[1]}/{want[2]} — "
+            "wrong variant, alpha, or minimalistic flag")
     params: Params = {"conv1": {"w": convs[0][0], "bn": _k3_bn(bns[0])},
                       "blocks": []}
     ci = bi = 1

@@ -285,6 +285,11 @@ def _ir_i8_impl(
     h_out = -(-h // stride)
     w_out = -(-w // stride)
 
+    if x.dtype == jnp.bfloat16:
+        # pre-cast the expand weight ONCE on the host for the bf16-carried
+        # dot (the pallas_ir_v3_i8 pattern) instead of promoting s8->bf16
+        # inside every grid step
+        ew = ew.astype(jnp.bfloat16)
     # Pad the EXPANDED dim only (zero weights/bias/m: padded lanes hold
     # exact zeros through requant — m=0 maps any acc to 0).
     ep = _round_up(e, 128)

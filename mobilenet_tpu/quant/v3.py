@@ -496,8 +496,11 @@ def _fused_plan_v3(dev, config: V3Config, n: int):
             # qualifies), and the dw f32 tap loop casts to f32 either way.
             # Reading bf16 skips the int8 relayout read at the big spatial
             # — V3-Small's b0/b1 paid +15 ms for int8 carriage across this
-            # seam (2026-08-20 attribution).
-            acc = cin * 127 * 127 < 2 ** 24
+            # seam (2026-08-20 attribution). The CARRY_MIN_H spatial gate
+            # still applies: below it the ab_carry races measured bf16
+            # carriage a wash-to-loss, and every shipped non-fit block is
+            # large-spatial anyway (round-4 review finding).
+            acc = h >= CARRY_MIN_H and cin * 127 * 127 < 2 ** 24
         fused.append(fit)
         accepts.append(acc)
         h = h // bd.stride

@@ -102,15 +102,21 @@ def main():
         def make(length):
             def chain(x):
                 def body(carry, _):
-                    old = mod.CHAIN_V3 if hasattr(mod, "CHAIN_V3") else None
-                    if chain_knob:
-                        mod.CHAIN_V3 = True
+                    # Both per-variant knobs toggle (CHAIN is variant-keyed
+                    # since 2026-08-20); the non-chain arms force OFF so
+                    # the baselines are chain-free regardless of the
+                    # shipping defaults — review finding round 4.
+                    has = hasattr(mod, "CHAIN_V3")
+                    old = ((mod.CHAIN_V3, mod.CHAIN_V3_SMALL)
+                           if has else None)
+                    if has:
+                        mod.CHAIN_V3 = mod.CHAIN_V3_SMALL = chain_knob
                     try:
                         probs = predict(params, carry, cfg,
                                         dw_backend=routing)
                     finally:
-                        if chain_knob:
-                            mod.CHAIN_V3 = old
+                        if has:
+                            mod.CHAIN_V3, mod.CHAIN_V3_SMALL = old
                     nxt = carry * (1.0 + 1e-6 * jnp.sum(probs).astype(
                         carry.dtype))
                     return nxt, jnp.argmax(probs)

@@ -35,6 +35,10 @@ ENTRIES = [
     ("v3", "bf16", 256), ("v3", "int8", 256),
     ("v3small", "bf16", 256), ("v3small", "int8", 256),
     ("v1", "bf16", 1), ("v2", "bf16", 1), ("v3", "bf16", 1),
+    ("v3small", "bf16", 1),
+    # int8 batch-1 FUSED became production for v2/v3small on 2026-08-20
+    # (resolve_int8_fused family-aware crossover); lower those tilings too
+    ("v2", "int8", 1), ("v3small", "int8", 1),
 ]
 
 

@@ -27,6 +27,29 @@ import numpy as np
 HEALTH = None  # tunnel-health stamp, set once in main()
 
 
+def _head_guard(fn, active):
+    """Run fn with FUSED_HEAD=False on every model module, restored after:
+    the flag is read at TRACE time, so guarding each call covers the first
+    (tracing) call and costs ~1us of Python on cached ones."""
+    if not active:
+        return fn
+
+    def wrapped(*a, **k):
+        from mobilenet_tpu.models import (mobilenet_v1, mobilenet_v2,
+                                          mobilenet_v3)
+
+        mods = (mobilenet_v1, mobilenet_v2, mobilenet_v3)
+        old = [m.FUSED_HEAD for m in mods]
+        for m in mods:
+            m.FUSED_HEAD = False
+        try:
+            return fn(*a, **k)
+        finally:
+            for m, o in zip(mods, old):
+                m.FUSED_HEAD = o
+    return wrapped
+
+
 def build_entries(args, prefixes, int8=None):
     from mobilenet_tpu import ModelConfig
     from mobilenet_tpu.checkpoints import fold_bn, init_params, to_device
@@ -39,13 +62,13 @@ def build_entries(args, prefixes, int8=None):
     # kernel — the differenced final segment would then compare fused vs
     # unfused and can come out negative (ADVICE round 3). Force the unfused
     # head for EVERY entry so deltas are like-for-like; the fused-vs-unfused
-    # head delta itself is measured separately by tools/ab_head.py.
-    if any(k in ("cl", "pool") for k in prefixes):
-        from mobilenet_tpu.models import (mobilenet_v1, mobilenet_v2,
-                                          mobilenet_v3)
-
-        for m in (mobilenet_v1, mobilenet_v2, mobilenet_v3):
-            m.FUSED_HEAD = False
+    # head delta itself is measured separately by tools/ab_head.py. Applied
+    # around each CALL (the knob matters at trace time) via _head_guard —
+    # not as a sticky module mutation, so in-process callers that build
+    # other entries later (lower_check imports build_entries) see the
+    # shipping head (round-4 review finding).
+    unfused_head = any(k in ("cl", "pool") for k in prefixes)
+    if unfused_head:
         print("note: stage prefixes present -> UNFUSED head for all entries "
               "(incl. full); fused-head delta is ab_head.py's job", flush=True)
     if getattr(args, "model", "v1") == "v2":
@@ -90,7 +113,8 @@ def build_entries(args, prefixes, int8=None):
                     return jnp.sum(y.astype(jnp.float32)).reshape(1)
 
                 entries[k] = jax.jit(fni)
-            return cfg, entries
+            return cfg, {k: _head_guard(f, unfused_head)
+                 for k, f in entries.items()}
 
         from mobilenet_tpu.ops import conv as ops
 
@@ -122,7 +146,8 @@ def build_entries(args, prefixes, int8=None):
                 return jnp.sum(y.astype(jnp.float32)).reshape(1)
 
             entries[k] = jax.jit(fn)
-        return cfg, entries
+        return cfg, {k: _head_guard(f, unfused_head)
+                 for k, f in entries.items()}
     if getattr(args, "model", "v1") in ("v3", "v3small"):
         from mobilenet_tpu.checkpoints.v3 import fold_bn_v3, init_params_v3
         from mobilenet_tpu.models.mobilenet_v3 import V3Config, forward_v3
@@ -159,7 +184,8 @@ def build_entries(args, prefixes, int8=None):
                     return jnp.sum(y.astype(jnp.float32)).reshape(1)
 
                 entries[k] = jax.jit(fni)
-            return cfg, entries
+            return cfg, {k: _head_guard(f, unfused_head)
+                 for k, f in entries.items()}
         from mobilenet_tpu.ops import conv as v3ops
 
         params = jax.tree.map(
@@ -184,7 +210,8 @@ def build_entries(args, prefixes, int8=None):
                 return jnp.sum(y.astype(jnp.float32)).reshape(1)
 
             entries[k] = jax.jit(fn)
-        return cfg, entries
+        return cfg, {k: _head_guard(f, unfused_head)
+                 for k, f in entries.items()}
     cfg = ModelConfig(alpha=args.alpha, resolution=args.res,
                       compute_dtype="bfloat16")
     folded = fold_bn(init_params(cfg, seed=0), eps=cfg.bn_eps)
@@ -236,7 +263,8 @@ def build_entries(args, prefixes, int8=None):
                 return jnp.sum(y.astype(jnp.float32)).reshape(1)
 
             entries[k] = jax.jit(fn)
-    return cfg, entries
+    return cfg, {k: _head_guard(f, unfused_head)
+                 for k, f in entries.items()}
 
 
 def _check_v1_stage(k, cfg):
