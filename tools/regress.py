@@ -173,6 +173,40 @@ def main() -> int:
         tol = (args.tolerance if args.tolerance is not None
                else row_tolerance(ref, args.batch))
         drop = 1.0 - fresh / ref
+        if drop > tol:
+            # One retry before flagging: the 2026-08-20 full-sweep run
+            # produced a single -11.9% row (V1 int8 0.75-160) that
+            # re-measured at +0.2%/-0.4% immediately after — one-shot
+            # dispatch anomalies in long runs are real; a regression is
+            # not transient and fails twice.
+            print(f"[retry] {cfg.variant_name()}: first window "
+                  f"{fresh:,.0f} ({-drop:+.1%}) — re-measuring once",
+                  flush=True)
+            if args.int8 and args.model != "v1":
+                import argparse as _ap2  # noqa: PLC0415
+
+                from mobilenet_tpu.cli import (  # noqa: PLC0415
+                    _bench_int8_family as _bif)
+
+                row = _bif(_ap2.Namespace(
+                    alpha=alpha, res=res, batch=args.batch,
+                    steps=args.steps, seed=0, ckpt=None, model=args.model,
+                    minimalistic=mini))
+                fresh = max(fresh, row["images_per_sec"])
+            elif args.int8:
+                from mobilenet_tpu.cli import (  # noqa: PLC0415
+                    _int8_throughput as _i8t)
+
+                row = _i8t(cfg, args.batch, args.steps, 0, latency=False)
+                fresh = max(fresh, row["images_per_sec"])
+            else:
+                from mobilenet_tpu.runtime.pipeline import (  # noqa: PLC0415
+                    InferencePipeline as _IP)
+
+                fresh = max(fresh, _IP(cfg, seed=0).benchmark(
+                    batch_size=args.batch,
+                    steps=args.steps)["images_per_sec"])
+            drop = 1.0 - fresh / ref
         ok = drop <= tol
         print(f"[{'OK ' if ok else 'FAIL'}] {cfg.variant_name()}: "
               f"fresh {fresh:,.0f} vs recorded {ref:,.0f} img/s "
