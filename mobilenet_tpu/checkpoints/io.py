@@ -214,13 +214,30 @@ def _k3_bn(v):
     return {"gamma": v[0], "beta": v[1], "mean": v[2], "var": v[3]}
 
 
+def _k3_classes(store, *bases):
+    """Fetch class-base lists from a keras-3 store, raising the same
+    diagnostic ValueError the count-mismatch path uses when a class is
+    absent entirely (e.g. a V1 file — no Dense layer — fed to the V2
+    importer, or a writer that keys by canonical layer names instead of
+    keras class defaults). Without this, `store["dense"]` raised a bare
+    KeyError (round-4 ADVICE.md items 1-2)."""
+    missing = [b for b in bases if b not in store]
+    if missing:
+        raise ValueError(
+            f"unrecognized keras-3 layout: expected layer classes "
+            f"{list(bases)} but {missing} are absent; found classes "
+            f"{sorted(store)} — wrong model family, or a .weights.h5 whose "
+            "layers carry custom (non-class-default) names")
+    return tuple(store[b] for b in bases)
+
+
 def _import_keras3_v1(store, config: ModelConfig) -> Params:
     """Map a keras-3 store onto the V1 pytree. Creation order (keras
     mobilenet.py): Conv2D = [conv1, pw_1..pw_13, conv_preds]; DepthwiseConv2D
     = [dw_1..dw_13]; BatchNormalization = [conv1_bn] + [dw_i_bn, pw_i_bn]*13.
     """
-    convs, dws, bns = (store["conv2d"], store["depthwise_conv2d"],
-                       store["batch_normalization"])
+    convs, dws, bns = _k3_classes(
+        store, "conv2d", "depthwise_conv2d", "batch_normalization")
     n = len(config.block_channels)
     if len(convs) != n + 2 or len(dws) != n or len(bns) != 2 * n + 1:
         raise ValueError(

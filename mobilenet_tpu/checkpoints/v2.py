@@ -84,11 +84,11 @@ def _import_keras3_v2(store, config: V2Config) -> Params:
     per-block([expand if t>1] + [project]) + [Conv_1]; DepthwiseConv2D = one
     per block; BatchNormalization = [bn_Conv1] + per-block([exp_bn?, dw_bn,
     prj_bn]) + [Conv_1_bn]; Dense = [predictions]."""
-    from .io import _k3_bn
+    from .io import _k3_bn, _k3_classes
 
-    convs, dws, bns = (store["conv2d"], store["depthwise_conv2d"],
-                       store["batch_normalization"])
-    dense = store["dense"][0]
+    convs, dws, bns, dense_l = _k3_classes(
+        store, "conv2d", "depthwise_conv2d", "batch_normalization", "dense")
+    dense = dense_l[0]
     n_exp = sum(1 for t, *_ in config.block_defs if t > 1)
     n_blk = len(config.block_defs)
     want = (1 + n_exp + n_blk + 1, n_blk, 1 + n_exp + 2 * n_blk + 1)

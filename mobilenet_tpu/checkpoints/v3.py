@@ -115,10 +115,10 @@ def _import_keras3_v3(store, config: V3Config) -> Params:
     [Conv_1 (conv_last), Conv_2 (post-pool head), Logits]; DepthwiseConv2D
     = one per block; BatchNormalization = [stem_bn] + per-block([exp_bn?,
     dw_bn, prj_bn]) + [Conv_1_bn]. SE and head convs carry [kernel, bias]."""
-    from .io import _k3_bn
+    from .io import _k3_bn, _k3_classes
 
-    convs, dws, bns = (store["conv2d"], store["depthwise_conv2d"],
-                       store["batch_normalization"])
+    convs, dws, bns = _k3_classes(
+        store, "conv2d", "depthwise_conv2d", "batch_normalization")
     n_exp = sum(1 for bd in config.block_defs if bd.has_expand)
     n_se = sum(1 for bd in config.block_defs if bd.se_mid)
     n_blk = len(config.block_defs)

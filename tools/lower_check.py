@@ -46,6 +46,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None,
                     help="comma list of model:dtype[:batch] filters")
+    ap.add_argument("--verbose", action="store_true",
+                    help="dump full exception text on failures")
     args = ap.parse_args()
 
     import jax
@@ -92,7 +94,14 @@ def main() -> int:
                   f"({time.perf_counter() - t0:.1f}s)", flush=True)
         except Exception as e:  # noqa: BLE001 — report every lowering break
             failures += 1
-            msg = str(e).split("\n")[0][:200]
+            # Mosaic lowering errors carry the operative detail several
+            # lines down (ADVICE.md r4): show first + last lines, or
+            # everything under --verbose.
+            lines = [ln for ln in str(e).split("\n") if ln.strip()]
+            if args.verbose or len(lines) <= 6:
+                msg = "\n        ".join(lines)
+            else:
+                msg = "\n        ".join(lines[:2] + ["..."] + lines[-4:])
             print(f"[FAIL] {label}: {type(e).__name__}: {msg}", flush=True)
     print(f"{len(entries) - failures}/{len(entries)} entries lower cleanly")
     return 1 if failures else 0
