@@ -142,6 +142,21 @@ def main():
     flops = 2.0 * flops_per_image(cfg)
     mfu = img_s * flops / V5E_BF16_PEAK if on_tpu else None
 
+    # Tunnel-health stamp + host-transfer capacity class: device-side
+    # numbers repeat within ~0.2%, but host-COUPLED fields below
+    # (e2e_images_per_sec_with_host_transfer, p50/p99 through the tunnel)
+    # swung 2.6x across round-4 records while the device number held —
+    # the class makes each line say which host regime it measured in.
+    health = None
+    if on_tpu:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from _bench_common import h2d_class, tunnel_health
+
+        stamp = tunnel_health(print_stamp=False)  # ONE-line contract
+        health = {"rtt_ms": stamp["rtt_ms"], "h2d_gbps": stamp["h2d_gbps"],
+                  "h2d_class": h2d_class(stamp)}
+
     target = 5000.0
     result = {
         "metric": "mobilenet_v1_1.0_224_images_per_sec_per_chip_batch256",
@@ -165,6 +180,7 @@ def main():
         "backend": jax.default_backend(),
         "dtype": "bfloat16",
         "dw_backend": dw_backend,
+        "tunnel_health": health,
         "fresh": True,
     }
     print(json.dumps(result))

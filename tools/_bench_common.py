@@ -103,6 +103,27 @@ def check_health_band(stamp, band):
     return not reasons, reasons or ["healthy"]
 
 
+def h2d_class(stamp, band=None):
+    """Host-transfer capacity class for HOST-COUPLED metrics (e2e img/s,
+    serving p50): 'hi' / 'lo' / 'degraded', or 'na' off-tpu. Two rows are
+    comparable only within a class — the round-4 close saw e2e swing 2.6x
+    between stamps the single healthy band accepted equally (verdict weak
+    #4), so e2e/serving artifacts carry this class and tools/regress.py
+    flags cross-class comparisons."""
+    if stamp.get("device") != "tpu":
+        return "na"
+    if band is None:
+        band = load_health_band()
+    if band is None:
+        return "na"
+    g = stamp.get("h2d_gbps", 0.0)
+    if g >= band.get("h2d_class_hi_min", 0.04):
+        return "hi"
+    if g >= band.get("h2d_gbps_min", 0.02):
+        return "lo"
+    return "degraded"
+
+
 def make_batch(batch: int, res: int, seed: int = 0):
     """Deterministic uint8 image batch, device-resident."""
     rng = np.random.default_rng(seed)

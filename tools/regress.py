@@ -73,6 +73,64 @@ def row_tolerance(ref_img_s: float, batch: int) -> float:
     return 0.08
 
 
+def host_coupled_flags(current_cls: str, rows) -> list:
+    """Cross-class comparison flags for HOST-COUPLED artifact rows.
+
+    Device-side sweep rows repeat within ~0.2% and need no class; e2e and
+    serving rows swung 2.6-3.7x across round-4 records purely with host
+    capacity (VERDICT r4 weak #4/#5). A recorded row is only comparable to
+    a fresh measurement within the same h2d capacity class
+    (benchmarks/health_band_v5e.json h2d_class_hi_min). Returns one flag
+    string per row whose class differs from (or predates) the current one.
+    """
+    flags = []
+    for label, row in rows:
+        cls = row.get("h2d_class") or (row.get("tunnel_health") or {}).get(
+            "h2d_class")
+        if cls is None:
+            flags.append(f"{label}: UNSTAMPED host-coupled row — "
+                         "capacity class unknown; re-record before comparing")
+        elif cls != current_cls:
+            flags.append(f"{label}: recorded in class '{cls}' vs current "
+                         f"'{current_cls}' — host-coupled numbers are NOT "
+                         "comparable across classes")
+    return flags
+
+
+def check_host_coupled(current_cls: str) -> int:
+    """Load the host-coupled artifacts (bench contract e2e + latest serving
+    rows per variant/arm/load) and print cross-class flags; returns count."""
+    rows = []
+    cpath = os.path.join(ART, "bench_contract_v5e.json")
+    if os.path.exists(cpath):
+        with open(cpath) as f:
+            rows.append(("bench_contract e2e", json.load(f)))
+    spath = os.path.join(ART, "serving_v5e.jsonl")
+    latest = {}
+    if os.path.exists(spath):
+        with open(spath) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                row = json.loads(line)
+                if "images_per_sec" not in row or "variant" not in row:
+                    continue
+                key = (row["variant"], row.get("dtype"),
+                       row.get("arm", "tiered"), row.get("streams"))
+                latest[key] = row  # later lines supersede earlier ones
+    for (variant, dtype, arm, streams), row in sorted(
+            latest.items(), key=str):
+        rows.append((f"serving {variant} {dtype} {arm} s{streams}", row))
+    flags = host_coupled_flags(current_cls, rows)
+    for fl in flags:
+        print(f"[host-coupled] {fl}")
+    if not flags:
+        print(f"[host-coupled] all {len(rows)} rows in current class "
+              f"'{current_cls}'")
+    return len(flags)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="1.0:224",
@@ -94,11 +152,13 @@ def main() -> int:
     # Refuse to record regression verdicts on a degraded tunnel: the
     # 2026-08-20 03:13 session committed a phantom 7.5 ms attribution row
     # that only a human re-run caught (roofline_v5e.md methods note).
-    from _bench_common import (check_health_band, load_health_band,
-                               tunnel_health)
+    from _bench_common import (check_health_band, h2d_class,
+                               load_health_band, tunnel_health)
 
     stamp = tunnel_health()
     ok, reasons = check_health_band(stamp, load_health_band())
+    if stamp.get("device") == "tpu":
+        check_host_coupled(h2d_class(stamp))
     if not ok:
         print(f"TUNNEL DEGRADED: {'; '.join(reasons)}")
         if not args.force_degraded:

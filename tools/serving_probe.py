@@ -35,8 +35,19 @@ def main():
                     choices=["v1", "v2", "v3", "v3small"])
     args = ap.parse_args()
 
+    from _bench_common import h2d_class, tunnel_health
     from mobilenet_tpu import ModelConfig
     from mobilenet_tpu.runtime.serving import MicroBatchServer, selftest
+
+    import jax
+
+    # Serving numbers are host-coupled: stamp BEFORE measuring so every
+    # row self-describes its tunnel capacity class (round-4 verdict weak
+    # #5 — serving was the one artifact family the stamping campaign
+    # missed, and two same-config row sets differ 3.7x for host reasons).
+    stamp = (tunnel_health() if jax.default_backend() == "tpu"
+             else {"device": jax.default_backend()})
+    cls = h2d_class(stamp)
 
     if args.model == "v2":
         from mobilenet_tpu.models.mobilenet_v2 import V2Config
@@ -73,8 +84,13 @@ def main():
             stats.update(dtype="int8" if args.int8 else "bfloat16",
                          variant=cfg.variant_name(),
                          buckets=server.batch_buckets,
-                         note=("legacy single-bucket pad" if args.legacy_pad
-                               else "tiered buckets, round 3"))
+                         arm=("legacy-pad" if args.legacy_pad else "tiered"),
+                         health={k: stamp[k] for k in
+                                 ("rtt_ms", "h2d_gbps", "utc")
+                                 if k in stamp},
+                         h2d_class=cls,
+                         note=("legacy single-bucket pad (A/B arm)"
+                               if args.legacy_pad else "tiered buckets"))
             rows.append(stats)
             print(json.dumps(stats), flush=True)
         await server.close()
