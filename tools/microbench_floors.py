@@ -168,6 +168,31 @@ def hbm_copy_rate_flat(n, h, w, c, dtype=jnp.bfloat16, rows_per_block=None):
     return gbps, s
 
 
+def implied_dw_rates():
+    """Second anchor family (round-5 VERDICT #1): the implied VPU FMA rate
+    of the best SHIPPED dw kernel at audit geometries. The standalone
+    kernel pays HBM in/out and the bias+relu epilogue INSIDE the timed
+    window, so 9*elements/time UNDER-counts the pure-tap rate — an implied
+    rate ABOVE the stencil anchor proves the anchor loose; one below it is
+    consistent (HBM/epilogue-bound). Returns {label: implied_tfmas}."""
+    from mobilenet_tpu.ops.pallas_dw import depthwise_conv_pallas
+
+    out = {}
+    for label, (n, h, c) in [("dw_14x512", (256, 14, 512)),
+                             ("dw_28x256", (256, 28, 256))]:
+        x = jax.device_put(jnp.ones((n, h, h, c), jnp.bfloat16))
+        w = jax.device_put(jnp.ones((3, 3, 1, c), jnp.bfloat16))
+        b = jax.device_put(jnp.ones((c,), jnp.bfloat16))
+        fn = jax.jit(lambda a: depthwise_conv_pallas(
+            a, w, 1, b, relu6=True)[0, 0, 0, :1])
+        s = _window(fn, x)
+        tfma = 9 * n * h * h * c / s / 1e12
+        out[label] = round(tfma, 3)
+        print(f"implied [{label}] shipped-kernel rate: {tfma:.3f} T-FMA/s "
+              f"({s * 1e3:.3f} ms/call)", flush=True)
+    return out
+
+
 def mxu_rate(m=8192, k=8192, n=8192):
     a = jax.device_put(jnp.ones((m, k), jnp.bfloat16))
     b = jax.device_put(jnp.ones((k, n), jnp.bfloat16))
@@ -239,6 +264,8 @@ def main():
               f"({s * 1e3:.3f} ms/call)", flush=True)
     out["vpu_formulations"] = vpu_forms
     out["vpu_stencil_tfmas"] = max(vpu_forms.values())
+    if not args.quick:
+        out["implied_shipped_tfmas"] = implied_dw_rates()
     tflops, s = mxu_rate()
     out["mxu_tflops"] = round(tflops, 1)
     print(f"mxu bf16 matmul: {tflops:.1f} TFLOP/s  ({s * 1e3:.3f} ms/call)")
