@@ -78,10 +78,33 @@ from .pallas_dw import _should_interpret
 # img/s, logits bit-identical on the MXU — SHIPS ON.
 EO_EXPAND = True
 
+# Masked-bias border handling (round-5 VERDICT #2 attack): the two border
+# fixups both force EXACT ZEROS onto z — bottom-padding rows at the last
+# grid step (rows_valid) and the pixel-W reference of the delta=2 tap
+# (tap2_valid). Since act(0) = 0 for relu/relu6 and every invalid z
+# element has an all-zero input row/column in the scratch window, zeroing
+# the BIAS at those (row, col) positions makes z = act(0*kw + 0) = 0
+# exactly — replacing two full-tensor selects (+ their iota/or chains) on
+# the (rows, W4+1, 2*EE) expanded tensor with one (rows, W4+1)-shaped mask
+# on the bias row. The tap2 fixup rides free because _shift_cols(-1)
+# pulls column w4 — now exactly zero — into the wrapped lanes of column
+# w4-1. Bit-identical to the where-based path
+# (tests/test_pallas_expand_s2.py). RACED 2026-08-20 (tools/abx.py, V2
+# 1.0-224 batch 256 bf16, hi-class tunnel): e2e 17.979 vs 17.959 ms — a
+# 0.1% WASH; standalone at V2-b1 geometry 3.75 vs 3.71 ms (the bias-mask
+# materialization costs what the two selects did — Mosaic lowers
+# broadcasted selects nearly free). SHIPS OFF; kept as the measured-out
+# record that the border masks are NOT the b1 cost. The residual account:
+# the kernel is VPU-bound (act 1.29 + dw 0.95 + epilogue 0.42 ms of
+# irreducible per-element work at this geometry) with ~72% of the
+# MXU/roll/boundary work hidden behind it. eo-mode only.
+FASTMASK = False
+
 
 def _expand_s2_kernel(
     x_ref, kw_ref, eb_ref, dww_ref, dwb_ref, pww_ref, pwb_ref, o_ref, s_ref,
     *, th, w4, r, cin, ee, relu6, out_dtype, g, bn, pw_epilogue, eo,
+    fastmask=False,
 ):
     i = pl.program_id(1)
     is_first_step = jnp.logical_and(pl.program_id(0) == 0, i == 0)
@@ -117,8 +140,10 @@ def _expand_s2_kernel(
     col_i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w4p, 1), 2)
     lane_e = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, ee), 3)
     epix = ee // (r // 2)  # lanes per expanded pixel slot (= E)
-    tap2_valid = jnp.logical_not(
-        jnp.logical_and(col_i == w4 - 1, lane_e >= ee - epix))
+    tap2_valid = None
+    if not (eo and fastmask):
+        tap2_valid = jnp.logical_not(
+            jnp.logical_and(col_i == w4 - 1, lane_e >= ee - epix))
 
     kw = kw_ref[...]          # (128, EE) or (128, 2*EE) in eo mode
     eb = eb_ref[0].astype(jnp.float32)
@@ -143,13 +168,27 @@ def _expand_s2_kernel(
         # (E lanes), last slot pulling the next column group's slot 0.
         z = jnp.dot(sv.astype(kw.dtype).reshape(bn * rows * w4p, 128), kw,
                     preferred_element_type=jnp.float32, precision=prec)
-        z = _act(z.reshape(bn, rows, w4p, 2 * ee) + eb, relu6)
-        z = jnp.where(rows_valid, z, 0.0)
-        z_e, z_o = z[..., :ee], z[..., ee:]
-        roll_e = pltpu.roll(z_e, ee - epix, axis=3)
-        z_2 = jnp.where(lane_e >= ee - epix, _shift_cols(roll_e, -1),
-                        roll_e)
-        z_2 = jnp.where(tap2_valid, z_2, 0.0)
+        if fastmask:
+            # Zero the bias at padding rows AND the zero border column w4:
+            # their scratch input is all-zero, so z = act(0 + 0) = 0
+            # exactly — no full-tensor selects, and the tap2 fixup comes
+            # free (shift_cols(-1) pulls the now-exactly-zero column w4).
+            ebm = jnp.where(
+                jnp.logical_and(rows_valid, col_i < w4),
+                eb.reshape(1, 1, 1, -1), jnp.float32(0.0))
+            z = _act(z.reshape(bn, rows, w4p, 2 * ee) + ebm, relu6)
+            z_e, z_o = z[..., :ee], z[..., ee:]
+            roll_e = pltpu.roll(z_e, ee - epix, axis=3)
+            z_2 = jnp.where(lane_e >= ee - epix, _shift_cols(roll_e, -1),
+                            roll_e)
+        else:
+            z = _act(z.reshape(bn, rows, w4p, 2 * ee) + eb, relu6)
+            z = jnp.where(rows_valid, z, 0.0)
+            z_e, z_o = z[..., :ee], z[..., ee:]
+            roll_e = pltpu.roll(z_e, ee - epix, axis=3)
+            z_2 = jnp.where(lane_e >= ee - epix, _shift_cols(roll_e, -1),
+                            roll_e)
+            z_2 = jnp.where(tap2_valid, z_2, 0.0)
         for dx, z_t in enumerate((z_e, z_o, z_2)):
             acc = dw_acc(acc, z_t, dx)
     else:
@@ -212,6 +251,7 @@ def expand_block_packed_s2(
     block_n: Optional[int] = None,
     interpret: Optional[bool] = None,
     eo: Optional[bool] = None,
+    fastmask: Optional[bool] = None,
 ) -> jax.Array:
     """Fused act(expand 1x1) -> dw3x3 stride-2 + act -> pw projection on
     R-lane-packed narrow input. Returns (N, H/2, W4, (R/2)*Cout); callers
@@ -220,23 +260,26 @@ def expand_block_packed_s2(
 
     pw_epilogue=False (default) emits the UNACTIVATED linear projection of
     an inverted-residual block; True applies the block activation (the V1
-    separable-block mode). eo=None takes the module EO_EXPAND default —
+    separable-block mode). eo/fastmask=None take the module defaults —
     resolved HERE (outside the jit) so flag flips are never masked by a
     stale trace cache."""
     if eo is None:
         eo = EO_EXPAND
+    if fastmask is None:
+        fastmask = FASTMASK
     if interpret is None:
         interpret = _should_interpret()
     return _expand_block_packed_s2_impl(
         x_packed, exp_w, exp_b, dw_w, dw_b, pw_w, pw_b, cin=cin,
         relu6=relu6, pw_epilogue=pw_epilogue, block_h=block_h,
-        block_n=block_n, interpret=interpret, eo=eo)
+        block_n=block_n, interpret=interpret, eo=eo,
+        fastmask=fastmask and eo)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cin", "relu6", "block_h", "block_n", "pw_epilogue",
-                     "interpret", "eo"),
+                     "interpret", "eo", "fastmask"),
 )
 def _expand_block_packed_s2_impl(
     x_packed: jax.Array,  # (N, H, W*Cin/128, 128), lane = j*Cin + c
@@ -254,6 +297,7 @@ def _expand_block_packed_s2_impl(
     block_n: Optional[int],
     interpret: bool,
     eo: bool,
+    fastmask: bool = False,
 ) -> jax.Array:
     n, h, w4, lanes = x_packed.shape
     e = int(exp_w.shape[1])
@@ -337,6 +381,7 @@ def _expand_block_packed_s2_impl(
     kernel = functools.partial(
         _expand_s2_kernel, th=th, w4=w4, r=r, cin=cin, ee=ee, relu6=relu6,
         out_dtype=dt, g=g, bn=bn, pw_epilogue=pw_epilogue, eo=eo,
+        fastmask=fastmask,
     )
 
     return pl.pallas_call(

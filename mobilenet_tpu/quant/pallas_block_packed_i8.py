@@ -327,11 +327,19 @@ def separable_block_packed_i8(
 
 def _named_requant_f32(acc_f32, a_vec, inv_s, act):
     """quant/v3._requant_named_* twin on an f32 EXACT-integer accumulator
-    (same IEEE op order: v = acc*a, act(v), rint(v*inv_s), clip)."""
+    (same IEEE op order: v = acc*a, act(v), rint(v*inv_s), clip).
+
+    relu is folded into the clip's lower bound (round-5): for inv_s > 0,
+    clip(rint(max(v,0)*inv_s), -128, 127) == clip(rint(v*inv_s), 0, 127)
+    bit-for-bit — a negative v scales negative, rounds to <= 0, and clips
+    to the same 0 the oracle's max produced — saving one full-tensor VPU
+    op on every named requant. The oracle keeps the canonical order; the
+    EXACT gates prove the identity on every path."""
     v = acc_f32 * a_vec.astype(jnp.float32)
     if act == "relu":
-        v = jnp.maximum(v, jnp.float32(0.0))
-    elif act == "hswish":
+        return jnp.clip(jnp.round(v * jnp.float32(inv_s)),
+                        jnp.float32(0.0), 127)
+    if act == "hswish":
         g = jnp.clip(v + jnp.float32(3.0), 0.0, 6.0) * jnp.float32(1.0 / 6.0)
         v = v * g
     else:

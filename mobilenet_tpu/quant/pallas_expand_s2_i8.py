@@ -42,6 +42,7 @@ def _kernel(
     x_ref, kw_ref, eb_ref, ea_ref, dww_ref, dwb_ref, da_ref, pww_ref,
     pwb_ref, pa_ref, o_ref, s_ref,
     *, th, w4, r, cin, ee, act, out_dtype, g, bn, e_inv, d_inv, p_inv, eo,
+    fastmask=False,
 ):
     i = pl.program_id(1)
 
@@ -73,8 +74,10 @@ def _kernel(
     col_i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w4p, 1), 2)
     lane_e = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, ee), 3)
     epix = ee // (r // 2)  # lanes per expanded pixel slot (= E)
-    tap2_valid = jnp.logical_not(
-        jnp.logical_and(col_i == w4 - 1, lane_e >= ee - epix))
+    tap2_valid = None
+    if not (eo and fastmask):
+        tap2_valid = jnp.logical_not(
+            jnp.logical_and(col_i == w4 - 1, lane_e >= ee - epix))
 
     kw = kw_ref[...]                       # (128, EE|2*EE) bf16 int weights
     eb = eb_ref[0].astype(jnp.float32)     # i32 bias, exact in f32
@@ -98,14 +101,32 @@ def _kernel(
         # (a pixel permutation of exact integers — bit-identical).
         z = jnp.dot(sv.astype(jnp.bfloat16).reshape(bn * rows * w4p, 128),
                     kw, preferred_element_type=jnp.float32)
-        z = _named_requant_f32(z.reshape(bn, rows, w4p, 2 * ee) + eb, ea,
-                               e_inv, act)
-        z = jnp.where(rows_valid, z, 0.0)
-        z_e, z_o = z[..., :ee], z[..., ee:]
-        roll_e = pltpu.roll(z_e, ee - epix, axis=3)
-        z_2 = jnp.where(lane_e >= ee - epix, _shift_cols(roll_e, -1),
-                        roll_e)
-        z_2 = jnp.where(tap2_valid, z_2, 0.0)
+        if fastmask:
+            # Masked-bias border handling (round-5, same algebra as the
+            # bf16 kernel's FASTMASK): invalid rows / the zero border
+            # column have all-zero scratch input, and every named requant
+            # maps 0 -> exactly 0 (relu/hswish/linear all fix 0; rint and
+            # clip preserve it), so zeroing the BIAS there yields exact
+            # post-requant zeros without the two full-tensor selects. The
+            # tap2 fixup rides free: _shift_cols(-1) pulls the now-zero
+            # column w4 into the wrapped lanes of column w4-1.
+            ebm = jnp.where(jnp.logical_and(rows_valid, col_i < w4), eb,
+                            jnp.float32(0.0))
+            z = _named_requant_f32(z.reshape(bn, rows, w4p, 2 * ee) + ebm,
+                                   ea, e_inv, act)
+            z_e, z_o = z[..., :ee], z[..., ee:]
+            roll_e = pltpu.roll(z_e, ee - epix, axis=3)
+            z_2 = jnp.where(lane_e >= ee - epix, _shift_cols(roll_e, -1),
+                            roll_e)
+        else:
+            z = _named_requant_f32(z.reshape(bn, rows, w4p, 2 * ee) + eb,
+                                   ea, e_inv, act)
+            z = jnp.where(rows_valid, z, 0.0)
+            z_e, z_o = z[..., :ee], z[..., ee:]
+            roll_e = pltpu.roll(z_e, ee - epix, axis=3)
+            z_2 = jnp.where(lane_e >= ee - epix, _shift_cols(roll_e, -1),
+                            roll_e)
+            z_2 = jnp.where(tap2_valid, z_2, 0.0)
         for dx, z_t in enumerate((z_e, z_o, z_2)):
             acc = dw_acc(acc, z_t, dx)
     else:
@@ -151,30 +172,35 @@ def expand_block_packed_s2_i8(
     block_n: Optional[int] = None,
     interpret: Optional[bool] = None,
     eo: Optional[bool] = None,
+    fastmask: Optional[bool] = None,
 ) -> jax.Array:
     """Fused named-act int8 expand -> dw3x3 s2 -> LINEAR projection on an
     R-lane-packed bf16 integer carrier. Returns (N, H/2, W4, (R/2)*Cout)
     in out_dtype (int8 at a carriage boundary, bf16 to keep the carriage);
     pixel-major lanes — callers reshape freely to NHWC of the padded Cout.
     Bit-identical to quant/v3's XLA ops sequence (the interpret-tier test
-    asserts EXACT equality). eo=None takes the float kernel's EO_EXPAND
-    default (resolved here, outside the jit)."""
+    asserts EXACT equality). eo/fastmask=None take the float kernel's
+    EO_EXPAND/FASTMASK defaults (resolved here, outside the jit)."""
+    from ..ops import pallas_expand_s2 as _pes
+
     if eo is None:
-        from ..ops import pallas_expand_s2 as _pes
         eo = _pes.EO_EXPAND
+    if fastmask is None:
+        fastmask = _pes.FASTMASK
     if interpret is None:
         interpret = _should_interpret()
     return _expand_block_packed_s2_i8_impl(
         x_packed, exp_w_i8, exp_b_i32, exp_a, dw_w_i8, dw_b_i32, dw_a,
         pw_w_i8, pw_b_i32, pw_a, cin=cin, act=act, e_inv=e_inv,
         d_inv=d_inv, p_inv=p_inv, out_dtype=out_dtype, block_h=block_h,
-        block_n=block_n, interpret=interpret, eo=eo)
+        block_n=block_n, interpret=interpret, eo=eo,
+        fastmask=fastmask and eo)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cin", "act", "e_inv", "d_inv", "p_inv", "out_dtype",
-                     "block_h", "block_n", "interpret", "eo"),
+                     "block_h", "block_n", "interpret", "eo", "fastmask"),
 )
 def _expand_block_packed_s2_i8_impl(
     x_packed: jax.Array,
@@ -188,6 +214,7 @@ def _expand_block_packed_s2_i8_impl(
     block_n: Optional[int],
     interpret: bool,
     eo: bool,
+    fastmask: bool = False,
 ) -> jax.Array:
     out_dtype = jnp.dtype(out_dtype)
     n, h, w4, lanes = x_packed.shape
@@ -270,7 +297,7 @@ def _expand_block_packed_s2_i8_impl(
     kernel = functools.partial(
         _kernel, th=th, w4=w4, r=r, cin=cin, ee=ee, act=act,
         out_dtype=out_dtype, g=g, bn=bn, e_inv=float(e_inv),
-        d_inv=float(d_inv), p_inv=float(p_inv), eo=eo,
+        d_inv=float(d_inv), p_inv=float(p_inv), eo=eo, fastmask=fastmask,
     )
 
     return pl.pallas_call(

@@ -369,3 +369,65 @@ def test_v2_i8_fused_route_blocks_knob(monkeypatch):
     lf3 = np.asarray(forward_v2_i8(dev, x_i8, cfg, use_fused=True))
     assert len(calls) == 1, f"blocks={{1}} must fire b1 only, fired {calls}"
     np.testing.assert_array_equal(lx, lf3)
+
+
+def test_fastmask_bit_identical_bf16(rng):
+    """The masked-bias border formulation (FASTMASK, shipped OFF after the
+    2026-08-20 wash race — module docstring) must stay bit-identical to
+    the where-based path, incl. multi-grid border steps."""
+    from mobilenet_tpu.ops.pallas_block_packed import pack
+    from mobilenet_tpu.ops.pallas_expand_s2 import expand_block_packed_s2
+
+    for (cin, e, cout, h, w, bh) in [(16, 96, 32, 16, 16, None),
+                                     (16, 64, 32, 32, 16, 4),
+                                     (32, 128, 64, 8, 8, 2)]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, cin)), jnp.float32)
+        xp = pack(x, cin)
+        ew = jnp.asarray(rng.standard_normal((cin, e)) * 0.3, jnp.float32)
+        eb = jnp.asarray(rng.standard_normal((e,)), jnp.float32)
+        dw = jnp.asarray(rng.standard_normal((3, 3, 1, e)) * 0.3, jnp.float32)
+        db = jnp.asarray(rng.standard_normal((e,)), jnp.float32)
+        pw = jnp.asarray(rng.standard_normal((e, cout)) * 0.3, jnp.float32)
+        pb = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+        for relu6 in (False, True):
+            a = expand_block_packed_s2(xp, ew, eb, dw, db, pw, pb, cin,
+                                       relu6, block_h=bh, fastmask=False)
+            b = expand_block_packed_s2(xp, ew, eb, dw, db, pw, pb, cin,
+                                       relu6, block_h=bh, fastmask=True)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fastmask_bit_identical_i8():
+    """Same identity on the int8 twin: masked bias -> exact post-requant
+    zeros (every named requant fixes 0), all acts."""
+    import jax.numpy as jnp
+
+    from mobilenet_tpu.ops.pallas_block_packed import pack
+    from mobilenet_tpu.quant.pallas_expand_s2_i8 import (
+        expand_block_packed_s2_i8)
+
+    rng = np.random.default_rng(23)
+    cin, e, cout, h, w = 16, 64, 32, 32, 16
+    x_q = rng.integers(-128, 128, (1, h, w, cin)).astype(np.int8)
+    xp = pack(jnp.asarray(x_q).astype(jnp.bfloat16), cin)
+    exp_w = rng.integers(-127, 128, (cin, e)).astype(np.int8)
+    exp_b = rng.integers(-500, 500, (e,)).astype(np.int32)
+    exp_a = (rng.uniform(0.5, 2.0, (e,)) * 1e-3).astype(np.float32)
+    dw_w = rng.integers(-127, 128, (3, 3, 1, e)).astype(np.int8)
+    dw_b = rng.integers(-500, 500, (e,)).astype(np.int32)
+    dw_a = (rng.uniform(0.5, 2.0, (e,)) * 1e-3).astype(np.float32)
+    pw_w = rng.integers(-127, 128, (e, cout)).astype(np.int8)
+    pw_b = rng.integers(-500, 500, (cout,)).astype(np.int32)
+    pw_a = (rng.uniform(0.5, 2.0, (cout,)) * 1e-3).astype(np.float32)
+    for act in ("relu", "hswish"):
+        for bh in (None, 4):
+            outs = []
+            for fm in (False, True):
+                outs.append(np.asarray(expand_block_packed_s2_i8(
+                    xp, jnp.asarray(exp_w), jnp.asarray(exp_b),
+                    jnp.asarray(exp_a), jnp.asarray(dw_w),
+                    jnp.asarray(dw_b), jnp.asarray(dw_a),
+                    jnp.asarray(pw_w), jnp.asarray(pw_b),
+                    jnp.asarray(pw_a), cin, act, 29.0, 37.0, 53.0,
+                    out_dtype="int8", block_h=bh, fastmask=fm)))
+            np.testing.assert_array_equal(outs[0], outs[1])
