@@ -325,16 +325,38 @@ def separable_block_packed_i8(
 # ---------------------------------------------------------------------------
 
 
-def _named_requant_f32(acc_f32, a_vec, inv_s, act):
-    """quant/v3._requant_named_* twin on an f32 EXACT-integer accumulator
-    (same IEEE op order: v = acc*a, act(v), rint(v*inv_s), clip).
+def _named_requant_f32(acc_f32, a_vec, inv_s, act, fold=None):
+    """quant/v3._requant_named_* twin on an f32 EXACT-integer accumulator.
 
-    relu is folded into the clip's lower bound (round-5): for inv_s > 0,
-    clip(rint(max(v,0)*inv_s), -128, 127) == clip(rint(v*inv_s), 0, 127)
-    bit-for-bit — a negative v scales negative, rounds to <= 0, and clips
-    to the same 0 the oracle's max produced — saving one full-tensor VPU
-    op on every named requant. The oracle keeps the canonical order; the
-    EXACT gates prove the identity on every path."""
+    fold=True (quant/v3.FOLDED_REQUANT, the round-5 canonical order) is
+    the single-multiplier form: m = f32(a)*f32(inv_s) computed on the
+    (1, C) vector once, so relu/linear requants cost ONE full-tensor mul
+    instead of two (and hswish folds inv_s/6 the same way) — the fold is
+    a SCHEME order, mirrored bit-for-bit by the numpy oracle.
+
+    relu lives in the clip's lower bound either way (round-5): for
+    m > 0, clip(rint(max(v,0)*s), -128, 127) == clip(rint(v*s), 0, 127)
+    bit-for-bit — a negative v scales negative, rounds to <= 0, and
+    clips to the same 0 the max produced — saving one more full-tensor
+    VPU op. The EXACT gates prove the identity on every path. Entries
+    thread `fold` as a static (the EO_EXPAND pattern) for tools/abx.py;
+    fold=None reads the knob at trace time."""
+    if fold is None:
+        from . import v3 as _v3
+
+        fold = _v3.FOLDED_REQUANT
+    if fold:
+        if act == "hswish":
+            v = acc_f32 * a_vec.astype(jnp.float32)
+            t = jnp.clip(v + jnp.float32(3.0), 0.0, 6.0)
+            return jnp.clip(
+                jnp.round((v * t)
+                          * (jnp.float32(inv_s) * jnp.float32(1.0 / 6.0))),
+                -128, 127)
+        assert act in ("relu", "linear"), act
+        m = a_vec.astype(jnp.float32) * jnp.float32(inv_s)
+        lo = jnp.float32(0.0) if act == "relu" else -128
+        return jnp.clip(jnp.round(acc_f32 * m), lo, 127)
     v = acc_f32 * a_vec.astype(jnp.float32)
     if act == "relu":
         return jnp.clip(jnp.round(v * jnp.float32(inv_s)),
@@ -349,7 +371,7 @@ def _named_requant_f32(acc_f32, a_vec, inv_s, act):
 
 def _named_s1_kernel(x_ref, dww_ref, dwb_ref, da_ref, pww_ref, pwb_ref,
                      pa_ref, o_ref, s_ref, *, th, w4, r, cin, act, g, bn,
-                     out_cols, d_inv, p_inv, out_dtype):
+                     out_cols, d_inv, p_inv, out_dtype, fold):
     import jax as _jax
 
     i = pl.program_id(1)
@@ -393,7 +415,7 @@ def _named_s1_kernel(x_ref, dww_ref, dwb_ref, da_ref, pww_ref, pwb_ref,
             acc = acc + t * dww_ref[dy, dx, :].astype(jnp.float32)
 
     yd = _named_requant_f32(acc + dwb_ref[0].astype(jnp.float32),
-                            da_ref[0], d_inv, act)
+                            da_ref[0], d_inv, act, fold)
     # LINEAR projection as an exact bf16 MXU dot: yd ints <= 127 and the
     # block-diagonal kron keeps |dot| <= Cin*127^2 (2.58e5 at Cin=16) —
     # exact in the f32 accumulator; bias joins in f32 (bound checked at
@@ -402,14 +424,14 @@ def _named_s1_kernel(x_ref, dww_ref, dwb_ref, da_ref, pww_ref, pwb_ref,
     out = jnp.dot(y2, pww_ref[...],
                   preferred_element_type=jnp.float32)
     out = out + pwb_ref[0].astype(jnp.float32)
-    q = _named_requant_f32(out, pa_ref[0], p_inv, "linear")
+    q = _named_requant_f32(out, pa_ref[0], p_inv, "linear", fold)
     o_ref[...] = q.reshape(bn, th, out_cols, 128).astype(out_dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cin", "cout", "act", "d_inv", "p_inv", "out_dtype",
-                     "block_h", "block_n", "interpret"),
+                     "block_h", "block_n", "interpret", "fold"),
 )
 def packed_block_i8_named(
     x_packed,              # (N, H, W*Cin/128, 128) bf16-carried ints
@@ -418,7 +440,7 @@ def packed_block_i8_named(
     cin: int, cout: int, act: str, d_inv: float, p_inv: float,
     out_dtype: str = "bfloat16", *,
     block_h: Optional[int] = None, block_n: Optional[int] = None,
-    interpret: Optional[bool] = None,
+    interpret: Optional[bool] = None, fold: Optional[bool] = None,
 ):
     """Stride-1 lane-packed named-act int8 block (V3 block-0 class).
 
@@ -474,7 +496,7 @@ def packed_block_i8_named(
     kernel = functools.partial(
         _named_s1_kernel, th=th, w4=w4, r=r, cin=cin, act=act, g=g, bn=bn,
         out_cols=out_cols, d_inv=float(d_inv), p_inv=float(p_inv),
-        out_dtype=out_dtype)
+        out_dtype=out_dtype, fold=fold)
     return pl.pallas_call(
         kernel,
         grid=(n // bn, g),
@@ -549,7 +571,7 @@ def packed_expand_i8_named(x_carry, exp_w_i8, exp_b_i32, exp_a, inv_s,
 
 def _named_s2_kernel(x_ref, dww_ref, dwb_ref, da_ref, pww_ref, pwb_ref,
                      pa_ref, o_ref, s_ref, *, th, w4, r, cin, act, g, bn,
-                     out_cols, d_inv, p_inv, out_dtype):
+                     out_cols, d_inv, p_inv, out_dtype, fold):
     import jax as _jax
 
     i = pl.program_id(1)
@@ -591,21 +613,21 @@ def _named_s2_kernel(x_ref, dww_ref, dwb_ref, da_ref, pww_ref, pwb_ref,
 
     yd = _named_requant_f32(
         acc[:, :, 0:w4, :] + dwb_ref[0].astype(jnp.float32),
-        da_ref[0], d_inv, act)
+        da_ref[0], d_inv, act, fold)
     # LINEAR projection as an exact bf16 MXU dot (the named s1 kernel's
     # argument: |dot| <= E*127² plus the bias bound checked at the routing
     # site keep the f32 accumulator an exact integer).
     y2 = yd.astype(jnp.bfloat16).reshape(bn * th * w4, 128)
     out = jnp.dot(y2, pww_ref[...], preferred_element_type=jnp.float32)
     out = out + pwb_ref[0].astype(jnp.float32)
-    q = _named_requant_f32(out, pa_ref[0], p_inv, "linear")
+    q = _named_requant_f32(out, pa_ref[0], p_inv, "linear", fold)
     o_ref[...] = q.reshape(bn, th, out_cols, 128).astype(out_dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cin", "cout", "act", "d_inv", "p_inv", "out_dtype",
-                     "block_h", "block_n", "interpret"),
+                     "block_h", "block_n", "interpret", "fold"),
 )
 def packed_block_i8_named_s2(
     x_packed,              # (N, H, W*Cin/128, 128) bf16-carried ints
@@ -614,7 +636,7 @@ def packed_block_i8_named_s2(
     cin: int, cout: int, act: str, d_inv: float, p_inv: float,
     out_dtype: str = "bfloat16", *,
     block_h: Optional[int] = None, block_n: Optional[int] = None,
-    interpret: Optional[bool] = None,
+    interpret: Optional[bool] = None, fold: Optional[bool] = None,
 ):
     """Stride-2 lane-packed named-act int8 block (V3 block-1 stage 2).
 
@@ -671,7 +693,7 @@ def packed_block_i8_named_s2(
     kernel = functools.partial(
         _named_s2_kernel, th=th, w4=w4, r=r, cin=cin, act=act, g=g, bn=bn,
         out_cols=out_cols, d_inv=float(d_inv), p_inv=float(p_inv),
-        out_dtype=out_dtype)
+        out_dtype=out_dtype, fold=fold)
     return pl.pallas_call(
         kernel,
         grid=(n // bn, g),
@@ -707,7 +729,7 @@ def _named_s2_se_kernel(x_ref, dww_ref, dwb_ref, da_ref, ssel_ref,
                         s1w_ref, s1b_ref, s1a_ref, s2w_ref, s2b_ref,
                         s2a_ref, pww_ref, pwb_ref, pa_ref, o_ref, s_ref,
                         *, w4, r, cin, act, bn, h_out, out_cols, d_inv,
-                        s1_inv, p_inv, hw_inv, out_dtype):
+                        s1_inv, p_inv, hw_inv, out_dtype, fold):
     """Whole-image stride-2 lane-packed named block WITH the quantized SE
     gate in-kernel (V3-Small block 0: t=1, k3 s2, SE, relu — its XLA int8
     fallback measured 8.08 -> 4.28 ms/batch-256 across the 2026-08-20
@@ -750,7 +772,7 @@ def _named_s2_se_kernel(x_ref, dww_ref, dwb_ref, da_ref, ssel_ref,
 
     yd = _named_requant_f32(
         acc[:, :, 0:w4, :] + dwb_ref[0].astype(jnp.float32),
-        da_ref[0], d_inv, act)  # f32 ints, A-space (bn, th, w4, 128)
+        da_ref[0], d_inv, act, fold)  # f32 ints, A-space (bn, th, w4, 128)
 
     # --- quantized SE gate: selected-pixel channel sums -> ir_v3_i8 SE ---
     # The lane->channel fold crosses lanes, so it must be an MXU dot with
@@ -774,7 +796,7 @@ def _named_s2_se_kernel(x_ref, dww_ref, dwb_ref, da_ref, ssel_ref,
             pooled, s1w_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32) + s1b_ref[0]).astype(
                 jnp.float32),
-        s1a_ref[0], s1_inv, "relu").astype(jnp.int8)
+        s1a_ref[0], s1_inv, "relu", fold).astype(jnp.int8)
     acc2 = _jax.lax.dot_general(
         g1, s2w_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32) + s2b_ref[0]
@@ -787,14 +809,14 @@ def _named_s2_se_kernel(x_ref, dww_ref, dwb_ref, da_ref, ssel_ref,
     y2 = yd.astype(jnp.bfloat16).reshape(bn * th * w4, 128)
     out = jnp.dot(y2, pww_ref[...], preferred_element_type=jnp.float32)
     out = out + pwb_ref[0].astype(jnp.float32)
-    q = _named_requant_f32(out, pa_ref[0], p_inv, "linear")
+    q = _named_requant_f32(out, pa_ref[0], p_inv, "linear", fold)
     o_ref[...] = q.reshape(bn, th, out_cols, 128).astype(out_dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cin", "cout", "act", "d_inv", "s1_inv", "p_inv",
-                     "out_dtype", "block_n", "interpret"),
+                     "out_dtype", "block_n", "interpret", "fold"),
 )
 def packed_block_i8_named_s2_se(
     x_packed,              # (N, H, W*Cin/128, 128) bf16-carried ints
@@ -804,6 +826,7 @@ def packed_block_i8_named_s2_se(
     cin: int, cout: int, act: str, d_inv: float, s1_inv: float,
     p_inv: float, out_dtype: str = "bfloat16", *,
     block_n: Optional[int] = None, interpret: Optional[bool] = None,
+    fold: Optional[bool] = None,
 ):
     """Stride-2 lane-packed named-act int8 block with in-kernel SE (no
     expand — the t=1 V3-Small block-0 shape). Whole-image tiles only (the
@@ -846,7 +869,8 @@ def packed_block_i8_named_s2_se(
         _named_s2_se_kernel, w4=w4, r=r, cin=cin, act=act, bn=bn,
         h_out=h_out, out_cols=out_cols, d_inv=float(d_inv),
         s1_inv=float(s1_inv), p_inv=float(p_inv),
-        hw_inv=1.0 / float(h_out * (w4 * r // 2)), out_dtype=out_dtype)
+        hw_inv=1.0 / float(h_out * (w4 * r // 2)), out_dtype=out_dtype,
+        fold=fold)
     wspec = lambda shape: pl.BlockSpec(shape, lambda b_: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     return pl.pallas_call(

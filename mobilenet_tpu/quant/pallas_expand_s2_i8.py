@@ -42,7 +42,7 @@ def _kernel(
     x_ref, kw_ref, eb_ref, ea_ref, dww_ref, dwb_ref, da_ref, pww_ref,
     pwb_ref, pa_ref, o_ref, s_ref,
     *, th, w4, r, cin, ee, act, out_dtype, g, bn, e_inv, d_inv, p_inv, eo,
-    fastmask=False,
+    fastmask=False, fold=None,
 ):
     i = pl.program_id(1)
 
@@ -113,14 +113,14 @@ def _kernel(
             ebm = jnp.where(jnp.logical_and(rows_valid, col_i < w4), eb,
                             jnp.float32(0.0))
             z = _named_requant_f32(z.reshape(bn, rows, w4p, 2 * ee) + ebm,
-                                   ea, e_inv, act)
+                                   ea, e_inv, act, fold)
             z_e, z_o = z[..., :ee], z[..., ee:]
             roll_e = pltpu.roll(z_e, ee - epix, axis=3)
             z_2 = jnp.where(lane_e >= ee - epix, _shift_cols(roll_e, -1),
                             roll_e)
         else:
             z = _named_requant_f32(z.reshape(bn, rows, w4p, 2 * ee) + eb,
-                                   ea, e_inv, act)
+                                   ea, e_inv, act, fold)
             z = jnp.where(rows_valid, z, 0.0)
             z_e, z_o = z[..., :ee], z[..., ee:]
             roll_e = pltpu.roll(z_e, ee - epix, axis=3)
@@ -144,7 +144,7 @@ def _kernel(
                 tap.astype(jnp.bfloat16).reshape(bn * rows * w4p, 128),
                 kw, preferred_element_type=jnp.float32)
             z = _named_requant_f32(z.reshape(bn, rows, w4p, ee) + eb, ea,
-                                   e_inv, act)
+                                   e_inv, act, fold)
             z = jnp.where(rows_valid, z, 0.0)
             if dx == 2:
                 z = jnp.where(tap2_valid, z, 0.0)
@@ -152,11 +152,11 @@ def _kernel(
 
     yd = _named_requant_f32(
         acc[:, :, 0:w4, :] + dwb_ref[0].astype(jnp.float32),
-        da_ref[0], d_inv, act)
+        da_ref[0], d_inv, act, fold)
     y2 = yd.astype(jnp.bfloat16).reshape(bn * th * w4, ee)
     out = jnp.dot(y2, pww_ref[...], preferred_element_type=jnp.float32)
     out = out + pwb_ref[0].astype(jnp.float32)
-    q = _named_requant_f32(out, pa_ref[0], p_inv, "linear")
+    q = _named_requant_f32(out, pa_ref[0], p_inv, "linear", fold)
     o_ref[...] = q.reshape(bn, th, w4, -1).astype(out_dtype)
 
 
@@ -173,6 +173,7 @@ def expand_block_packed_s2_i8(
     interpret: Optional[bool] = None,
     eo: Optional[bool] = None,
     fastmask: Optional[bool] = None,
+    fold: Optional[bool] = None,
 ) -> jax.Array:
     """Fused named-act int8 expand -> dw3x3 s2 -> LINEAR projection on an
     R-lane-packed bf16 integer carrier. Returns (N, H/2, W4, (R/2)*Cout)
@@ -187,6 +188,10 @@ def expand_block_packed_s2_i8(
         eo = _pes.EO_EXPAND
     if fastmask is None:
         fastmask = _pes.FASTMASK
+    if fold is None:
+        from . import v3 as _v3
+
+        fold = _v3.FOLDED_REQUANT
     if interpret is None:
         interpret = _should_interpret()
     return _expand_block_packed_s2_i8_impl(
@@ -194,13 +199,14 @@ def expand_block_packed_s2_i8(
         pw_w_i8, pw_b_i32, pw_a, cin=cin, act=act, e_inv=e_inv,
         d_inv=d_inv, p_inv=p_inv, out_dtype=out_dtype, block_h=block_h,
         block_n=block_n, interpret=interpret, eo=eo,
-        fastmask=fastmask and eo)
+        fastmask=fastmask and eo, fold=bool(fold))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cin", "act", "e_inv", "d_inv", "p_inv", "out_dtype",
-                     "block_h", "block_n", "interpret", "eo", "fastmask"),
+                     "block_h", "block_n", "interpret", "eo", "fastmask",
+                     "fold"),
 )
 def _expand_block_packed_s2_i8_impl(
     x_packed: jax.Array,
@@ -215,6 +221,7 @@ def _expand_block_packed_s2_i8_impl(
     interpret: bool,
     eo: bool,
     fastmask: bool = False,
+    fold: bool = None,
 ) -> jax.Array:
     out_dtype = jnp.dtype(out_dtype)
     n, h, w4, lanes = x_packed.shape
@@ -298,6 +305,7 @@ def _expand_block_packed_s2_i8_impl(
         _kernel, th=th, w4=w4, r=r, cin=cin, ee=ee, act=act,
         out_dtype=out_dtype, g=g, bn=bn, e_inv=float(e_inv),
         d_inv=float(d_inv), p_inv=float(p_inv), eo=eo, fastmask=fastmask,
+        fold=fold,
     )
 
     return pl.pallas_call(

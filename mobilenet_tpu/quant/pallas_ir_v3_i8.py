@@ -53,19 +53,16 @@ def v3_i8_fits(n, h, w, cin, e, cout, k, stride, se=0) -> bool:
     return _v3_mode(n, h, w, cin, e, cout, k, stride, se, 2)[0] is not None
 
 
-def _requant_named_k(acc_i32, a_vec, inv_s, act):
+def _requant_named_k(acc_i32, a_vec, inv_s, act, fold=None):
     """In-kernel twin of quant/v3._requant_named_*: f32 value (ints in
-    [-128, 127]); the int8 CAST is the caller's (reshape in f32 first)."""
-    v = acc_i32.astype(jnp.float32) * a_vec.astype(jnp.float32)
-    if act == "relu":
-        v = jnp.maximum(v, jnp.float32(0.0))
-    elif act == "hswish":
-        g = jnp.clip(v + jnp.float32(3.0), 0.0, 6.0) * jnp.float32(1.0 / 6.0)
-        v = v * g
-    else:
-        assert act == "linear", act
-    q = jnp.round(v * jnp.float32(inv_s))
-    return jnp.clip(q, -128, 127)
+    [-128, 127]); the int8 CAST is the caller's (reshape in f32 first).
+    Delegates to the shared packed-kernel helper so this file picks up
+    both round-5 requant folds (relu-in-clip + the single-multiplier
+    FOLDED_REQUANT order) from exactly one implementation."""
+    from .pallas_block_packed_i8 import _named_requant_f32
+
+    return _named_requant_f32(acc_i32.astype(jnp.float32), a_vec,
+                              float(inv_s), act, fold)
 
 
 def _sdot(a_i8, b_i8):
@@ -85,14 +82,14 @@ def _sdot(a_i8, b_i8):
 PRJ_BF16_DOT = False
 
 
-def _prj_out(yd2d, pww_ref, pwb_ref, pa_ref, p_inv, prj_bf16):
+def _prj_out(yd2d, pww_ref, pwb_ref, pa_ref, p_inv, prj_bf16, fold=None):
     if prj_bf16:
         acc = jnp.dot(yd2d.astype(jnp.bfloat16), pww_ref[...],
                       preferred_element_type=jnp.float32)
         return _requant_named_k(acc + pwb_ref[0].astype(jnp.float32),
-                                pa_ref[0], p_inv, "linear")
+                                pa_ref[0], p_inv, "linear", fold)
     out32 = _sdot(yd2d.astype(jnp.int8), pww_ref[...]) + pwb_ref[0]
-    return _requant_named_k(out32, pa_ref[0], p_inv, "linear")
+    return _requant_named_k(out32, pa_ref[0], p_inv, "linear", fold)
 
 
 def _exp_dot(xv, ew_ref, eb_ref):
@@ -114,7 +111,7 @@ def _exp_dot(xv, ew_ref, eb_ref):
 
 def _v3_i8_kernel(*refs, bn, h, w, k, stride, act_exp, act, se, residual,
                   e_inv, d_inv, p_inv, s1_inv, hw_inv, out_dtype,
-                  wop=None, prj_bf16=False):
+                  wop=None, prj_bf16=False, fold=None):
     if se:
         (x_ref, ew_ref, eb_ref, ea_ref, dww_ref, dwb_ref, da_ref,
          pww_ref, pwb_ref, pa_ref, s1w_ref, s1b_ref, s1a_ref,
@@ -135,7 +132,7 @@ def _v3_i8_kernel(*refs, bn, h, w, k, stride, act_exp, act, se, residual,
     # integer carriage in the scratch ----------------------------------------
     xv = x_ref[...]  # (BN*H*W, Cin) int8 or bf16-carried ints
     ye = _requant_named_k(_exp_dot(xv, ew_ref, eb_ref),
-                          ea_ref[0], e_inv, act_exp)
+                          ea_ref[0], e_inv, act_exp, fold)
     y4 = ye.astype(jnp.bfloat16).reshape(bn, h, w, ep)
     s_ref[:, lo : lo + h, lo : lo + w, :] = y4
 
@@ -160,7 +157,7 @@ def _v3_i8_kernel(*refs, bn, h, w, k, stride, act_exp, act, se, residual,
         acc = acc_f.reshape(bn, h_out, w_out, 2, ep)[:, :, :, 0, :]
 
     acc = acc + dwb_ref[0].astype(jnp.float32)
-    yd = _requant_named_k(acc, da_ref[0], d_inv, act)  # f32 ints, 4D
+    yd = _requant_named_k(acc, da_ref[0], d_inv, act, fold)  # f32 ints, 4D
 
     # --- quantized SE gate (whole-image tile: exact in-register pooling) ---
     if se:
@@ -169,7 +166,8 @@ def _v3_i8_kernel(*refs, bn, h, w, k, stride, act_exp, act, se, residual,
                                     * jnp.float32(hw_inv)),
                           -128, 127).astype(jnp.int8)
         g1 = _requant_named_k(_sdot(pooled, s1w_ref[...]) + s1b_ref[0],
-                              s1a_ref[0], s1_inv, "relu").astype(jnp.int8)
+                              s1a_ref[0], s1_inv, "relu",
+                              fold).astype(jnp.int8)
         acc2 = _sdot(g1, s2w_ref[...]) + s2b_ref[0]
         v = acc2.astype(jnp.float32) * s2a_ref[0].astype(jnp.float32)
         gate = jnp.clip(v + jnp.float32(3.0), 0.0, 6.0) * jnp.float32(
@@ -179,7 +177,7 @@ def _v3_i8_kernel(*refs, bn, h, w, k, stride, act_exp, act, se, residual,
 
     # --- projection: bf16-exact or s8 MXU dot, linear requant, residual ----
     out = _prj_out(yd.reshape(bn * h_out * w_out, ep), pww_ref, pwb_ref,
-                   pa_ref, p_inv, prj_bf16)
+                   pa_ref, p_inv, prj_bf16, fold)
     if residual:
         xf = (xv.astype(jnp.int32).astype(jnp.float32)
               if xv.dtype == jnp.int8 else xv.astype(jnp.float32))
@@ -196,7 +194,7 @@ def _v3_i8_kernel_rows(
     x_ref, ew_ref, eb_ref, ea_ref, dww_ref, dwb_ref, da_ref,
     pww_ref, pwb_ref, pa_ref, o_ref, s_ref,
     *, th, h, w, stride, act_exp, act, residual, e_inv, d_inv, p_inv, g,
-    out_dtype, prj_bf16=False,
+    out_dtype, prj_bf16=False, fold=None,
 ):
     """Row-tiled int8 V3 variant (k = 3, no SE): the float rows kernel's
     halo/placement/residual-offset structure with named-act int8 staging
@@ -213,7 +211,7 @@ def _v3_i8_kernel_rows(
     cin = x_ref.shape[-1]
     xv = x_ref[...].reshape(th_in * w, cin)
     ye = _requant_named_k(_exp_dot(xv, ew_ref, eb_ref),
-                          ea_ref[0], e_inv, act_exp)
+                          ea_ref[0], e_inv, act_exp, fold)
     y4 = ye.astype(jnp.bfloat16).reshape(th_in, w, ep)
 
     if stride == 1:
@@ -263,9 +261,9 @@ def _v3_i8_kernel_rows(
         acc = acc_f.reshape(th, w_out, 2, ep)[:, :, 0, :]
 
     acc = acc + dwb_ref[0].astype(jnp.float32)
-    yd = _requant_named_k(acc, da_ref[0], d_inv, act)
+    yd = _requant_named_k(acc, da_ref[0], d_inv, act, fold)
     out = _prj_out(yd.reshape(th * w_out, ep), pww_ref, pwb_ref,
-                   pa_ref, p_inv, prj_bf16)
+                   pa_ref, p_inv, prj_bf16, fold)
     if not residual:
         o_ref[...] = out.astype(out_dtype)
         return
@@ -292,7 +290,7 @@ def _v3_i8_kernel_rows(
 def v3_block_pallas_i8(
     x_i8, exp, dw, prj, *, k, stride, act, se1=None, se2=None,
     residual=False, out_dtype=jnp.int8, block_n: Optional[int] = None,
-    interpret=None,
+    interpret=None, fold: Optional[bool] = None,
 ):
     """One fused INT8 V3 bottleneck. Layer dicts carry the quant/v3
     device-tree fields {w (int8), b (int32), a (f32 per-out), inv_s
@@ -339,24 +337,28 @@ def v3_block_pallas_i8(
             prj_bf16 = e_terms * 127 * 127 + bmax < 2 ** 24
         except Exception:  # traced tree: keep the s8 dot
             prj_bf16 = False
+    if fold is None:  # resolve OUTSIDE the impl-jit (the EO_EXPAND rule)
+        from . import v3 as _v3
+
+        fold = _v3.FOLDED_REQUANT
     return _v3_i8_impl(*args, k=int(k), stride=int(stride),
                        act_exp=str(act_exp), act=str(act),
                        se=se, residual=bool(residual), invs=invs,
                        out_dtype=jnp.dtype(out_dtype).name,
                        block_n=block_n, interpret=interpret,
-                       prj_bf16=prj_bf16)
+                       prj_bf16=prj_bf16, fold=bool(fold))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("k", "stride", "act_exp", "act", "se", "residual",
                      "invs", "out_dtype", "block_n", "interpret",
-                     "prj_bf16"),
+                     "prj_bf16", "fold"),
 )
 def _v3_i8_impl(x, ew, eb, ea, dww, dwb, da, pww, pwb, pa, *se_args,
                 k, stride, act_exp, act, se, residual, invs,
                 out_dtype="int8", block_n=None, interpret=None,
-                prj_bf16=False):
+                prj_bf16=False, fold=None):
     if interpret is None:
         interpret = _should_interpret()
     out_dtype = jnp.dtype(out_dtype)
@@ -430,7 +432,7 @@ def _v3_i8_impl(x, ew, eb, ea, dww, dwb, da, pww, pwb, pa, *se_args,
             act_exp=act_exp, act=act, se=se, residual=residual,
             e_inv=e_inv, d_inv=d_inv, p_inv=p_inv, s1_inv=s1_inv,
             hw_inv=1.0 / float(h_out * w_out), out_dtype=out_dtype,
-            wop=wop, prj_bf16=prj_bf16)
+            wop=wop, prj_bf16=prj_bf16, fold=fold)
         grid = (n // bn,)
         w_index = lambda b: (0, 0)
         in_specs = [pl.BlockSpec((bn * h * w, cin), lambda b: (b, 0),
@@ -472,7 +474,7 @@ def _v3_i8_impl(x, ew, eb, ea, dww, dwb, da, pww, pwb, pa, *se_args,
             _v3_i8_kernel_rows, th=th, h=h, w=w, stride=stride,
             act_exp=act_exp, act=act, residual=residual, e_inv=e_inv,
             d_inv=d_inv, p_inv=p_inv, g=g, out_dtype=out_dtype,
-            prj_bf16=prj_bf16)
+            prj_bf16=prj_bf16, fold=fold)
         grid = (n, g)
         in_specs = [pl.BlockSpec(
             (pl.Element(1), pl.Element(th_in), pl.Element(w),

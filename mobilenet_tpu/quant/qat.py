@@ -316,9 +316,27 @@ def fq_requant_named(acc: jax.Array, a: jax.Array, inv_s: float,
                      act: str) -> jax.Array:
     """Named-activation requant (twin of quant/v3._requant_named_np):
     accumulator -> REAL units via `a` -> activation -> quantize at 1/s_out.
-    The same f32 op order as the oracle, so values match bit-for-bit; the
-    gradient shadow is the clamped pre-round value."""
-    v = acc * lax.stop_gradient(a.reshape(-1).astype(jnp.float32))
+    The same f32 op order as the oracle (including the FOLDED_REQUANT
+    single-multiplier order, read from quant/v3 at trace time), so values
+    match bit-for-bit; the gradient shadow is the clamped pre-round value
+    (clipped STE — for the folded relu the clip lower bound 0 IS the relu,
+    so gradients still stop below zero exactly as the max did)."""
+    from . import v3 as _v3
+
+    av = lax.stop_gradient(a.reshape(-1).astype(jnp.float32))
+    if _v3.FOLDED_REQUANT:
+        if act == "hswish":
+            v = acc * av
+            t = jnp.clip(v + jnp.float32(3.0), 0.0, 6.0)
+            w = (v * t) * (jnp.float32(inv_s) * jnp.float32(1.0 / 6.0))
+            shadow = jnp.clip(w, -128.0, 127.0)
+            return _ste(shadow, jnp.clip(jnp.round(w), -128, 127))
+        assert act in ("relu", "linear"), act
+        w = acc * (av * jnp.float32(inv_s))
+        lo = jnp.float32(0.0) if act == "relu" else jnp.float32(-128.0)
+        shadow = jnp.clip(w, lo, 127.0)
+        return _ste(shadow, jnp.clip(jnp.round(w), lo, 127))
+    v = acc * av
     if act == "relu":
         v = jnp.maximum(v, jnp.float32(0.0))
     elif act == "hswish":

@@ -202,7 +202,9 @@ def forward_all_v2_i8(q: V2QuantizedParams, x_i8: np.ndarray,
 # is BIT-IDENTICAL to the oracle's rint(min(max(v,0), six_q)) — for v >= 0,
 # rint(min(v,127)) == min(rint(v),127) case-by-case at the 126.5/127
 # boundaries; _six_ok gates the precondition per layer. The projection is
-# the named "linear" with inv_s = 1.0 (v*1.0 is an exact f32 identity).
+# the named "linear" with inv_s = 1.0 (pre-fold: v*1.0 is an exact f32
+# identity; under quant/v3.FOLDED_REQUANT the kernel multiplies by
+# m = a*1.0 == a, the same bits — so the knob cannot move V2 numerics).
 # Unlike V3 (where this kernel lost to a two-stage packed route that V2's
 # E = 96-alpha widths can't take — 128 % 96 != 0), V2's fallback is the
 # rows-mode ir_i8 kernel at 112², measured 2x the bf16 twin.

@@ -12,15 +12,25 @@ files' boundary message pointed at:
     runs share one group scale exactly like V2 (scale_groups), so the
     residual stays a saturating int8 add.
   - Named-activation requant, EXACT by construction: both paths compute
-    v = f32(acc) * a[oc]        (a = s_in * s_w[oc]: real units)
-    h = act(v)                  (relu: max(v,0); hswish: v*clip(v+3,0,6)/6)
-    q = clamp(rint(h * inv_s_out), -128, 127)
-    in the same op order with the same float32 constants; np.rint ==
-    jnp.round == round-half-even, and elementwise f32 is IEEE on both
-    sides — so the gate is EXACT equality per layer, like V1/V2. The f32
-    detour through real units is what makes hard-swish exact: it is how
-    deployed int8 stacks handle non-monotone activations, with the oracle
-    twin pinning the bit pattern.
+    the same f32 op order with the same float32 constants. The canonical
+    (FOLDED_REQUANT, round-5) order folds the two scale multiplies into
+    ONE precomputed per-channel multiplier — V1/V2's single-`m` design
+    (quant/ops.requantize), which the round-4 VPU anchors showed costs a
+    full-width VPU pass per extra op:
+      relu:   m  = f32(a) * f32(inv_s);  q = clamp(rint(acc*m),    0, 127)
+      linear: m  = f32(a) * f32(inv_s);  q = clamp(rint(acc*m), -128, 127)
+      hswish: v  = f32(acc) * a[oc]      (real units — needed for the gate)
+              m6 = f32(inv_s) * f32(1/6)
+              q  = clamp(rint((v * clip(v+3,0,6)) * m6), -128, 127)
+    (relu's max(v,0) lives in the clip lower bound: m > 0, so acc*m < 0
+    rounds <= 0 and clips to the 0 the max produced — proved bit-equal in
+    round 5.) FOLDED_REQUANT=False keeps the pre-fold two-mul order
+    (v = acc*a; act(v); clamp(rint(v*inv_s))) as the raced-option twin.
+    Either way np.rint == jnp.round == round-half-even and elementwise
+    f32 is IEEE on both sides — so the gate is EXACT equality per layer,
+    like V1/V2. The f32 detour through real units is what makes
+    hard-swish exact: it is how deployed int8 stacks handle non-monotone
+    activations, with the oracle twin pinning the bit pattern.
   - The SE gate is quantized so its matmuls stay ORDER-INDEPENDENT
     integer arithmetic (f32 matmuls would break exactness — accumulation
     order differs between MXU and NumPy): pooled rides the dw scale
@@ -48,6 +58,15 @@ import numpy as np
 from ..models.mobilenet_v3 import V3Config
 from ..oracle import numpy_ref
 from .quantize import ACT_IN_SCALE, _quant_weight
+
+# Round-5 canonical requant order: ONE precomputed multiplier for
+# relu/linear (m = f32(a)*f32(inv_s)) and a folded m6 = inv_s/6 for
+# hswish — saves one full-width VPU pass per named requant vs the
+# two-mul order (module docstring). The ORACLE and every kernel twin
+# read this same knob, so each setting is a complete, self-consistent
+# scheme gated EXACT end to end; kernels thread it as a static (the
+# EO_EXPAND pattern) so tools/abx.py can race the two orders e2e.
+FOLDED_REQUANT = True
 
 # ---------------------------------------------------------------------------
 # host-side quantization
@@ -210,6 +229,17 @@ def quantize_v3(folded: Dict[str, Any], config: V3Config, *,
 
 
 def _requant_named_np(acc_i32, a, inv_s, act):
+    if FOLDED_REQUANT:
+        if act == "hswish":
+            v = acc_i32.astype(np.float32) * np.asarray(a, np.float32)
+            t = np.clip(v + np.float32(3.0), 0.0, 6.0)
+            q = np.rint((v * t) * (np.float32(inv_s) * np.float32(1.0 / 6.0)))
+            return np.clip(q, -128, 127).astype(np.int8)
+        assert act in ("relu", "linear"), act
+        m = np.asarray(a, np.float32) * np.float32(inv_s)
+        q = np.rint(acc_i32.astype(np.float32) * m)
+        lo = 0 if act == "relu" else -128
+        return np.clip(q, lo, 127).astype(np.int8)
     v = acc_i32.astype(np.float32) * np.asarray(a, np.float32)
     if act == "relu":
         v = np.maximum(v, np.float32(0.0))
@@ -349,11 +379,24 @@ def _as_device_tree_v3(q: V3QuantizedParams) -> Dict[str, Any]:
     }
 
 
-def _requant_named_dev(acc_i32, a, inv_s, act, out_dtype=None):
+def _requant_named_dev(acc_i32, a, inv_s, act, out_dtype=None, fold=None):
     """out_dtype int8 (default) or bfloat16 — the carrier holds the SAME
-    integers either way (|q| <= 127 is exact in bf16's 8-bit mantissa)."""
+    integers either way (|q| <= 127 is exact in bf16's 8-bit mantissa).
+    fold=None reads FOLDED_REQUANT at trace time (module docstring)."""
     import jax.numpy as jnp
 
+    if FOLDED_REQUANT if fold is None else fold:
+        if act == "hswish":
+            v = acc_i32.astype(jnp.float32) * a.astype(jnp.float32)
+            t = jnp.clip(v + jnp.float32(3.0), 0.0, 6.0)
+            q = jnp.round(
+                (v * t) * (jnp.float32(inv_s) * jnp.float32(1.0 / 6.0)))
+            return jnp.clip(q, -128, 127).astype(out_dtype or jnp.int8)
+        assert act in ("relu", "linear"), act
+        m = a.astype(jnp.float32) * jnp.float32(inv_s)
+        q = jnp.round(acc_i32.astype(jnp.float32) * m)
+        lo = jnp.float32(0.0) if act == "relu" else -128
+        return jnp.clip(q, lo, 127).astype(out_dtype or jnp.int8)
     v = acc_i32.astype(jnp.float32) * a.astype(jnp.float32)
     if act == "relu":
         v = jnp.maximum(v, jnp.float32(0.0))
@@ -695,7 +738,7 @@ def forward_v3_i8(dev: Dict[str, Any], x_q, config: V3Config, *,
                     cin_a, cout_a, bd.act, float(d["inv_s"]),
                     float(p["inv_s"]),
                     out_dtype="bfloat16" if bd.has_res else
-                    jnp.dtype(out_dt).name)
+                    jnp.dtype(out_dt).name, fold=FOLDED_REQUANT)
                 if bd.has_res:
                     yp = jnp.clip(yp.astype(jnp.float32)
                                   + xp.astype(jnp.float32),
@@ -771,7 +814,8 @@ def forward_v3_i8(dev: Dict[str, Any], x_q, config: V3Config, *,
                 yp = packed_block_i8_named_s2(
                     pack(ye, e_a), d["w"], d["b"], d["a"], pw, pb, pa,
                     e_a, 128, bd.act, float(d["inv_s"]), float(p["inv_s"]),
-                    out_dtype=jnp.dtype(plan[i][2]).name)
+                    out_dtype=jnp.dtype(plan[i][2]).name,
+                    fold=FOLDED_REQUANT)
                 # (R/2)*cout_pad == 128: the packed output IS dense NHWC
                 y = yp.reshape(yp.shape[0], yp.shape[1], -1, 128)
                 continue
@@ -830,7 +874,8 @@ def forward_v3_i8(dev: Dict[str, Any], x_q, config: V3Config, *,
                     s1["w"], s1["b"], s1["a"], s2["w"], s2["b"], s2["a"],
                     pw, pb, pa, cin_a, cout_p, bd.act, float(d["inv_s"]),
                     float(s1["inv_s"]), float(p["inv_s"]),
-                    out_dtype=jnp.dtype(plan[i][2]).name)
+                    out_dtype=jnp.dtype(plan[i][2]).name,
+                    fold=FOLDED_REQUANT)
                 y = out.reshape(out.shape[0], out.shape[1], -1, cout_p)
                 continue
             # non-fitting block under the fused plan: the exact XLA

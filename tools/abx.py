@@ -204,12 +204,22 @@ def main():
         print("need >= 2 variants (--flag with 2+ values, or 2+ --set)")
         return 1
 
-    cfg, base_fn = build_forward(args)
+    # Build EACH arm's forward under its flag context: build_forward may
+    # pre-jit (the int8 infer entries are jax.jit closures) and a single
+    # shared inner jit would serve arm 1's cached trace to arm 2 — a
+    # fresh build per arm gives every arm its own inner jit objects, and
+    # the trace itself also runs under the context (first call below).
     entries = {}
+    arm_fns = {}
     for label, assigns in variants:
-        def fn(u8, _assigns=tuple(assigns)):
+        with flag_ctx(assigns):
+            cfg, arm_fn = build_forward(args)
+        arm_fns[label] = (arm_fn, tuple(assigns))
+
+        def fn(u8, _label=label):
+            _arm, _assigns = arm_fns[_label]
             with flag_ctx(list(_assigns)):
-                return base_fn(u8)
+                return _arm(u8)
 
         entries[label] = jax.jit(fn)
 

@@ -606,19 +606,27 @@ def main(quick: bool = False, only: str = ""):
         from mobilenet_tpu.quant import ops as qops4
         from mobilenet_tpu.quant.quantize import ACT_IN_SCALE as _AIS
 
+        # VERDICT r4 #5: the recorded sweep rows ship at batch 256, so the
+        # EXACT fused-vs-xla net gate must run at the shipping batch too
+        # (kernel plans vary with batch). SMOKE_I8_NET_BATCH=256 runs the
+        # shipping-scale arm (fewer repeat batches — same total pixels).
+        nb = int(os.environ.get("SMOKE_I8_NET_BATCH", "16"))
+        reps = max(1, 64 // nb)
+
         def net_pair(label, make):
             fx, ff = make()
             bad_total = 0
-            for b in range(4):
-                x = rng.uniform(-1, 1, (16, 224, 224, 3)).astype(np.float32)
+            for b in range(reps):
+                x = rng.uniform(-1, 1, (nb, 224, 224, 3)).astype(np.float32)
                 xq = qops4.quantize_input_dev(jnp.asarray(x), _AIS,
                                               out_dtype=jnp.bfloat16)
                 bad_total += int((np.asarray(fx(xq))
                                   != np.asarray(ff(xq))).sum())
             n_checks[0] += 1
             ok_n = bad_total == 0
-            print(f"[{'OK ' if ok_n else 'FAIL'}] i8_net_fused {label}: "
-                  f"{'exact x4 batches' if ok_n else f'{bad_total} diffs'}",
+            print(f"[{'OK ' if ok_n else 'FAIL'}] i8_net_fused {label} "
+                  f"b{nb}: "
+                  f"{f'exact x{reps} batches' if ok_n else f'{bad_total} diffs'}",
                   flush=True)
             if not ok_n:
                 failures.append(f"i8_net_fused {label}")
@@ -653,8 +661,24 @@ def main(quick: bool = False, only: str = ""):
                     jax.jit(lambda v: forward_v2_i8(d, v, c,
                                                     use_fused=True)))
 
+        def mk_v3large():
+            from mobilenet_tpu.checkpoints.v3 import (fold_bn_v3,
+                                                      init_params_v3)
+            from mobilenet_tpu.models.mobilenet_v3 import V3Config
+            from mobilenet_tpu.quant.v3 import (_as_device_tree_v3,
+                                                forward_v3_i8, quantize_v3)
+
+            c = V3Config(variant="large", alpha=1.0, resolution=224)
+            d = _as_device_tree_v3(quantize_v3(
+                fold_bn_v3(init_params_v3(c, seed=3), eps=c.bn_eps), c,
+                n_calib=8))
+            return (jax.jit(lambda v: forward_v3_i8(d, v, c)),
+                    jax.jit(lambda v: forward_v3_i8(d, v, c,
+                                                    use_fused=True)))
+
         net_pair("v3small-224", mk_v3small)
         net_pair("v2-224", mk_v2)
+        net_pair("v3large-224", mk_v3large)
 
     if not n_checks[0]:
         print(f"SMOKE FAIL: --only {only!r} matched no checks", flush=True)
