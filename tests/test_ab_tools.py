@@ -99,3 +99,17 @@ def test_health_band_file_parses():
     assert band is not None
     assert band["rtt_ms_max"] >= 30.0  # the fixed tunnel RTT is ~30 ms
     assert 0.0 < band["h2d_gbps_min"] < 0.05
+
+
+def test_abx_assignment_parser_keeps_container_literals():
+    """abx flag values may be container literals (PACKED_SE={4,5}); the
+    parser must split assignment lists on TOP-LEVEL commas only."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from abx import _split_top, parse_assignments
+
+    assert parse_assignments("m:A={4,5},m:B=(1,2),m:C=True") == [
+        ("m", "A", {4, 5}), ("m", "B", (1, 2)), ("m", "C", True)]
+    assert _split_top("v1,{4,5},True") == ["v1", "{4,5}", "True"]

@@ -43,12 +43,30 @@ ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "benchmarks", "ab_races_v5e.jsonl")
 
 
+def _split_top(spec: str, sep: str = ","):
+    """Split on sep at bracket depth 0 only, so container literals like
+    PACKED_SE={4,5} survive ('mod:A={4,5},mod:B=1' -> two parts)."""
+    parts, depth, cur = [], 0, []
+    for ch in spec:
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
 def parse_assignments(spec: str):
     """'mod:FLAG=val,mod2:FLAG2=val2' -> [(module, flag, value)]."""
     out = []
     if not spec:
         return out
-    for part in spec.split(","):
+    for part in _split_top(spec):
         modflag, val = part.rsplit("=", 1)
         mod, flag = modflag.rsplit(":", 1)
         out.append((mod, flag, eval(val, {}, {})))  # noqa: S307 — literals
@@ -194,7 +212,7 @@ def main():
     variants = []
     if args.flag:
         modflag, vals = args.flag.rsplit("=", 1)
-        for v in vals.split(","):
+        for v in _split_top(vals):
             variants.append((f"{modflag.rsplit(':', 1)[1]}={v}",
                              parse_assignments(f"{modflag}={v}")))
     for s in getattr(args, "set"):
