@@ -222,15 +222,25 @@ FUSED_HEAD = True
 # single-kernel probe can't see), and the packed route doesn't.
 # Record: benchmarks/roofline_v5e.md 2026-08-19.
 PACKED_SE = False
+# V3-SMALL ships the packed SE route ON (round 5, 2026-08-20): re-raced
+# under the round-4 regime (chain + carriage + the pooled-sum selection
+# dot fix this round ported from the s2 kernel), all eligible blocks
+# packed wins e2e 8.287 -> 7.710 ms/batch-256 (30,893 -> 33,202 img/s,
+# +7.5%, top-1 identical; p45-only loses, p4567 +3%, all-eligible best —
+# contiguous packed runs avoid the dense/packed layout boundaries that
+# sank the Large subsets). The Large measurement stands; the knob is
+# per-variant exactly like CHAIN_V3 / CHAIN_V3_SMALL.
+PACKED_SE_SMALL = True
 # block_n override for the packed SE kernel (None = kernel auto, which
 # picks bn=2 at 28² — measured 0.12 ms/block slower than bn=1 standalone).
 PACKED_SE_BN = None
 
 
-def _packed_se_on(i: int) -> bool:
-    if PACKED_SE is True or PACKED_SE is False:
-        return bool(PACKED_SE)
-    return i in PACKED_SE
+def _packed_se_on(i: int, variant: str = "large") -> bool:
+    knob = PACKED_SE_SMALL if variant == "small" else PACKED_SE
+    if knob is True or knob is False:
+        return bool(knob)
+    return i in knob
 
 
 # Chain megakernel (ops/pallas_chain_v3.py): maximal runs of consecutive
@@ -300,7 +310,7 @@ def _try_chain_v3(params, y, config: "V3Config", routing, i: int,
                 and not bd.se_mid and bd.act == "relu" and c < 128
                 and 128 % c == 0 and (ww * c) % 128 == 0):
             break  # the packed expand-s2 route wins this geometry
-        if _packed_se_on(j):
+        if _packed_se_on(j, config.variant):
             break
         ew, eb = blk["exp"]["w"], blk["exp"]["b"]
         if int(ew.shape[0]) < c:
@@ -622,7 +632,8 @@ def run_blocks_v3(params, y, config: V3Config, routing, *,
                 pack(ye, e_a), blk["dw"]["w"], blk["dw"]["b"], pw, pb,
                 e_a, 128, False, pw_epilogue=False)
             continue
-        if (_packed_se_on(i) and routing[i] == "fused" and not collect
+        if (_packed_se_on(i, config.variant) and routing[i] == "fused"
+                and not collect
                 and bd.has_expand and bd.stride == 1):
             from ..ops.pallas_se_packed import (  # noqa: PLC0415
                 se_block_packed, se_packed_fits, se_packed_geometry)

@@ -94,8 +94,8 @@ def se_packed_fits(n, h, w, cin, e, cout, k, stride, itemsize=2) -> bool:
 
 
 def _se_packed_kernel(
-    x_ref, kw_ref, eb_ref, dww_ref, dwb_ref, s1w_ref, s1b_ref, s2w_ref,
-    s2b_ref, pww_ref, pwb_ref, o_ref,
+    x_ref, kw_ref, eb_ref, dww_ref, dwb_ref, ssel_ref, s1w_ref, s1b_ref,
+    s2w_ref, s2b_ref, pww_ref, pwb_ref, o_ref,
     *, bn, h, w4, r, ep, k, act, residual, hw_inv, out_dtype, se, oc,
 ):
     ee = r * ep
@@ -144,7 +144,16 @@ def _se_packed_kernel(
 
     if se:
         ysum = jnp.sum(y, axis=(1, 2))                      # (BN, EE)
-        pooled = ysum.reshape(bn, r, ep).sum(axis=1) * hw_inv
+        # Lane -> channel fold via the 0/1 selection-sum MXU dot (the
+        # packed SE s2 kernel's proven pattern): reshape(bn, r, ep) is a
+        # LANE-splitting shape cast Mosaic rejects at some geometries
+        # (hw-found at Small b6/b7: vector<8x384> -> 8x2x192 'unsupported
+        # shape cast'). Precision.HIGHEST is mandatory — a default f32
+        # dot lowers to a SINGLE-PASS bf16 matmul in Mosaic and loses
+        # the pooled sums' low bits (memory: tpu-pallas-gotchas).
+        pooled = jnp.dot(ysum, ssel_ref[...],
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST) * hw_inv
         g = jnp.dot(pooled.astype(s1w_ref.dtype), s1w_ref[...],
                     preferred_element_type=jnp.float32, precision=prec)
         g = jnp.maximum(g + s1b_ref[0].astype(jnp.float32), 0.0)
@@ -265,6 +274,7 @@ def _se_block_packed_jit(
         se_w1 = se_w1.astype(dt)
         se_w2 = se_w2.astype(dt)
 
+    ssel = jnp.tile(jnp.eye(ep, dtype=jnp.float32), (r, 1))  # (EE, Ep)
     kernel = functools.partial(
         _se_packed_kernel, bn=bn, h=h, w4=w4, r=r, ep=ep, k=k, act=act,
         residual=residual, hw_inv=1.0 / float(h * w4 * r), out_dtype=dt,
@@ -283,6 +293,7 @@ def _se_block_packed_jit(
             pl.BlockSpec((k, k, ee), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             cspec((1, ee)),
+            cspec((ee, ep)),
             cspec((ep, sw)),
             cspec((1, sw)),
             cspec((sw, ep)),
@@ -294,5 +305,5 @@ def _se_block_packed_jit(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w4, oc), dt),
         interpret=interpret,
-    )(x_packed, kw, ebE, dww, dwb, se_w1, se_b1.reshape(1, -1), se_w2,
-      se_b2.reshape(1, -1), pww, pwb)
+    )(x_packed, kw, ebE, dww, dwb, ssel, se_w1, se_b1.reshape(1, -1),
+      se_w2, se_b2.reshape(1, -1), pww, pwb)
