@@ -325,7 +325,17 @@ def _verify_routing(args, cfg, folded, x) -> bool:
     anchor_ok = True
     if dtype == jnp.bfloat16:
         scale = float(np.abs(ref).max())
-        atol = max(golden.ROUTING_BF16_ATOL, golden.ROUTING_BF16_REL * scale)
+        # Extreme-value term (round 5): max|fused-xla| over N*K samples
+        # grows like rms * sqrt(2 ln(N*K)) for defectless reassociation
+        # noise — the batch-4-calibrated REL*scale floor alone failed a
+        # defect-free V2 run at batch 256 (max 0.699 vs EV-predicted
+        # 0.709; element diagnosis: both routes straddle the fp32 oracle
+        # symmetrically at every top element, fused closer at most). A
+        # LOCALIZED defect inflates max without moving rms, so it still
+        # fails this bound by orders of magnitude; a BROAD defect moves
+        # rms and is caught by the oracle-anchor RMS check below.
+        rms_fr = float(np.sqrt(np.mean((got - ref) ** 2)))
+        atol = golden.routing_bf16_atol(scale, rms_fr, got.size)
         rtol = 5e-2
         # Oracle anchor: reassociation noise leaves the route no farther
         # from the fp32 oracle than the xla route is (within headroom);

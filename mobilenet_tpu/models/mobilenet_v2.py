@@ -149,6 +149,20 @@ FUSED_EXPAND_S2_MIN_H = 96
 # Fused conv_last->pool->fc head kernel (ops/pallas_head.py) on fused
 # routings; A/B: tools/ab_head.py.
 FUSED_HEAD = True
+# Lane-packed stride-1 bottleneck route (ops/pallas_se_packed with
+# se_width=0 and act="relu6" — the kernel is act-generic and its SE
+# stage optional): V2's mid-network s1 blocks run the dense ir kernel
+# at <= 50% lane occupancy (b2: Cin 24 at 56²; b4/b5: 32 at 28²;
+# b7-b12: 64-96 at 14²). True = every eligible block; a collection =
+# those indices; False = off. Raced round 5 (tools/abx.py --model v2).
+PACKED_S1 = False
+PACKED_S1_BN = None
+
+
+def _packed_s1_on(i: int) -> bool:
+    if PACKED_S1 is True or PACKED_S1 is False:
+        return bool(PACKED_S1)
+    return i in PACKED_S1
 
 
 def mixed_b1_routing_v2(config: V2Config) -> Tuple[str, ...]:
@@ -375,6 +389,38 @@ def run_blocks_v2(params, y, config: V2Config, routing, *,
                 pack(ye, e_a), blk["dw"]["w"], blk["dw"]["b"], pw, pb,
                 e_a, 128, True, pw_epilogue=False)
             continue
+        if (_packed_s1_on(i) and routing[i] == "fused" and not collect
+                and "exp" in blk and stride == 1):
+            from ..ops.pallas_se_packed import (  # noqa: PLC0415
+                se_block_packed, se_packed_fits, se_packed_geometry)
+
+            geo = se_packed_geometry(cin_a, e_a, cout_a, int(y.shape[2]),
+                                     3, stride)
+            if (geo is not None
+                    and (not has_res or geo[2] == geo[0])
+                    and se_packed_fits(
+                        int(y.shape[0]), int(y.shape[1]), int(y.shape[2]),
+                        cin_a, e_a, cout_a, 3, stride,
+                        jnp.dtype(y.dtype).itemsize)):
+                # Sub-lane-width s1 inverted residual: lane-pack
+                # R = 128/Cp pixels per vector (the V3 call site's
+                # padding/unpack contract, models/mobilenet_v3.py).
+                from ..ops.pallas_block_packed import pack  # noqa: PLC0415
+
+                cp, ep_, cout_p, r_ = geo
+                xin = y if cin_a == cp else jnp.pad(
+                    y, ((0, 0), (0, 0), (0, 0), (0, cp - cin_a)))
+                ew = (blk["exp"]["w"] if int(blk["exp"]["w"].shape[0]) == cp
+                      else jnp.pad(blk["exp"]["w"],
+                                   ((0, cp - cin_a), (0, 0))))
+                out = se_block_packed(
+                    pack(xin, cp), ew, blk["exp"]["b"],
+                    blk["dw"]["w"], blk["dw"]["b"],
+                    None, None, None, None,
+                    blk["prj"]["w"], blk["prj"]["b"],
+                    cp, 3, "relu6", has_res, 0, block_n=PACKED_S1_BN)
+                y = out.reshape(out.shape[0], out.shape[1], -1, cout_p)
+                continue
         if (routing[i] == "fused" and not collect and ("exp" in blk or i == 0)
                 and ir_fits(int(y.shape[0]), int(y.shape[1]), int(y.shape[2]),
                             cin_a, e_a, cout_a, stride,

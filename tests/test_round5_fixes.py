@@ -200,3 +200,41 @@ class TestFoldedRequant:
                     jnp.asarray(acc, jnp.float32), jnp.asarray(a),
                     float(inv_s), act)).astype(np.int8)
                 np.testing.assert_array_equal(got, want, err_msg=f"{knob} {act}")
+
+
+class TestRoutingEvAtol:
+    """Round-5 extreme-value term in the bf16 routing max-abs gate: the
+    batch-4-calibrated floors alone fail defect-free large-batch runs
+    (V2 batch-256 measured max 0.699 ~ rms*sqrt(2 ln N) = 0.709), while
+    a localized defect must still fail by orders of magnitude."""
+
+    def test_defect_free_noise_passes_at_large_n(self):
+        from mobilenet_tpu.utils import golden
+
+        rng = np.random.default_rng(0)
+        n = 256 * 1000
+        d = rng.normal(0.0, 0.142, size=n).astype(np.float32)
+        atol = golden.routing_bf16_atol(scale=12.3, rms_fr=float(
+            np.sqrt((d ** 2).mean())), n_samples=n)
+        assert np.abs(d).max() <= atol  # the V2 batch-256 class passes
+
+    def test_localized_defect_still_fails(self):
+        from mobilenet_tpu.utils import golden
+
+        rng = np.random.default_rng(1)
+        n = 256 * 1000
+        d = rng.normal(0.0, 0.142, size=n).astype(np.float32)
+        d[123] = 5.0  # one broken element barely moves the rms
+        atol = golden.routing_bf16_atol(scale=12.3, rms_fr=float(
+            np.sqrt((d ** 2).mean())), n_samples=n)
+        assert np.abs(d).max() > 3 * atol
+
+    def test_small_n_floor_unchanged(self):
+        from mobilenet_tpu.utils import golden
+
+        # tiny rms at small N: the absolute/relative floors dominate,
+        # matching the pre-round-5 gate exactly
+        assert golden.routing_bf16_atol(41.5, 1e-4, 4000) == pytest.approx(
+            golden.ROUTING_BF16_REL * 41.5)
+        assert golden.routing_bf16_atol(0.5, 1e-4, 4000) == pytest.approx(
+            golden.ROUTING_BF16_ATOL)
