@@ -154,7 +154,12 @@ FUSED_HEAD = True
 # stage optional): V2's mid-network s1 blocks run the dense ir kernel
 # at <= 50% lane occupancy (b2: Cin 24 at 56²; b4/b5: 32 at 28²;
 # b7-b12: 64-96 at 14²). True = every eligible block; a collection =
-# those indices; False = off. Raced round 5 (tools/abx.py --model v2).
+# those indices; False = off. RACED 2026-08-21 (tools/abx.py --model v2
+# bf16 batch-256, top-1 identical): all-eligible 17.968 vs dense 17.995
+# ms — a 0.15% wash, unlike V3-Small's +7% (V2's eligible set excludes
+# its 56² block b2 on VMEM fit, and its 14² blocks already run the dense
+# ir kernel at >= 50% occupancy vs Small's 31%). Ships OFF; the route
+# stays as the tested option (tests/test_v2_flows.py numerics gate).
 PACKED_S1 = False
 PACKED_S1_BN = None
 
