@@ -44,8 +44,11 @@ files' boundary message pointed at:
     k^2.
 
 Device path: XLA ops (int8 MXU matmuls, exact-f32-integer dw taps, the
-conv1_i8 bf16-conv trick for the stem). A fused int8 V3 kernel is future
-work, same note as quant/v2.py.
+conv1_i8 bf16-conv trick for the stem) AND the fused int8 kernels —
+pallas_ir_v3_i8 per-block, the packed named-act family
+(pallas_block_packed_i8), and the expand-s2 twin (pallas_expand_s2_i8) —
+routed per measured per-block plans (design.md §8); `forward_v3_i8`
+dispatches, fused-vs-xla EXACT gated on chip at the shipping batch.
 """
 
 from __future__ import annotations
